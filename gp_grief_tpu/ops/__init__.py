@@ -1,0 +1,65 @@
+"""Structured tensor algebra + iterative linear algebra (reference L0+L1).
+
+TPU-native replacements for the reference's ``gp_grief/tensors.py`` and
+``gp_grief/linalg.py`` (SURVEY.md §2 #1–#9): Kronecker / Khatri-Rao operators
+as pytrees-of-factors with pure-function matvecs, selection as gathers, exact
+log-space top-p Kronecker eigenvalue selection, and CG / Lanczos / SLQ as
+``lax`` pipelines.
+"""
+
+from gp_grief_tpu.ops.kron import (
+    kron_chol,
+    kron_diag,
+    kron_eigh,
+    kron_expand,
+    kron_logdet_from_chol,
+    kron_logdet_from_eigs,
+    kron_matmat,
+    kron_matvec,
+    kron_shapes,
+    kron_solve_schur,
+)
+from gp_grief_tpu.ops.khatri_rao import (
+    kr_expand,
+    kr_matvec,
+    kr_rmatvec,
+    rowcol_kr_expand,
+    rowcol_kr_matvec,
+    rowcol_kr_rmatvec,
+)
+from gp_grief_tpu.ops.selection import select_rows, select_rows_t, selection_expand
+from gp_grief_tpu.ops.topk import top_p_kron_eigs
+from gp_grief_tpu.ops.cg import CGInfo, cg_solve
+from gp_grief_tpu.ops.lanczos import LanczosResult, lanczos, slq_logdet
+from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol, stable_cholesky
+
+__all__ = [
+    "kron_matvec",
+    "kron_matmat",
+    "kron_expand",
+    "kron_diag",
+    "kron_eigh",
+    "kron_chol",
+    "kron_logdet_from_chol",
+    "kron_logdet_from_eigs",
+    "kron_solve_schur",
+    "kron_shapes",
+    "kr_matvec",
+    "kr_rmatvec",
+    "kr_expand",
+    "rowcol_kr_expand",
+    "rowcol_kr_matvec",
+    "rowcol_kr_rmatvec",
+    "select_rows",
+    "select_rows_t",
+    "selection_expand",
+    "top_p_kron_eigs",
+    "cg_solve",
+    "CGInfo",
+    "lanczos",
+    "slq_logdet",
+    "LanczosResult",
+    "solve_chol",
+    "stable_cholesky",
+    "logdet_from_chol",
+]

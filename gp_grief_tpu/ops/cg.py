@@ -1,0 +1,129 @@
+"""Conjugate gradients as a `lax.while_loop` pipeline — no host round-trips.
+
+TPU-native re-design of the reference's ``linalg.cg`` (reference:
+``gp_grief/linalg.py`` — SURVEY.md §2 #7), which wraps
+``scipy.sparse.linalg.cg`` around a ``LinearOperator``.  Here the operator is a
+matvec closure and the whole iteration is one jitted ``lax.while_loop`` with a
+tolerance-masked convergence test, so CG runs entirely on-device and
+``jax.vmap``/``shard_map`` compose through it.  Batched right-hand sides are
+solved simultaneously with **per-column** step sizes (a block of independent CG
+recurrences sharing each matvec — the batched matvec keeps the MXU busy).
+
+Gradients: the solve is wrapped in ``lax.custom_linear_solve(symmetric=True)``,
+so the adjoint of ``x = A⁻¹ b`` is another CG solve with the same operator and
+gradients flow to *both* ``b`` and any parameters captured inside the matvec
+closure (GPyTorch BBMM pattern, PAPERS.md) — the loop is never unrolled.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["cg_solve", "CGInfo"]
+
+
+class CGInfo(NamedTuple):
+    """Solver instrumentation — the reference's ``solver_counter`` equivalent
+    (SURVEY.md §2 #9), returned as data instead of printed."""
+
+    iterations: jax.Array  # scalar int32: iterations executed
+    residual_norm: jax.Array  # (B,) final residual 2-norms
+
+
+def _cg_raw(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    tol: float,
+    max_iters: int,
+    M_inv: Optional[Callable[[jax.Array], jax.Array]],
+):
+    """Preconditioned CG on a batched rhs ``b`` of shape ``(m, B)``."""
+    bnorm = jnp.linalg.norm(b, axis=0)  # (B,)
+    stop = tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
+
+    precond = M_inv if M_inv is not None else (lambda r: r)
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0, axis=0)  # (B,)
+
+    def cond(state):
+        _, r, _, _, k, _ = state
+        rn = jnp.linalg.norm(r, axis=0)
+        return jnp.logical_and(k < max_iters, jnp.any(rn > stop))
+
+    def body(state):
+        x, r, z, p, k, rz = state
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap, axis=0)
+        # Converged columns get alpha=0 (frozen) via the safe divide.
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        alpha = jnp.where(pAp == 0, 0.0, alpha)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        beta = jnp.where(rz == 0, 0.0, beta)
+        p = z + beta[None, :] * p
+        return x, r, z, p, k + 1, rz_new
+
+    x, r, _, _, k, _ = lax.while_loop(cond, body, (x0, r0, z0, p0, 0, rz0))
+    return x, CGInfo(iterations=k, residual_norm=jnp.linalg.norm(r, axis=0))
+
+
+def cg_solve(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    *,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-10,
+    max_iters: int = 1000,
+    M_inv: Optional[Callable[[jax.Array], jax.Array]] = None,
+    return_info: bool = False,
+):
+    """Solve ``A x = b`` for symmetric positive-definite ``A`` given only a matvec.
+
+    Args:
+      matvec: closure computing ``A @ v`` for ``v`` of shape ``(m, B)``
+        (must also accept ``(m, 1)``; must be linear in ``v``).
+      b: ``(m,)`` or ``(m, B)`` right-hand side(s).
+      x0: optional initial guess (zeros by default; only used on the primal
+        solve — the adjoint solve starts from zeros).
+      tol: relative residual tolerance per column.
+      max_iters: static iteration cap (the `while_loop` bound).
+      M_inv: optional preconditioner closure ``v ↦ M⁻¹ v``; affects convergence
+        only, so it is excluded from differentiation.
+      return_info: also return :class:`CGInfo` (iterations, residuals).
+        The info path is not differentiable (use the default path under grad).
+    """
+    squeeze = b.ndim == 1
+    bb = b[:, None] if squeeze else b
+    x0b = jnp.zeros_like(bb) if x0 is None else (x0[:, None] if squeeze else x0)
+
+    if return_info:
+        x, info = _cg_raw(matvec, bb, x0b, tol, max_iters, M_inv)
+        return (x[:, 0] if squeeze else x), info
+
+    def _solve(mv, rhs):
+        # x0 only applies to the primal solve; custom_linear_solve re-invokes
+        # this for the adjoint where the rhs differs, so a zero start is used
+        # there via the same closure (x0b is shaped like bb in both cases).
+        x, _ = _cg_raw(mv, rhs, jnp.zeros_like(rhs), tol, max_iters, M_inv)
+        return x
+
+    if x0 is not None:
+        # Warm start: solve for the residual correction so the wrapped solve
+        # still maps rhs ↦ A⁻¹ rhs (a linear map, as custom_linear_solve needs).
+        x = x0b + lax.custom_linear_solve(
+            matvec, bb - matvec(x0b), solve=_solve, symmetric=True
+        )
+    else:
+        x = lax.custom_linear_solve(matvec, bb, solve=_solve, symmetric=True)
+    return x[:, 0] if squeeze else x

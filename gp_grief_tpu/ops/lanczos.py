@@ -1,0 +1,143 @@
+"""Lanczos tridiagonalization and stochastic Lanczos quadrature (SLQ) log-det.
+
+TPU-native re-design of the reference's ``linalg.lanczos`` + stochastic
+log-det estimator (reference: ``gp_grief/linalg.py`` — SURVEY.md §2 #8; SLQ
+after Dong et al. 2017, "Scalable Log Determinants", PAPERS.md).  The Lanczos
+recurrence is a fixed-length ``lax.scan`` (static shapes for jit), optionally
+with full reorthogonalization against the stored basis — needed in f32 where
+the three-term recurrence loses orthogonality within ~20 iterations.  SLQ draws
+Rademacher probes and is ``vmap``-ed over them, so all probes run as one
+batched program; the probe loop, the recurrence, and the small ``k×k`` ``eigh``
+stay on-device end to end.  At the 2M-point scale SLQ runs with
+``store_basis=False`` so memory stays ``O(R·m)``, not ``O(R·m·k)``.
+
+Gradients of a log-det are handled at the model layer via the Hutchinson
+identity ``∂ log|A| = tr(A⁻¹ ∂A)`` with CG solves (BBMM pattern, PAPERS.md),
+not by differentiating through this estimator.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["lanczos", "slq_logdet", "LanczosResult"]
+
+
+class LanczosResult(NamedTuple):
+    Q: Optional[jax.Array]  # (m, k) orthonormal basis, or None if not stored
+    alpha: jax.Array  # (k,) tridiagonal diagonal (zero-padded past breakdown)
+    beta: jax.Array  # (k-1,) tridiagonal off-diagonal (zero-padded)
+    num_valid: jax.Array  # scalar int32: valid alpha entries before breakdown
+
+
+def lanczos(
+    matvec: Callable[[jax.Array], jax.Array],
+    v0: jax.Array,
+    k: int,
+    *,
+    full_reorth: bool = True,
+    store_basis: bool = True,
+) -> LanczosResult:
+    """Run ``k`` Lanczos steps of a symmetric operator from start vector ``v0``.
+
+    Produces tridiagonal ``T = tridiag(beta, alpha, beta)`` with
+    ``Qᵀ A Q = T`` and (optionally) the orthonormal basis ``Q``.  Breakdown
+    (an exactly-captured invariant subspace) is masked, not branched on:
+    iterations past breakdown yield zero columns and zero ``alpha``/``beta``
+    entries, and ``num_valid`` reports the usable count — shapes stay static.
+
+    ``full_reorth=True`` requires ``store_basis=True``.
+    """
+    if full_reorth and not store_basis:
+        raise ValueError("full_reorth requires store_basis=True")
+    m = v0.shape[0]
+    dtype = v0.dtype
+    eps = jnp.finfo(dtype).eps
+    q0 = v0 / jnp.linalg.norm(v0)
+
+    def step(carry, i):
+        q, q_prev, beta_prev, Qbuf, alive = carry
+        if store_basis:
+            Qbuf = Qbuf.at[:, i].set(jnp.where(alive, q, jnp.zeros_like(q)))
+        w = matvec(q[:, None])[:, 0]
+        alpha_i = jnp.dot(w, q)
+        w = w - alpha_i * q - beta_prev * q_prev
+        if full_reorth:
+            # Orthogonalize against all stored vectors (zeros beyond i are
+            # inert).  Two passes: "twice is enough" (Parlett).
+            for _ in range(2):
+                w = w - Qbuf @ (Qbuf.T @ w)
+        beta_i = jnp.linalg.norm(w)
+        scale = jnp.abs(alpha_i) + beta_prev + jnp.asarray(1.0, dtype)
+        broke = beta_i <= 100 * eps * scale
+        q_next = jnp.where(
+            broke, jnp.zeros_like(w), w / jnp.where(beta_i == 0, 1.0, beta_i)
+        )
+        alpha_out = jnp.where(alive, alpha_i, 0.0)
+        beta_out = jnp.where(jnp.logical_and(alive, ~broke), beta_i, 0.0)
+        alive_next = jnp.logical_and(alive, ~broke)
+        return (q_next, q, beta_out, Qbuf, alive_next), (alpha_out, beta_out, alive)
+
+    Qbuf0 = jnp.zeros((m, k), dtype) if store_basis else jnp.zeros((m, 0), dtype)
+    init = (
+        q0,
+        jnp.zeros_like(q0),
+        jnp.asarray(0.0, dtype),
+        Qbuf0,
+        jnp.asarray(True),
+    )
+    (_, _, _, Qbuf, _), (alphas, betas, alive_flags) = lax.scan(
+        step, init, jnp.arange(k)
+    )
+    return LanczosResult(
+        Q=Qbuf if store_basis else None,
+        alpha=alphas,
+        beta=betas[:-1],
+        num_valid=jnp.sum(alive_flags.astype(jnp.int32)),
+    )
+
+
+def _slq_single_probe(matvec, z, k, full_reorth):
+    """SLQ contribution of one probe: ``‖z‖² · Σ_j τ_j² log θ_j``."""
+    res = lanczos(matvec, z, k, full_reorth=full_reorth, store_basis=full_reorth)
+    T = jnp.diag(res.alpha) + jnp.diag(res.beta, 1) + jnp.diag(res.beta, -1)
+    # Neutralize the dead (post-breakdown) block: unit diagonal there makes
+    # eigh well posed, and its Gauss weight is zero because those eigenpairs
+    # land in the θ=1 eigenspace where log θ = 0.
+    live = jnp.arange(k) < res.num_valid
+    T = jnp.where(live[:, None] & live[None, :], T, 0.0)
+    T = T + jnp.diag(jnp.where(live, 0.0, 1.0))
+    theta, V = jnp.linalg.eigh(T)
+    tau = V[0, :]
+    znorm2 = jnp.sum(z * z)
+    theta_safe = jnp.where(theta > 0, theta, 1.0)
+    return znorm2 * jnp.sum(tau * tau * jnp.log(theta_safe))
+
+
+def slq_logdet(
+    matvec: Callable[[jax.Array], jax.Array],
+    m: int,
+    *,
+    key: jax.Array,
+    num_probes: int = 32,
+    lanczos_iters: int = 64,
+    dtype=jnp.float32,
+    full_reorth: bool = False,
+) -> jax.Array:
+    """Estimate ``log|A|`` for symmetric PD ``A`` via stochastic Lanczos quadrature.
+
+    ``log|A| = tr(log A) ≈ (1/R) Σ_r zᵀ log(A) z`` with Rademacher probes
+    ``z``, each quadratic form evaluated by ``lanczos_iters`` Lanczos steps
+    (Gauss quadrature on the spectral measure).  All probes run batched under
+    ``vmap``; cost ``R · k`` matvecs, memory ``O(R·m)`` with the default
+    ``full_reorth=False`` (use ``True`` for small-``m`` high-accuracy checks).
+    """
+    z = jax.random.rademacher(key, (num_probes, m), dtype=dtype)
+    vals = jax.vmap(
+        lambda zz: _slq_single_probe(matvec, zz, lanczos_iters, full_reorth)
+    )(z)
+    return jnp.mean(vals)

@@ -1,0 +1,162 @@
+"""CG / Lanczos / SLQ tests against dense oracles, including gradient flow
+through the CG solve (the BBMM-style implicit adjoint)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gp_grief_tpu.ops import (
+    cg_solve,
+    kron_eigh,
+    kron_expand,
+    kron_matvec,
+    lanczos,
+    logdet_from_chol,
+    slq_logdet,
+    solve_chol,
+    stable_cholesky,
+)
+
+
+def _spd(rng, n, cond=10.0):
+    A = rng.standard_normal((n, n))
+    A = A @ A.T
+    return A + (np.trace(A) / n / cond) * np.eye(n)
+
+
+def test_cg_matches_dense(rng):
+    n = 40
+    A = jnp.asarray(_spd(rng, n))
+    b = jnp.asarray(rng.standard_normal(n))
+    x = cg_solve(lambda v: A @ v, b, tol=1e-12, max_iters=200)
+    np.testing.assert_allclose(x, np.linalg.solve(np.asarray(A), np.asarray(b)), rtol=1e-7)
+
+
+def test_cg_batched_and_info(rng):
+    n, B = 30, 4
+    A = jnp.asarray(_spd(rng, n))
+    rhs = jnp.asarray(rng.standard_normal((n, B)))
+    x, info = cg_solve(lambda v: A @ v, rhs, tol=1e-12, max_iters=200, return_info=True)
+    np.testing.assert_allclose(x, np.linalg.solve(np.asarray(A), np.asarray(rhs)), rtol=1e-7)
+    assert int(info.iterations) <= 200
+    assert np.all(np.asarray(info.residual_norm) < 1e-8)
+
+
+def test_cg_preconditioned_converges_faster(rng):
+    n = 60
+    A_np = _spd(rng, n, cond=1e4)
+    A = jnp.asarray(A_np)
+    d = jnp.asarray(np.diag(A_np))
+    b = jnp.asarray(rng.standard_normal(n))
+    _, info_plain = cg_solve(lambda v: A @ v, b, tol=1e-10, max_iters=500, return_info=True)
+    _, info_prec = cg_solve(
+        lambda v: A @ v, b, tol=1e-10, max_iters=500,
+        M_inv=lambda r: r / d[:, None], return_info=True,
+    )
+    assert int(info_prec.iterations) <= int(info_plain.iterations)
+
+
+def test_cg_gradient_implicit(rng):
+    # d/dtheta of bᵀ(A + theta I)⁻¹ b must match the dense formula; gradients
+    # flow through parameters captured in the matvec closure.
+    n = 20
+    A = jnp.asarray(_spd(rng, n))
+    b = jnp.asarray(rng.standard_normal(n))
+
+    def f(theta):
+        x = cg_solve(lambda v: A @ v + theta * v, b, tol=1e-13, max_iters=200)
+        return jnp.dot(b, x)
+
+    theta0 = 0.5
+    g = jax.grad(f)(theta0)
+    Ainv_b = np.linalg.solve(np.asarray(A) + theta0 * np.eye(n), np.asarray(b))
+    ref = -Ainv_b @ Ainv_b
+    np.testing.assert_allclose(g, ref, rtol=1e-6)
+
+
+def test_cg_with_kron_matvec(rng):
+    # The 3D-grid config (BASELINE.json config 2): CG on (⊗K_d + σ²I).
+    def spd(n):
+        M = rng.standard_normal((n, n))
+        return jnp.asarray(M @ M.T + n * np.eye(n))
+
+    factors = (spd(3), spd(4), spd(5))
+    sigma2 = 0.3
+    K = np.asarray(kron_expand(factors))
+    b = jnp.asarray(rng.standard_normal(K.shape[0]))
+    x = cg_solve(
+        lambda v: kron_matvec(factors, v) + sigma2 * v, b, tol=1e-12, max_iters=300
+    )
+    ref = np.linalg.solve(K + sigma2 * np.eye(K.shape[0]), np.asarray(b))
+    np.testing.assert_allclose(x, ref, rtol=1e-6)
+
+
+def test_lanczos_tridiagonalizes(rng):
+    n, k = 30, 12
+    A = jnp.asarray(_spd(rng, n))
+    v0 = jnp.asarray(rng.standard_normal(n))
+    res = lanczos(lambda v: A @ v, v0, k)
+    Q = np.asarray(res.Q)
+    # Orthonormal basis and Qᵀ A Q = T.
+    np.testing.assert_allclose(Q.T @ Q, np.eye(k), atol=1e-9)
+    T = np.diag(np.asarray(res.alpha)) + np.diag(np.asarray(res.beta), 1) + np.diag(
+        np.asarray(res.beta), -1
+    )
+    np.testing.assert_allclose(Q.T @ np.asarray(A) @ Q, T, atol=1e-8)
+    assert int(res.num_valid) == k
+
+
+def test_lanczos_breakdown_masked(rng):
+    # Rank-deficient operator: Krylov space is exhausted early; past-breakdown
+    # slots must be zero, shapes static.
+    n, k, r = 20, 15, 4
+    U = rng.standard_normal((n, r))
+    A = jnp.asarray(U @ U.T)
+    v0 = jnp.asarray(rng.standard_normal(n))
+    res = lanczos(lambda v: A @ v, v0, k)
+    nv = int(res.num_valid)
+    # Krylov dimension is r+1 (range directions + null component); allow one
+    # extra noise-level iteration around the breakdown threshold.
+    assert nv <= r + 2
+    assert nv < k
+    assert np.all(np.asarray(res.alpha)[nv:] == 0)
+    assert np.all(np.asarray(res.beta)[nv - 1 :] == 0)
+
+
+def test_slq_logdet(rng):
+    n = 100
+    A_np = _spd(rng, n)
+    A = jnp.asarray(A_np)
+    ref = np.linalg.slogdet(A_np)[1]
+    est = slq_logdet(
+        lambda v: A @ v,
+        n,
+        key=jax.random.PRNGKey(0),
+        num_probes=64,
+        lanczos_iters=30,
+        dtype=jnp.float64,
+        full_reorth=True,
+    )
+    # Stochastic estimator: a few percent relative accuracy.
+    np.testing.assert_allclose(float(est), ref, rtol=0.05)
+
+
+def test_stable_cholesky_and_solve(rng):
+    n = 10
+    A_np = _spd(rng, n)
+    L, used = stable_cholesky(jnp.asarray(A_np))
+    assert float(used) == 0.0
+    b = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        solve_chol(L, jnp.asarray(b)), np.linalg.solve(A_np, b), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        logdet_from_chol(L), np.linalg.slogdet(A_np)[1], rtol=1e-10
+    )
+    # A singular matrix forces jitter escalation.
+    U = rng.standard_normal((n, 2))
+    S = jnp.asarray(U @ U.T)
+    L2, used2 = stable_cholesky(S)
+    assert float(used2) > 0.0
+    assert np.all(np.isfinite(np.asarray(L2)))
