@@ -1,0 +1,22 @@
+"""Native JAX kernels + grid/GRIEF structure (reference L2: ``gp_grief/kern.py``)."""
+
+from gp_grief_tpu.kernels.base import inverse_positive, param_dataclass, positive
+from gp_grief_tpu.kernels.stationary import KERNEL_KINDS, Stationary, cov, make_kernel
+from gp_grief_tpu.kernels.grid import cov_grid, cross_cov_grid, product_cov
+from gp_grief_tpu.kernels.grief import GriefBasis, build_basis, phi
+
+__all__ = [
+    "Stationary",
+    "make_kernel",
+    "cov",
+    "KERNEL_KINDS",
+    "cov_grid",
+    "cross_cov_grid",
+    "product_cov",
+    "GriefBasis",
+    "build_basis",
+    "phi",
+    "positive",
+    "inverse_positive",
+    "param_dataclass",
+]

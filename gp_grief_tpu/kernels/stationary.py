@@ -1,0 +1,142 @@
+"""Native stationary kernels: RBF and the Matérn family, with ARD lengthscales.
+
+Replaces the reference's ``GPyKernel`` adapter (reference: ``gp_grief/kern.py``,
+class ``GPyKernel`` — SURVEY.md §2 #11): the reference outsources 1D kernel
+evaluations *and their analytic gradients* to GPy; here the kernels are ~20
+lines of jnp each and ``jax.grad`` supplies exact gradients end-to-end
+(BASELINE.json north star: "jax.grad end-to-end instead of finite
+differences").  All evaluations are distance-matrix + elementwise math — the
+distance matrix is one MXU matmul (``x·zᵀ``) plus rank-1 updates, and the
+elementwise tail fuses into it under XLA.
+
+Supported kinds (superset of the kernels the reference's demos use): ``rbf``,
+``exponential`` (= Matérn-1/2), ``matern12``, ``matern32``, ``matern52``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gp_grief_tpu.kernels.base import inverse_positive, param_dataclass, positive
+
+__all__ = ["Stationary", "make_kernel", "KERNEL_KINDS"]
+
+KERNEL_KINDS = ("rbf", "exponential", "matern12", "matern32", "matern52")
+
+
+@param_dataclass
+class Stationary:
+    """A stationary kernel ``σ² g(r/ℓ)`` as a hyperparameter pytree.
+
+    ``log_lengthscale`` has shape ``(input_dim,)`` (ARD) or ``()`` (isotropic);
+    ``log_variance`` is scalar.  ``kind`` is static metadata.
+    """
+
+    log_lengthscale: jax.Array
+    log_variance: jax.Array
+    kind: str
+
+    __static_fields__ = ("kind",)
+
+    @property
+    def lengthscale(self) -> jax.Array:
+        return positive(self.log_lengthscale)
+
+    @property
+    def variance(self) -> jax.Array:
+        return positive(self.log_variance)
+
+    def __call__(self, x: jax.Array, z: Optional[jax.Array] = None) -> jax.Array:
+        return cov(self, x, z)
+
+
+def make_kernel(
+    kind: str = "rbf",
+    *,
+    lengthscale: Union[float, jax.Array] = 1.0,
+    variance: float = 1.0,
+    input_dim: Optional[int] = None,
+) -> Stationary:
+    """Factory mirroring the reference's ``GPyKernel(input_dim, kernel=...)``.
+
+    ``input_dim`` with an ARD request broadcasts a scalar lengthscale to a
+    per-dimension vector.
+    """
+    kind = kind.lower()
+    if kind not in KERNEL_KINDS:
+        raise ValueError(f"unknown kernel kind {kind!r}; expected one of {KERNEL_KINDS}")
+    ls = jnp.asarray(lengthscale, dtype=jnp.result_type(float))
+    if input_dim is not None and ls.ndim == 0:
+        ls = jnp.full((input_dim,), ls)
+    return Stationary(
+        log_lengthscale=inverse_positive(ls),
+        log_variance=inverse_positive(variance),
+        kind=kind,
+    )
+
+
+_EXACT_DIST_MAX_DIM = 4
+
+
+def _sq_dist(xs: jax.Array, zs: jax.Array, same: bool) -> jax.Array:
+    """Pairwise squared distances of pre-scaled inputs ``(n,d)×(m,d)→(n,m)``.
+
+    Two regimes: for ≤4 features, exact broadcasted differences (cheap, no
+    cancellation — the per-grid-dimension case is always here); for higher
+    dims, mean-centered ``‖x‖² + ‖z‖² − 2x·zᵀ`` — one MXU matmul plus rank-1
+    terms, clipped at 0, with an exactly-zero diagonal when ``same`` (the
+    Matérn ``sqrt`` would otherwise amplify the ~eps cancellation residue).
+    """
+    if xs.shape[-1] <= _EXACT_DIST_MAX_DIM:
+        d = xs[:, None, :] - zs[None, :, :]
+        return jnp.sum(d * d, axis=-1)
+    mean = jnp.mean(xs, axis=0, keepdims=True)
+    xs = xs - mean
+    zs = zs - mean
+    x2 = jnp.sum(xs * xs, axis=-1)
+    z2 = jnp.sum(zs * zs, axis=-1)
+    cross = xs @ zs.T
+    r2 = jnp.maximum(x2[:, None] + z2[None, :] - 2.0 * cross, 0.0)
+    if same:
+        r2 = jnp.fill_diagonal(r2, 0.0, inplace=False)
+    return r2
+
+
+def cov(k: Stationary, x: jax.Array, z: Optional[jax.Array] = None) -> jax.Array:
+    """Gram matrix ``k(x, z)``; ``x``: ``(n, d)``, ``z``: ``(m, d)`` or None.
+
+    Mirrors the reference's ``BaseKernel.cov(x, z=None)`` signature.
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    same = z is None
+    if same:
+        z = x
+    elif z.ndim == 1:
+        z = z[:, None]
+    ls = jnp.broadcast_to(k.lengthscale, (x.shape[-1],))
+    xs = x / ls
+    zs = z / ls
+    r2 = _sq_dist(xs, zs, same)
+    var = k.variance
+
+    if k.kind == "rbf":
+        return var * jnp.exp(-0.5 * r2)
+
+    # Matérn family needs r; sqrt(0) has an infinite grad, so guard the zero
+    # diagonal and restore exact zeros after.
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    r = jnp.where(r2 > 0, r, 0.0)
+    if k.kind in ("exponential", "matern12"):
+        return var * jnp.exp(-r)
+    if k.kind == "matern32":
+        s = jnp.sqrt(3.0) * r
+        return var * (1.0 + s) * jnp.exp(-s)
+    if k.kind == "matern52":
+        s = jnp.sqrt(5.0) * r
+        return var * (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+    raise ValueError(f"unknown kernel kind {k.kind!r}")
