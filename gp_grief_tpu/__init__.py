@@ -19,6 +19,21 @@ SURVEY.md for the full blueprint and provenance notes):
 
 __version__ = "0.1.0"
 
-from gp_grief_tpu import ops
+from gp_grief_tpu import kernels, models, ops, optimize
+from gp_grief_tpu.grid import InducingGrid
+from gp_grief_tpu.kernels import make_kernel
+from gp_grief_tpu.models import GPGriefModel, GPKroneckerRegression, GPRegression, GPweb
 
-__all__ = ["ops", "__version__"]
+__all__ = [
+    "ops",
+    "kernels",
+    "models",
+    "optimize",
+    "InducingGrid",
+    "make_kernel",
+    "GPRegression",
+    "GPGriefModel",
+    "GPKroneckerRegression",
+    "GPweb",
+    "__version__",
+]

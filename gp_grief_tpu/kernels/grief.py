@@ -29,6 +29,7 @@ SURVEY.md §3.2) is just including these ops in the traced objective.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -74,6 +75,13 @@ def build_basis(
     both the factor ``eigh`` and its gradient at near-degenerate eigenvalues
     (SURVEY.md §7 hard-part 4).
     """
+    # Clamp p to the lattice size when it is countable (asking for more
+    # eigenfunctions than exist would otherwise pad the basis with duplicated
+    # columns); for astronomically large grids the product is never the binding
+    # constraint.
+    log_total = sum(math.log(int(g.shape[0])) for g in xg)
+    if log_total < math.log(2**62):
+        p = min(p, math.prod(int(g.shape[0]) for g in xg))
     Ks = cov_grid(kernels, xg, dim_noise_var=dim_noise_var)
     Qs, lams = kron_eigh(Ks)
     log_lam, idx = top_p_kron_eigs(lams, p)

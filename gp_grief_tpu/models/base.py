@@ -1,0 +1,94 @@
+"""Model base: parameter-pytree plumbing shared by all models.
+
+Replaces the reference's ``BaseModel`` (reference: ``gp_grief/models.py`` —
+SURVEY.md §2 #15).  The reference packs named parameters into a flat
+log-transformed vector for SciPy and caches on parameter change; here the
+parameters simply *are* a pytree and the NLML is a pure jitted function of it,
+so there is nothing to pack and nothing to invalidate — XLA's compilation
+cache plays the role of the reference's caching layer.
+
+Also hosts the shared weighted-basis NLML/posterior math used by both
+``GPGriefModel`` and ``GPweb`` (matrix inversion + determinant lemmas —
+SURVEY.md §2 #17): with ``Φ (n×p)``, ``W = diag(w)``, ``K̃ = Φ W Φᵀ + σ² I``:
+
+    P            = ΦᵀΦ + σ² W⁻¹                                (p×p)
+    yᵀ K̃⁻¹ y     = (yᵀy − vᵀ P⁻¹ v) / σ²,        v = Φᵀ y
+    log|K̃|       = log|P| + Σ log w + (n−p) log σ²
+    θ | y        ~ N(P⁻¹ v, σ² P⁻¹)              (weight-space posterior)
+
+so each NLML evaluation is O(p³) after O(n·p²) one-time reductions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gp_grief_tpu.optimize import FitResult, checkgrad, fit
+from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol
+
+__all__ = ["BaseModel", "BasisStats", "basis_nlml", "basis_posterior"]
+
+
+class BaseModel:
+    """Stateful API wrapper (reference parity) around a pure NLML function.
+
+    Subclasses set ``self.params`` (a pytree) and implement ``_loss(params)``
+    returning the negative log marginal likelihood.
+    """
+
+    params: Any
+
+    def _loss(self, params) -> jax.Array:
+        raise NotImplementedError
+
+    def log_likelihood(self) -> float:
+        """Log marginal likelihood at the current parameters."""
+        if not hasattr(self, "_loss_jit"):
+            self._loss_jit = jax.jit(self._loss)
+        return -float(self._loss_jit(self.params))
+
+    def optimize(self, **kwargs) -> FitResult:
+        """Maximize the log marginal likelihood (reference ``optimize``)."""
+        res = fit(self._loss, self.params, **kwargs)
+        self.params = res.params
+        return res
+
+    def checkgrad(self, *, eps: float = 1e-6, rtol: float = 1e-4, verbose: bool = False) -> bool:
+        """Validate ``jax.grad`` against central finite differences."""
+        ok, _ = checkgrad(self._loss, self.params, eps=eps, rtol=rtol, verbose=verbose)
+        return ok
+
+
+class BasisStats(NamedTuple):
+    """Sufficient statistics of a fixed basis: one-time O(n·p²) reductions."""
+
+    C: jax.Array  # (p, p) ΦᵀΦ
+    v: jax.Array  # (p,)   Φᵀy
+    yy: jax.Array  # ()     yᵀy
+    n: int
+
+
+def basis_nlml(stats: BasisStats, log_w: jax.Array, log_noise: jax.Array) -> jax.Array:
+    """Negative log marginal likelihood of the weighted-basis GP, O(p³)."""
+    p = stats.C.shape[0]
+    sigma2 = jnp.exp(log_noise)
+    P = stats.C + jnp.diag(sigma2 * jnp.exp(-log_w))
+    L = jnp.linalg.cholesky(P)
+    Linv_v = jax.scipy.linalg.solve_triangular(L, stats.v, lower=True)
+    quad = (stats.yy - jnp.sum(Linv_v**2)) / sigma2
+    logdet = (
+        logdet_from_chol(L) + jnp.sum(log_w) + (stats.n - p) * log_noise
+    )
+    return 0.5 * (quad + logdet + stats.n * jnp.log(2.0 * jnp.pi))
+
+
+def basis_posterior(stats: BasisStats, log_w: jax.Array, log_noise: jax.Array):
+    """Weight-space posterior ``(L_P, θ_mean)`` with ``cov = σ² P⁻¹``."""
+    sigma2 = jnp.exp(log_noise)
+    P = stats.C + jnp.diag(sigma2 * jnp.exp(-log_w))
+    L = jnp.linalg.cholesky(P)
+    theta_mean = solve_chol(L, stats.v)
+    return L, theta_mean

@@ -1,0 +1,144 @@
+"""Exact GP regression — the framework's parity oracle and small-n model.
+
+Re-design of the reference's ``GPRegression`` (reference:
+``gp_grief/models.py``, class ``GPRegression`` — SURVEY.md §2 #16): zero-mean
+GP with Gaussian noise, NLML via Cholesky, predictive mean/variance via
+triangular solves.  The NLML is a pure jitted function of the hyperparameter
+pytree; ``jax.grad`` replaces the reference's finite differences.
+
+For large n the Cholesky is replaced by the iterative path: CG solves for the
+quadratic term/predictions and SLQ for the log-det (``solver="iterative"``,
+reference ``linalg.py`` CG + stochastic Lanczos — SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gp_grief_tpu.kernels.base import inverse_positive
+from gp_grief_tpu.kernels.grid import product_cov
+from gp_grief_tpu.kernels.stationary import Stationary, cov
+from gp_grief_tpu.models.base import BaseModel
+from gp_grief_tpu.ops.cg import cg_solve
+from gp_grief_tpu.ops.lanczos import slq_logdet
+from gp_grief_tpu.ops.solve import logdet_from_chol
+
+__all__ = ["GPRegression"]
+
+KernelLike = Union[Stationary, Sequence[Stationary]]
+
+
+def _cov_any(kernels: KernelLike, x, z=None):
+    """Gram of a single (possibly ARD) kernel or a product of 1D kernels."""
+    if isinstance(kernels, Stationary):
+        return cov(kernels, x, z)
+    return product_cov(list(kernels), x, z)
+
+
+def gp_nlml(kernels: KernelLike, log_noise, x, y) -> jax.Array:
+    """Exact NLML: ``½ yᵀK̃⁻¹y + ½log|K̃| + (n/2)log 2π``, ``K̃ = K + σ²I``."""
+    n = x.shape[0]
+    K = _cov_any(kernels, x)
+    sigma2 = jnp.exp(log_noise)
+    L = jnp.linalg.cholesky(K + sigma2 * jnp.eye(n, dtype=K.dtype))
+    a = jax.scipy.linalg.solve_triangular(L, y, lower=True)
+    return 0.5 * (jnp.sum(a**2) + logdet_from_chol(L) + n * jnp.log(2.0 * jnp.pi))
+
+
+def gp_nlml_iterative(
+    kernels: KernelLike,
+    log_noise,
+    x,
+    y,
+    *,
+    key,
+    num_probes: int = 32,
+    lanczos_iters: int = 64,
+    cg_tol: float = 1e-8,
+    cg_iters: int = 1000,
+) -> jax.Array:
+    """Large-n NLML: CG for the quadratic form + SLQ for the log-det.
+
+    The log-det gradient flows through SLQ's matvecs only stochastically; for
+    training at scale the standard practice (BBMM, PAPERS.md) is exactly this
+    estimator.  O(n²) memory never materializes beyond the Gram matvec.
+    """
+    n = x.shape[0]
+    sigma2 = jnp.exp(log_noise)
+    K = _cov_any(kernels, x)  # dense Gram matvec closure could replace this at 2M scale
+
+    def mv(vv):
+        return K @ vv + sigma2 * vv
+
+    alpha = cg_solve(mv, y, tol=cg_tol, max_iters=cg_iters)
+    quad = jnp.dot(y, alpha)
+    ld = slq_logdet(
+        mv, n, key=key, num_probes=num_probes, lanczos_iters=lanczos_iters, dtype=y.dtype
+    )
+    return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
+
+
+class GPRegression(BaseModel):
+    """Exact GP regression (reference API: ``GPRegression(x, y, kernel, noise_var)``)."""
+
+    def __init__(
+        self,
+        x,
+        y,
+        kernel: KernelLike,
+        noise_var: float = 1.0,
+    ):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y).reshape(-1)
+        if x.ndim == 1:
+            x = x[:, None]
+        assert x.shape[0] == y.shape[0]
+        self.x, self.y = x, y
+        self.params = {
+            "kernel": kernel,
+            "log_noise": inverse_positive(noise_var),
+        }
+
+    @property
+    def noise_var(self) -> float:
+        return float(jnp.exp(self.params["log_noise"]))
+
+    def _loss(self, params):
+        return gp_nlml(params["kernel"], params["log_noise"], self.x, self.y)
+
+    def predict(self, x_new, compute_var: bool = True, include_noise: bool = False):
+        """Predictive mean (and variance): ``K_*X K̃⁻¹ y`` / Schur diagonal."""
+        x_new = jnp.asarray(x_new)
+        if x_new.ndim == 1:
+            x_new = x_new[:, None]
+        if not hasattr(self, "_predict_jit"):
+
+            def _predict(params, x_new):
+                kern, log_noise = params["kernel"], params["log_noise"]
+                n = self.x.shape[0]
+                K = _cov_any(kern, self.x)
+                sigma2 = jnp.exp(log_noise)
+                L = jnp.linalg.cholesky(K + sigma2 * jnp.eye(n, dtype=K.dtype))
+                alpha = jax.scipy.linalg.solve_triangular(
+                    L.T,
+                    jax.scipy.linalg.solve_triangular(L, self.y, lower=True),
+                    lower=False,
+                )
+                Ks = _cov_any(kern, x_new, self.x)  # (n*, n)
+                mean = Ks @ alpha
+                A = jax.scipy.linalg.solve_triangular(L, Ks.T, lower=True)  # (n, n*)
+                prior_diag = jnp.diagonal(_cov_any(kern, x_new))
+                var = prior_diag - jnp.sum(A**2, axis=0)
+                return mean, jnp.maximum(var, 0.0), sigma2
+
+            self._predict_jit = jax.jit(_predict)
+        mean, var, sigma2 = self._predict_jit(self.params, x_new)
+        if not compute_var:
+            return np.asarray(mean)
+        if include_noise:
+            var = var + sigma2
+        return np.asarray(mean), np.asarray(var)

@@ -1,0 +1,148 @@
+"""Hyperparameter optimization: `jax.grad` NLML + optax L-BFGS / Adam.
+
+Replaces the reference's ``BaseModel.optimize`` (reference:
+``gp_grief/models.py`` — SURVEY.md §2 #15), which drives SciPy L-BFGS-B with
+**finite-difference** gradients — (#params+1) NLML evaluations per step.  Here
+the objective is a pure function of a parameter pytree, gradients are exact
+reverse-mode, and each optimizer step is one jitted program (value+grad+update
+fused); L-BFGS linesearch included via optax.
+
+``checkgrad`` inverts the reference's arrangement (SURVEY.md §3.5): analytic
+``jax.grad`` is primary and central finite differences are the *test*.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.flatten_util import ravel_pytree
+
+__all__ = ["fit", "FitResult", "checkgrad"]
+
+
+class FitResult(NamedTuple):
+    params: Any
+    losses: np.ndarray  # (iters,) NLML trace
+    grad_norms: np.ndarray  # (iters,)
+    iterations: int
+    wall_time: float
+    converged: bool
+
+
+def fit(
+    loss_fn: Callable[[Any], jax.Array],
+    params: Any,
+    *,
+    optimizer: str = "lbfgs",
+    max_iters: int = 100,
+    tol: float = 1e-6,
+    learning_rate: float = 0.05,
+    verbose: bool = False,
+    callback: Optional[Callable[[int, float, float], None]] = None,
+) -> FitResult:
+    """Minimize ``loss_fn(params)`` over a parameter pytree.
+
+    ``optimizer``: ``"lbfgs"`` (default — the reference uses L-BFGS-B) or
+    ``"adam"``.  Convergence: gradient ∞-norm below ``tol``.  The step is
+    jitted once; the Python loop only carries host-side convergence checks and
+    logging (the per-step NLML/grad-norm trace is the reference's
+    ``messages=True`` equivalent, returned as data).
+    """
+    if optimizer == "lbfgs":
+        opt = optax.lbfgs()
+    elif optimizer == "adam":
+        opt = optax.adam(learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+
+    value_and_grad = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def step(params, opt_state):
+        value, grad = value_and_grad(params)
+        if optimizer == "lbfgs":
+            updates, opt_state = opt.update(
+                grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn
+            )
+        else:
+            updates, opt_state = opt.update(grad, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grad)
+        return params, opt_state, value, gnorm
+
+    opt_state = opt.init(params)
+    losses, gnorms = [], []
+    t0 = time.perf_counter()
+    converged = False
+    it = 0
+    for it in range(1, max_iters + 1):
+        new_params, opt_state, value, gnorm = step(params, opt_state)
+        value_f, gnorm_f = float(value), float(gnorm)
+        if not np.isfinite(value_f):
+            # Reject the step that evaluated at a bad point; keep last params.
+            break
+        params = new_params
+        losses.append(value_f)
+        gnorms.append(gnorm_f)
+        if verbose:
+            print(f"[fit:{optimizer}] iter {it:4d}  loss {value_f:.6f}  |g| {gnorm_f:.3e}")
+        if callback is not None:
+            callback(it, value_f, gnorm_f)
+        if gnorm_f < tol:
+            converged = True
+            break
+    return FitResult(
+        params=params,
+        losses=np.asarray(losses),
+        grad_norms=np.asarray(gnorms),
+        iterations=it,
+        wall_time=time.perf_counter() - t0,
+        converged=converged,
+    )
+
+
+def checkgrad(
+    loss_fn: Callable[[Any], jax.Array],
+    params: Any,
+    *,
+    eps: float = 1e-6,
+    rtol: float = 1e-4,
+    verbose: bool = False,
+):
+    """Compare ``jax.grad`` against central finite differences per parameter.
+
+    Returns ``(ok, table)`` where ``table`` rows are
+    ``(index, analytic, numerical, relative_error)`` over the flattened
+    parameter vector — the reference's ``checkgrad`` table (SURVEY.md §3.5)
+    with the roles of analytic/numerical swapped.
+    """
+    flat, unravel = ravel_pytree(params)
+    flat = np.asarray(flat, dtype=np.float64)
+
+    def f(vec):
+        return float(loss_fn(unravel(jnp.asarray(vec, dtype=flat.dtype))))
+
+    analytic = np.asarray(ravel_pytree(jax.grad(loss_fn)(params))[0], dtype=np.float64)
+    # Components far below the overall gradient scale sit in finite-difference
+    # truncation noise (e.g. at an optimum); don't fail on them.
+    noise_floor = 1e-6 * max(1.0, float(np.linalg.norm(analytic)))
+    rows = []
+    ok = True
+    for i in range(flat.size):
+        e = np.zeros_like(flat)
+        e[i] = eps * max(1.0, abs(flat[i]))
+        num = (f(flat + e) - f(flat - e)) / (2 * e[i])
+        denom = max(abs(analytic[i]), abs(num), 1e-12)
+        rel = abs(analytic[i] - num) / denom
+        rows.append((i, analytic[i], num, rel))
+        if rel > rtol and abs(analytic[i] - num) > noise_floor:
+            ok = False
+        if verbose:
+            flag = "" if rel <= rtol else "  <-- MISMATCH"
+            print(f"  param[{i:3d}]  analytic {analytic[i]:+.6e}  fd {num:+.6e}  rel {rel:.2e}{flag}")
+    return ok, rows

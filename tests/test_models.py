@@ -1,0 +1,203 @@
+"""Model tests: exact-GP NLML/predict vs an independent NumPy float64 oracle,
+GPGrief ≈ exact GP on-grid, checkgrad on every model, optimization smoke,
+GPKronecker vs dense, GPweb equivalence (SURVEY.md §4 rebuild strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gp_grief_tpu import (
+    GPGriefModel,
+    GPKroneckerRegression,
+    GPRegression,
+    GPweb,
+    InducingGrid,
+    make_kernel,
+)
+from gp_grief_tpu.kernels import build_basis, phi
+
+
+# ---------------------------------------------------------------------------
+# Independent NumPy oracle (no JAX) — SURVEY.md §4: "our own float64
+# NumPy/SciPy GPRegression is the oracle for 1e-4 parity".
+# ---------------------------------------------------------------------------
+
+
+def np_rbf(x, z, ell, var):
+    r2 = ((x[:, None, :] - z[None, :, :]) / ell) ** 2
+    return var * np.exp(-0.5 * r2.sum(-1))
+
+
+def np_gp_nlml(x, y, ell, var, noise):
+    n = len(y)
+    K = np_rbf(x, x, ell, var) + noise * np.eye(n)
+    L = np.linalg.cholesky(K)
+    a = np.linalg.solve(L, y)
+    return 0.5 * (a @ a) + np.log(np.diag(L)).sum() + 0.5 * n * np.log(2 * np.pi)
+
+
+def np_gp_predict(x, y, xs, ell, var, noise):
+    K = np_rbf(x, x, ell, var) + noise * np.eye(len(y))
+    Ks = np_rbf(xs, x, ell, var)
+    alpha = np.linalg.solve(K, y)
+    mean = Ks @ alpha
+    v = np.linalg.solve(K, Ks.T)
+    var_pred = np.diag(np_rbf(xs, xs, ell, var)) - np.sum(Ks.T * v, axis=0)
+    return mean, var_pred
+
+
+def _sine_data(rng, n=80, noise=0.1):
+    x = rng.uniform(0, 4, size=(n, 1))
+    y = np.sin(2 * x[:, 0]) + noise * rng.standard_normal(n)
+    return x, y
+
+
+def test_gp_regression_matches_numpy_oracle(rng):
+    x, y = _sine_data(rng)
+    ell, var, noise = 0.7, 1.3, 0.05
+    model = GPRegression(x, y, make_kernel("rbf", lengthscale=ell, variance=var), noise_var=noise)
+    ref_nlml = np_gp_nlml(x, y, ell, var, noise)
+    np.testing.assert_allclose(-model.log_likelihood(), ref_nlml, rtol=1e-10)
+
+    xs = np.linspace(0, 4, 25)[:, None]
+    mean, var_pred = model.predict(xs)
+    ref_mean, ref_var = np_gp_predict(x, y, xs, ell, var, noise)
+    np.testing.assert_allclose(mean, ref_mean, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var_pred, ref_var, rtol=1e-6, atol=1e-10)
+
+
+def test_gp_regression_checkgrad(rng):
+    x, y = _sine_data(rng, n=40)
+    model = GPRegression(x, y, make_kernel("matern52", lengthscale=0.9), noise_var=0.1)
+    assert model.checkgrad()
+
+
+def test_gp_regression_optimize_improves(rng):
+    x, y = _sine_data(rng, n=60)
+    model = GPRegression(x, y, make_kernel("rbf", lengthscale=3.0, variance=0.5), noise_var=1.0)
+    ll0 = model.log_likelihood()
+    res = model.optimize(max_iters=50)
+    assert model.log_likelihood() > ll0 + 1.0
+    assert np.all(np.isfinite(res.losses))
+
+
+def test_gp_grief_on_grid_equals_exact(rng):
+    # On-grid data + full basis (p = m): GRIEF NLML == exact GP NLML, and
+    # predictions match (SURVEY.md §4: model parity on tiny on-grid problems).
+    m1, m2 = 6, 5
+    g0 = np.linspace(0, 1, m1)
+    g1 = np.linspace(0, 2, m2)
+    pts = np.stack(np.meshgrid(g0, g1, indexing="ij"), -1).reshape(-1, 2)
+    rng_local = np.random.default_rng(1)
+    y = np.sin(3 * pts[:, 0]) * np.cos(pts[:, 1]) + 0.05 * rng_local.standard_normal(len(pts))
+    kerns = [make_kernel("rbf", lengthscale=0.4), make_kernel("rbf", lengthscale=0.8)]
+    grid = InducingGrid.build(pts, mbar=10)
+    assert grid.grid_shape == (m1, m2)
+    noise = 0.05
+
+    grief = GPGriefModel(pts, y, kerns, grid, n_eigs=m1 * m2, noise_var=noise, dim_noise_var=0.0)
+    exact = GPRegression(pts, y, kerns, noise_var=noise)
+    np.testing.assert_allclose(
+        grief.log_likelihood(), exact.log_likelihood(), rtol=1e-8
+    )
+    xs = rng_local.uniform(0.1, 0.9, size=(12, 2))
+    gm, gv = grief.predict(xs)
+    # On-grid training + full basis makes train-kernel exact; test-point
+    # Nystrom extension is near-exact for points inside the grid.
+    em, ev = exact.predict(xs)
+    np.testing.assert_allclose(gm, em, atol=5e-4)
+
+
+def test_gp_grief_checkgrad_reweight(rng):
+    x, y = _sine_data(rng, n=50)
+    grid = InducingGrid.build(x, mbar=12)
+    model = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=0.5)], grid, n_eigs=8, noise_var=0.1)
+    assert model.checkgrad()
+
+
+def test_gp_grief_checkgrad_opt_kernel_params(rng):
+    x, y = _sine_data(rng, n=40)
+    grid = InducingGrid.build(x, mbar=10)
+    model = GPGriefModel(
+        x, y, [make_kernel("rbf", lengthscale=0.5)], grid,
+        n_eigs=6, noise_var=0.1, opt_kernel_params=True, dim_noise_var=1e-8,
+    )
+    assert model.checkgrad()
+
+
+def test_gp_grief_optimize_and_fit_quality(rng):
+    # 1D sine config (BASELINE.json config 1, shrunk): fit quality after
+    # optimizing weights + noise.
+    x, y = _sine_data(rng, n=200, noise=0.05)
+    grid = InducingGrid.build(x, mbar=40)
+    model = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=0.5)], grid, n_eigs=20, noise_var=0.5)
+    model.optimize(max_iters=100)
+    xs = np.linspace(0.2, 3.8, 50)[:, None]
+    mean = model.predict(xs, compute_var=False)
+    rmse = np.sqrt(np.mean((mean - np.sin(2 * xs[:, 0])) ** 2))
+    assert rmse < 0.08
+
+
+def test_gp_kronecker_matches_dense(rng):
+    g0 = np.linspace(0, 1, 5)
+    g1 = np.linspace(-1, 1, 4)
+    pts = np.stack(np.meshgrid(g0, g1, indexing="ij"), -1).reshape(-1, 2)
+    y = rng.standard_normal(len(pts))
+    kerns = [make_kernel("matern32", lengthscale=0.6), make_kernel("rbf", lengthscale=0.9)]
+    noise = 0.3
+    kron = GPKroneckerRegression([g0[:, None], g1[:, None]], y, kerns, noise_var=noise)
+    dense = GPRegression(pts, y, kerns, noise_var=noise)
+    np.testing.assert_allclose(kron.log_likelihood(), dense.log_likelihood(), rtol=1e-9)
+
+    xs = rng.uniform(0, 1, size=(7, 2))
+    km, kv = kron.predict(xs)
+    dm, dv = dense.predict(xs)
+    np.testing.assert_allclose(km, dm, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(kv, dv, rtol=1e-6, atol=1e-9)
+    assert kron.checkgrad()
+
+
+def test_gp_kronecker_cg_solver(rng):
+    g0 = np.linspace(0, 1, 4)
+    g1 = np.linspace(0, 1, 3)
+    y = rng.standard_normal(12)
+    kerns = [make_kernel("rbf", lengthscale=0.5), make_kernel("rbf", lengthscale=0.5)]
+    schur = GPKroneckerRegression([g0[:, None], g1[:, None]], y, kerns, noise_var=0.2, solver="schur")
+    cg = GPKroneckerRegression([g0[:, None], g1[:, None]], y, kerns, noise_var=0.2, solver="cg")
+    np.testing.assert_allclose(cg.log_likelihood(), schur.log_likelihood(), rtol=1e-8)
+
+
+def test_gp_web_equals_grief_given_same_basis(rng):
+    x, y = _sine_data(rng, n=60)
+    grid = InducingGrid.build(x, mbar=15)
+    kerns = [make_kernel("rbf", lengthscale=0.5)]
+    p = 10
+    model = GPGriefModel(x, y, kerns, grid, n_eigs=p, noise_var=0.1)
+    xg = [jnp.asarray(g) for g in grid.xg]
+    basis = build_basis(kerns, xg, p)
+    Phi = phi(basis, kerns, xg, jnp.asarray(x))
+    web = GPweb(Phi, y, noise_var=0.1)
+    np.testing.assert_allclose(web.log_likelihood(), model.log_likelihood(), rtol=1e-9)
+    assert web.checkgrad()
+    # Training the web model improves its likelihood.
+    ll0 = web.log_likelihood()
+    web.optimize(max_iters=40)
+    assert web.log_likelihood() >= ll0
+
+
+def test_gp_grief_d100_stress(rng):
+    # BASELINE.json config 5: d=100 grid → 10^100+ virtual inducing points;
+    # basis build + predict must succeed.
+    d, n, p = 100, 30, 50
+    x = rng.uniform(0, 1, size=(n, d))
+    grid = InducingGrid.build(x, mbar=10)
+    assert grid.log10_num_virtual >= 99.9
+    model = GPGriefModel(
+        x, rng.standard_normal(n), make_kernel("rbf", lengthscale=2.0), grid,
+        n_eigs=p, noise_var=0.1,
+    )
+    ll = model.log_likelihood()
+    assert np.isfinite(ll)
+    mean, var = model.predict(x[:5])
+    assert np.all(np.isfinite(mean)) and np.all(np.isfinite(var)) and np.all(var >= 0)
