@@ -41,9 +41,23 @@ def _cg_raw(
     tol: float,
     max_iters: int,
     M_inv: Optional[Callable[[jax.Array], jax.Array]],
+    axis_name: Optional[str] = None,
 ):
-    """Preconditioned CG on a batched rhs ``b`` of shape ``(m, B)``."""
-    bnorm = jnp.linalg.norm(b, axis=0)  # (B,)
+    """Preconditioned CG on a batched rhs ``b`` of shape ``(m, B)``.
+
+    With ``axis_name`` set (inside ``shard_map``), rows of the system are
+    sharded over that mesh axis and every inner product is ``psum``-reduced —
+    CG over ICI with no host round-trips (SURVEY.md §5 long-axis plan).
+    """
+
+    def _colsum(t):
+        s = jnp.sum(t, axis=0)
+        return lax.psum(s, axis_name) if axis_name is not None else s
+
+    def _colnorm(t):
+        return jnp.sqrt(_colsum(t * t))
+
+    bnorm = _colnorm(b)  # (B,)
     stop = tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
 
     precond = M_inv if M_inv is not None else (lambda r: r)
@@ -51,31 +65,31 @@ def _cg_raw(
     r0 = b - matvec(x0)
     z0 = precond(r0)
     p0 = z0
-    rz0 = jnp.sum(r0 * z0, axis=0)  # (B,)
+    rz0 = _colsum(r0 * z0)  # (B,)
 
     def cond(state):
         _, r, _, _, k, _ = state
-        rn = jnp.linalg.norm(r, axis=0)
+        rn = _colnorm(r)
         return jnp.logical_and(k < max_iters, jnp.any(rn > stop))
 
     def body(state):
         x, r, z, p, k, rz = state
         Ap = matvec(p)
-        pAp = jnp.sum(p * Ap, axis=0)
+        pAp = _colsum(p * Ap)
         # Converged columns get alpha=0 (frozen) via the safe divide.
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         alpha = jnp.where(pAp == 0, 0.0, alpha)
         x = x + alpha[None, :] * p
         r = r - alpha[None, :] * Ap
         z = precond(r)
-        rz_new = jnp.sum(r * z, axis=0)
+        rz_new = _colsum(r * z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         beta = jnp.where(rz == 0, 0.0, beta)
         p = z + beta[None, :] * p
         return x, r, z, p, k + 1, rz_new
 
     x, r, _, _, k, _ = lax.while_loop(cond, body, (x0, r0, z0, p0, 0, rz0))
-    return x, CGInfo(iterations=k, residual_norm=jnp.linalg.norm(r, axis=0))
+    return x, CGInfo(iterations=k, residual_norm=_colnorm(r))
 
 
 def cg_solve(
@@ -87,6 +101,7 @@ def cg_solve(
     max_iters: int = 1000,
     M_inv: Optional[Callable[[jax.Array], jax.Array]] = None,
     return_info: bool = False,
+    axis_name: Optional[str] = None,
 ):
     """Solve ``A x = b`` for symmetric positive-definite ``A`` given only a matvec.
 
@@ -102,20 +117,22 @@ def cg_solve(
         only, so it is excluded from differentiation.
       return_info: also return :class:`CGInfo` (iterations, residuals).
         The info path is not differentiable (use the default path under grad).
+      axis_name: mesh axis the system rows are sharded over (``shard_map``
+        context); inner products become ``psum`` collectives over ICI.
     """
     squeeze = b.ndim == 1
     bb = b[:, None] if squeeze else b
     x0b = jnp.zeros_like(bb) if x0 is None else (x0[:, None] if squeeze else x0)
 
     if return_info:
-        x, info = _cg_raw(matvec, bb, x0b, tol, max_iters, M_inv)
+        x, info = _cg_raw(matvec, bb, x0b, tol, max_iters, M_inv, axis_name)
         return (x[:, 0] if squeeze else x), info
 
     def _solve(mv, rhs):
         # x0 only applies to the primal solve; custom_linear_solve re-invokes
         # this for the adjoint where the rhs differs, so a zero start is used
         # there via the same closure (x0b is shaped like bb in both cases).
-        x, _ = _cg_raw(mv, rhs, jnp.zeros_like(rhs), tol, max_iters, M_inv)
+        x, _ = _cg_raw(mv, rhs, jnp.zeros_like(rhs), tol, max_iters, M_inv, axis_name)
         return x
 
     if x0 is not None:

@@ -41,6 +41,7 @@ def lanczos(
     *,
     full_reorth: bool = True,
     store_basis: bool = True,
+    axis_name: Optional[str] = None,
 ) -> LanczosResult:
     """Run ``k`` Lanczos steps of a symmetric operator from start vector ``v0``.
 
@@ -50,28 +51,44 @@ def lanczos(
     iterations past breakdown yield zero columns and zero ``alpha``/``beta``
     entries, and ``num_valid`` reports the usable count — shapes stay static.
 
-    ``full_reorth=True`` requires ``store_basis=True``.
+    ``full_reorth=True`` requires ``store_basis=True``.  With ``axis_name``
+    set (inside ``shard_map``) the vectors are row-sharded over that mesh axis
+    and all inner products/norms are ``psum``-reduced.
     """
     if full_reorth and not store_basis:
         raise ValueError("full_reorth requires store_basis=True")
     m = v0.shape[0]
     dtype = v0.dtype
     eps = jnp.finfo(dtype).eps
-    q0 = v0 / jnp.linalg.norm(v0)
+
+    def _sum(t):
+        s = jnp.sum(t)
+        return lax.psum(s, axis_name) if axis_name is not None else s
+
+    def _dot(a, b):
+        return _sum(a * b)
+
+    def _norm(t):
+        return jnp.sqrt(_sum(t * t))
+
+    q0 = v0 / _norm(v0)
 
     def step(carry, i):
         q, q_prev, beta_prev, Qbuf, alive = carry
         if store_basis:
             Qbuf = Qbuf.at[:, i].set(jnp.where(alive, q, jnp.zeros_like(q)))
         w = matvec(q[:, None])[:, 0]
-        alpha_i = jnp.dot(w, q)
+        alpha_i = _dot(w, q)
         w = w - alpha_i * q - beta_prev * q_prev
         if full_reorth:
             # Orthogonalize against all stored vectors (zeros beyond i are
             # inert).  Two passes: "twice is enough" (Parlett).
             for _ in range(2):
-                w = w - Qbuf @ (Qbuf.T @ w)
-        beta_i = jnp.linalg.norm(w)
+                coeffs = Qbuf.T @ w
+                if axis_name is not None:
+                    coeffs = lax.psum(coeffs, axis_name)
+                w = w - Qbuf @ coeffs
+        beta_i = _norm(w)
         scale = jnp.abs(alpha_i) + beta_prev + jnp.asarray(1.0, dtype)
         broke = beta_i <= 100 * eps * scale
         q_next = jnp.where(
@@ -101,9 +118,12 @@ def lanczos(
     )
 
 
-def _slq_single_probe(matvec, z, k, full_reorth):
+def _slq_single_probe(matvec, z, k, full_reorth, axis_name=None):
     """SLQ contribution of one probe: ``‖z‖² · Σ_j τ_j² log θ_j``."""
-    res = lanczos(matvec, z, k, full_reorth=full_reorth, store_basis=full_reorth)
+    res = lanczos(
+        matvec, z, k, full_reorth=full_reorth, store_basis=full_reorth,
+        axis_name=axis_name,
+    )
     T = jnp.diag(res.alpha) + jnp.diag(res.beta, 1) + jnp.diag(res.beta, -1)
     # Neutralize the dead (post-breakdown) block: unit diagonal there makes
     # eigh well posed, and its Gauss weight is zero because those eigenpairs
@@ -114,6 +134,8 @@ def _slq_single_probe(matvec, z, k, full_reorth):
     theta, V = jnp.linalg.eigh(T)
     tau = V[0, :]
     znorm2 = jnp.sum(z * z)
+    if axis_name is not None:
+        znorm2 = lax.psum(znorm2, axis_name)
     theta_safe = jnp.where(theta > 0, theta, 1.0)
     return znorm2 * jnp.sum(tau * tau * jnp.log(theta_safe))
 
@@ -127,6 +149,7 @@ def slq_logdet(
     lanczos_iters: int = 64,
     dtype=jnp.float32,
     full_reorth: bool = False,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Estimate ``log|A|`` for symmetric PD ``A`` via stochastic Lanczos quadrature.
 
@@ -136,8 +159,12 @@ def slq_logdet(
     ``vmap``; cost ``R · k`` matvecs, memory ``O(R·m)`` with the default
     ``full_reorth=False`` (use ``True`` for small-``m`` high-accuracy checks).
     """
+    if axis_name is not None:
+        # Each shard draws its own slice of every probe: fold the device index
+        # into the key so the global Rademacher vector is well defined.
+        key = jax.random.fold_in(key, lax.axis_index(axis_name))
     z = jax.random.rademacher(key, (num_probes, m), dtype=dtype)
     vals = jax.vmap(
-        lambda zz: _slq_single_probe(matvec, zz, lanczos_iters, full_reorth)
+        lambda zz: _slq_single_probe(matvec, zz, lanczos_iters, full_reorth, axis_name)
     )(z)
     return jnp.mean(vals)

@@ -1,0 +1,5 @@
+"""Hand-written Pallas TPU kernels for the bandwidth-bound hot ops."""
+
+from gp_grief_tpu.ops.pallas.kron_pallas import kron_matmat_pallas, kron_matvec_pallas
+
+__all__ = ["kron_matvec_pallas", "kron_matmat_pallas"]

@@ -1,0 +1,24 @@
+"""Multi-device scale-out: meshes, shard_map data parallelism, sharded solvers.
+
+No reference counterpart (the reference is single-process — SURVEY.md §2);
+built entirely on ``jax.sharding`` + XLA collectives over ICI.
+"""
+
+from gp_grief_tpu.parallel.mesh import NamedSharding, P, data_mesh, make_mesh
+from gp_grief_tpu.parallel.sharded import (
+    pad_to_multiple,
+    sharded_basis_stats,
+    sharded_grief_nlml,
+    stacked_eigh_sharded,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_mesh",
+    "P",
+    "NamedSharding",
+    "pad_to_multiple",
+    "sharded_basis_stats",
+    "sharded_grief_nlml",
+    "stacked_eigh_sharded",
+]

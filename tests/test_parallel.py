@@ -1,0 +1,156 @@
+"""Multi-device tests on the 8 virtual CPU devices (SURVEY.md §4 item 4):
+sharded stats/NLML must match single-device results exactly, gradients must
+flow through shard_map, and sharded CG/SLQ must psum correctly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gp_grief_tpu import GPGriefModel, InducingGrid, make_kernel
+from gp_grief_tpu.kernels import build_basis, phi
+from gp_grief_tpu.models.base import basis_nlml, BasisStats
+from gp_grief_tpu.ops import cg_solve, slq_logdet
+from gp_grief_tpu.parallel import (
+    data_mesh,
+    make_mesh,
+    pad_to_multiple,
+    sharded_basis_stats,
+    sharded_grief_nlml,
+    stacked_eigh_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return data_mesh()
+
+
+def _data(rng, n=101, d=2):
+    x = rng.uniform(0, 1, size=(n, d))
+    y = np.sin(3 * x[:, 0]) + 0.1 * rng.standard_normal(n)
+    return x, y
+
+
+def test_sharded_stats_match_local(rng, mesh):
+    x, y = _data(rng)
+    grid = InducingGrid.build(x, mbar=7)
+    kerns = [make_kernel("rbf", lengthscale=0.5) for _ in range(2)]
+    xg = tuple(jnp.asarray(g) for g in grid.xg)
+    p = 12
+    basis = build_basis(kerns, xg, p)
+
+    xp, mask = pad_to_multiple(x, len(mesh.devices))
+    yp, _ = pad_to_multiple(y, len(mesh.devices))
+    stats = sharded_basis_stats(
+        basis, kerns, xg, jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(mask),
+        mesh, n_real=len(y),
+    )
+    Phi = phi(basis, kerns, xg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(stats.C), np.asarray(Phi.T @ Phi), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(stats.v), np.asarray(Phi.T @ jnp.asarray(y)), rtol=1e-10)
+    np.testing.assert_allclose(float(stats.yy), float(y @ y), rtol=1e-12)
+
+
+def test_sharded_nlml_matches_model_and_grads_flow(rng, mesh):
+    x, y = _data(rng, n=96)
+    grid = InducingGrid.build(x, mbar=6)
+    kerns = [make_kernel("rbf", lengthscale=0.5) for _ in range(2)]
+    xg = tuple(jnp.asarray(g) for g in grid.xg)
+    p = 10
+    # opt_kernel_params=True so the local objective also differentiates
+    # through the basis build (matching sharded_grief_nlml semantics).
+    model = GPGriefModel(
+        x, y, kerns, grid, n_eigs=p, noise_var=0.2, dim_noise_var=1e-12,
+        opt_kernel_params=True,
+    )
+
+    params = dict(model.params)
+    xp, mask = pad_to_multiple(x, len(mesh.devices))
+    yp, _ = pad_to_multiple(y, len(mesh.devices))
+
+    def loss(params):
+        return sharded_grief_nlml(
+            params, xg, jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(mask),
+            mesh, n_eigs=p, n_real=len(y),
+        )
+
+    nlml_sharded = float(jax.jit(loss)(params))
+    np.testing.assert_allclose(nlml_sharded, -model.log_likelihood(), rtol=1e-10)
+
+    g = jax.jit(jax.grad(loss))(params)
+    g_local = jax.jit(jax.grad(model._loss))(model.params)
+    np.testing.assert_allclose(
+        np.asarray(g["log_w"]), np.asarray(g_local["log_w"]), rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(g["log_noise"]), float(g_local["log_noise"]), rtol=1e-8
+    )
+    # Kernel-hyper grads (through the replicated basis build) must also agree.
+    np.testing.assert_allclose(
+        float(g["kernels"][0].log_lengthscale),
+        float(g_local["kernels"][0].log_lengthscale),
+        rtol=1e-6,
+    )
+
+
+def test_sharded_cg(rng, mesh):
+    n = 64
+    A_np = rng.standard_normal((n, n))
+    A_np = A_np @ A_np.T + n * np.eye(n)
+    b_np = rng.standard_normal(n)
+    A, b = jnp.asarray(A_np), jnp.asarray(b_np)
+
+    def solve(A, b):
+        # A row-sharded; matvec all-gathers v (n is small here; real use
+        # computes local Gram blocks on the fly).
+        def mv(v_local):
+            v_full = jax.lax.all_gather(v_local, "data", axis=0, tiled=True)
+            return A @ v_full
+
+        return cg_solve(mv, b, tol=1e-12, max_iters=300, axis_name="data")
+
+    x = shard_map(
+        solve, mesh=mesh,
+        in_specs=(P("data", None), P("data")), out_specs=P("data"),
+        check_vma=False,
+    )(A, b)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A_np, b_np), rtol=1e-7)
+
+
+def test_sharded_slq_logdet(rng, mesh):
+    n = 128
+    A_np = rng.standard_normal((n, n))
+    A_np = A_np @ A_np.T + n * np.eye(n)
+    A = jnp.asarray(A_np)
+
+    def ld(A):
+        def mv(v_local):
+            v_full = jax.lax.all_gather(v_local, "data", axis=0, tiled=True)
+            return A @ v_full
+
+        return slq_logdet(
+            mv, n // 8, key=jax.random.PRNGKey(0), num_probes=48,
+            lanczos_iters=30, dtype=jnp.float64, axis_name="data",
+        )
+
+    est = shard_map(
+        ld, mesh=mesh, in_specs=(P("data", None),), out_specs=P(), check_vma=False
+    )(A)
+    ref = np.linalg.slogdet(A_np)[1]
+    np.testing.assert_allclose(float(est), ref, rtol=0.05)
+
+
+def test_stacked_eigh_sharded(rng):
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    d, m = 6, 8
+    Ks_np = np.stack([rng.standard_normal((m, m)) for _ in range(d)])
+    Ks_np = Ks_np @ np.transpose(Ks_np, (0, 2, 1)) + m * np.eye(m)
+    Ks = jnp.asarray(Ks_np)
+
+    Qs, lams = jax.jit(lambda K: stacked_eigh_sharded(K, mesh2))(Ks)
+    for i in range(d):
+        recon = np.asarray(Qs[i]) * np.asarray(lams[i]) @ np.asarray(Qs[i]).T
+        np.testing.assert_allclose(recon, Ks_np[i], rtol=1e-8, atol=1e-8)
