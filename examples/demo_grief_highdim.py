@@ -1,0 +1,60 @@
+"""GRIEF demo at scale: d-dimensional grids with astronomically many virtual
+inducing points (reference: upstream GRIEF/UCI notebook — SURVEY.md §2 #20;
+the 10^100-virtual-point capability of BASELINE config 5).
+
+Run: ``python examples/demo_grief_highdim.py [--d 100] [--n 2000] [--tpu]``
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--d", type=int, default=100)
+    ap.add_argument("--n", type=int, default=2000)
+    ap.add_argument("--p", type=int, default=200)
+    ap.add_argument("--tpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    import gp_grief_tpu as gpx
+
+    rng = np.random.default_rng(0)
+    dtype = np.float32 if args.tpu else np.float64
+    x = rng.uniform(0, 1, size=(args.n, args.d)).astype(dtype)
+    # Sparse additive ground truth: only a few dims matter.
+    y = (np.sin(4 * x[:, 0]) + 0.7 * np.cos(3 * x[:, 1]) + 0.3 * x[:, 2]
+         + 0.05 * rng.standard_normal(args.n)).astype(dtype)
+
+    grid = gpx.InducingGrid.build(x, mbar=10)
+    print(f"grid: {args.d} dims × {grid.grid_shape[0]} pts = 10^{grid.log10_num_virtual:.0f} "
+          "virtual inducing points")
+
+    model = gpx.GPGriefModel(
+        x, y, gpx.make_kernel("rbf", lengthscale=1.5), grid,
+        n_eigs=args.p, noise_var=0.1, dtype=dtype,
+    )
+    print(f"initial ll: {model.log_likelihood():.2f}")
+    res = model.optimize(optimizer="adam", max_iters=150, learning_rate=0.05)
+    print(f"optimized ll: {model.log_likelihood():.2f} ({res.iterations} iters, {res.wall_time:.1f}s)")
+
+    xs = rng.uniform(0, 1, size=(500, args.d)).astype(dtype)
+    f_true = np.sin(4 * xs[:, 0]) + 0.7 * np.cos(3 * xs[:, 1]) + 0.3 * xs[:, 2]
+    mean = model.predict(xs, compute_var=False)
+    print(f"test RMSE vs truth: {np.sqrt(np.mean((mean - f_true) ** 2)):.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

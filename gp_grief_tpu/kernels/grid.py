@@ -19,16 +19,18 @@ from typing import Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from gp_grief_tpu.kernels.stationary import Stationary, cov
+from gp_grief_tpu.kernels.stationary import Stationary
 
 __all__ = ["cov_grid", "cross_cov_grid", "product_cov"]
 
 KernList = Sequence[Stationary]
 
 
-def _kern_for_dim(kernels: Union[Stationary, KernList], d: int) -> Stationary:
-    if isinstance(kernels, Stationary):
-        return kernels  # shared ("radial") kernel across dimensions
+def _kern_for_dim(kernels, d):
+    # A single kernel object (anything callable, not a list/tuple) is shared
+    # across dimensions — the reference's "radial" mode.
+    if not isinstance(kernels, (list, tuple)):
+        return kernels
     return kernels[d]
 
 
@@ -45,7 +47,7 @@ def cov_grid(
     """
     out = []
     for d, g in enumerate(xg):
-        K = cov(_kern_for_dim(kernels, d), g)
+        K = _kern_for_dim(kernels, d)(g)
         if dim_noise_var:
             K = K + dim_noise_var * jnp.eye(K.shape[0], dtype=K.dtype)
         out.append(K)
@@ -72,7 +74,7 @@ def cross_cov_grid(
     for d, g in enumerate(xg):
         cols = jnp.asarray(list(dims[d])) if dims is not None else jnp.asarray([d])
         xd = x[:, cols]
-        out.append(cov(_kern_for_dim(kernels, d), xd, g))
+        out.append(_kern_for_dim(kernels, d)(xd, g))
     return tuple(out)
 
 
@@ -96,6 +98,6 @@ def product_cov(
     out = None
     for dd in range(d):
         zd = None if z is None else z[:, dd : dd + 1]
-        Kd = cov(_kern_for_dim(kernels, dd), x[:, dd : dd + 1], zd)
+        Kd = _kern_for_dim(kernels, dd)(x[:, dd : dd + 1], zd)
         out = Kd if out is None else out * Kd
     return out

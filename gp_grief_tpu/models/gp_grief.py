@@ -71,7 +71,7 @@ class GPGriefModel(BaseModel):
         self.dim_noise_var = float(dim_noise_var)
         kerns = (
             list(kern_list)
-            if not isinstance(kern_list, Stationary)
+            if isinstance(kern_list, (list, tuple))
             else [kern_list] * grid.grid_dim
         )
         if len(kerns) != grid.grid_dim:

@@ -71,7 +71,7 @@ class GPKroneckerRegression(BaseModel):
         self.cg_tol, self.cg_iters = cg_tol, cg_iters
         kerns = (
             list(kern_list)
-            if not isinstance(kern_list, Stationary)
+            if isinstance(kern_list, (list, tuple))
             else [kern_list] * len(self.xg)
         )
         self.params = {

@@ -33,9 +33,10 @@ KernelLike = Union[Stationary, Sequence[Stationary]]
 
 
 def _cov_any(kernels: KernelLike, x, z=None):
-    """Gram of a single (possibly ARD) kernel or a product of 1D kernels."""
-    if isinstance(kernels, Stationary):
-        return cov(kernels, x, z)
+    """Gram of a single kernel (any callable kernel object) or a product of
+    per-dimension kernels (list/tuple)."""
+    if not isinstance(kernels, (list, tuple)):
+        return kernels(x, z)
     return product_cov(list(kernels), x, z)
 
 
