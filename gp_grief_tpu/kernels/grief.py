@@ -82,10 +82,11 @@ def build_basis(
     log_total = sum(math.log(int(g.shape[0])) for g in xg)
     if log_total < math.log(2**62):
         p = min(p, math.prod(int(g.shape[0]) for g in xg))
-    Ks = cov_grid(kernels, xg, dim_noise_var=dim_noise_var)
-    Qs, lams = kron_eigh(Ks)
-    log_lam, idx = top_p_kron_eigs(lams, p)
-    return GriefBasis(Qs=Qs, lams=lams, log_lam=log_lam, idx=idx)
+    with jax.named_scope("grief_build_basis"):
+        Ks = cov_grid(kernels, xg, dim_noise_var=dim_noise_var)
+        Qs, lams = kron_eigh(Ks)
+        log_lam, idx = top_p_kron_eigs(lams, p)
+        return GriefBasis(Qs=Qs, lams=lams, log_lam=log_lam, idx=idx)
 
 
 def phi(
@@ -103,13 +104,14 @@ def phi(
     ``O(n·Σ m_d² + n·p·d)`` total (reference §3.1 "build Φ" / §3.3 Nyström
     extension at test points).
     """
-    Kx = cross_cov_grid(kernels, x, xg, dims)
-    tiny = jnp.finfo(Kx[0].dtype).tiny
-    out = None
-    for d in range(len(xg)):
-        B = Kx[d] @ basis.Qs[d]
-        cols = basis.idx[:, d]
-        log_lam_d = jnp.log(jnp.clip(basis.lams[d], tiny, None))
-        G = jnp.take(B, cols, axis=1) * jnp.exp(-0.5 * jnp.take(log_lam_d, cols))
-        out = G if out is None else out * G
-    return out
+    with jax.named_scope("grief_phi"):
+        Kx = cross_cov_grid(kernels, x, xg, dims)
+        tiny = jnp.finfo(Kx[0].dtype).tiny
+        out = None
+        for d in range(len(xg)):
+            B = Kx[d] @ basis.Qs[d]
+            cols = basis.idx[:, d]
+            log_lam_d = jnp.log(jnp.clip(basis.lams[d], tiny, None))
+            G = jnp.take(B, cols, axis=1) * jnp.exp(-0.5 * jnp.take(log_lam_d, cols))
+            out = G if out is None else out * G
+        return out

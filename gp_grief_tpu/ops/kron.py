@@ -67,13 +67,14 @@ def kron_matmat(
     """
     ms = [int(f.shape[1]) for f in factors]
     B = v.shape[-1]
-    x = v.reshape(*ms, B)
-    for d, K in enumerate(factors):
-        # Contract axis d of x with the columns of K, putting the new axis back
-        # in position d.  tensordot -> dot_general: MXU-friendly.
-        x = jnp.tensordot(K, x, axes=((1,), (d,)), precision=precision)
-        x = jnp.moveaxis(x, 0, d)
-    return x.reshape(-1, B)
+    with jax.named_scope("kron_matmat"):
+        x = v.reshape(*ms, B)
+        for d, K in enumerate(factors):
+            # Contract axis d of x with the columns of K, putting the new axis
+            # back in position d.  tensordot -> dot_general: MXU-friendly.
+            x = jnp.tensordot(K, x, axes=((1,), (d,)), precision=precision)
+            x = jnp.moveaxis(x, 0, d)
+        return x.reshape(-1, B)
 
 
 def kron_matvec(

@@ -14,12 +14,14 @@ fused); L-BFGS linesearch included via optax.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax import lax
 from jax.flatten_util import ravel_pytree
 
 __all__ = ["fit", "FitResult", "checkgrad"]
@@ -62,8 +64,7 @@ def fit(
 
     value_and_grad = jax.value_and_grad(loss_fn)
 
-    @jax.jit
-    def step(params, opt_state):
+    def _one_step(params, opt_state):
         value, grad = value_and_grad(params)
         if optimizer == "lbfgs":
             updates, opt_state = opt.update(
@@ -75,12 +76,52 @@ def fit(
         gnorm = optax.global_norm(grad)
         return params, opt_state, value, gnorm
 
+    step = jax.jit(_one_step)
+
+    # Chunked scan: run `scan_chunk` steps per device program, syncing to host
+    # only between chunks (matters on TPU, where per-step host sync dominates
+    # small-p NLML steps).  Per-step paths keep the user callback semantics.
+    scan_chunk = 0 if (verbose or callback is not None) else max(1, min(25, max_iters))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def steps_scanned(params, opt_state, n):
+        def body(carry, _):
+            p, s = carry
+            p, s, value, gnorm = _one_step(p, s)
+            return (p, s), (value, gnorm)
+
+        (params, opt_state), (values, gnorms) = lax.scan(
+            body, (params, opt_state), None, length=n
+        )
+        return params, opt_state, values, gnorms
+
     opt_state = opt.init(params)
     losses, gnorms = [], []
     t0 = time.perf_counter()
     converged = False
     it = 0
-    for it in range(1, max_iters + 1):
+    while it < max_iters and not converged:
+        if scan_chunk > 1:
+            n = min(scan_chunk, max_iters - it)
+            new_params, new_state, vals, gns = steps_scanned(params, opt_state, n)
+            vals, gns = np.asarray(vals), np.asarray(gns)
+            bad = ~np.isfinite(vals)
+            n_ok = int(np.argmax(bad)) if bad.any() else n
+            if n_ok == n:
+                params, opt_state = new_params, new_state
+            elif n_ok > 0:
+                # Re-run the finite prefix stepwise to recover its state.
+                for _ in range(n_ok):
+                    params, opt_state, _, _ = step(params, opt_state)
+            it += n_ok
+            losses.extend(vals[:n_ok].tolist())
+            gnorms.extend(gns[:n_ok].tolist())
+            if n_ok < n:
+                break
+            if gnorms and gnorms[-1] < tol:
+                converged = True
+            continue
+        it += 1
         new_params, opt_state, value, gnorm = step(params, opt_state)
         value_f, gnorm_f = float(value), float(gnorm)
         if not np.isfinite(value_f):
@@ -95,7 +136,6 @@ def fit(
             callback(it, value_f, gnorm_f)
         if gnorm_f < tol:
             converged = True
-            break
     return FitResult(
         params=params,
         losses=np.asarray(losses),
