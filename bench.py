@@ -55,7 +55,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gp_grief_tpu.ops import kron_matvec
+    from gp_grief_tpu.ops import kron_matvec_fast as kron_matvec
 
     dtype = jnp.float32
     # Bandwidth-bound shape: d=5 dims of 32 → m = 33.5M (134 MB vectors f32);

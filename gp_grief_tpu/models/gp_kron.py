@@ -27,6 +27,7 @@ from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.kron import kron_eigh, kron_matvec, kron_solve_schur
+from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
 from gp_grief_tpu.ops.khatri_rao import kr_matvec
 
 __all__ = ["GPKroneckerRegression"]
@@ -93,7 +94,7 @@ class GPKroneckerRegression(BaseModel):
             quad = jnp.sum(z * z / (lam + sigma2))
         else:
             alpha = cg_solve(
-                lambda v: kron_matvec(factors, v) + sigma2 * v,
+                lambda v: kron_matvec_fast(factors, v) + sigma2 * v,
                 self.y,
                 tol=self.cg_tol,
                 max_iters=self.cg_iters,

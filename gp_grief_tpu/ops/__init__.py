@@ -27,6 +27,8 @@ from gp_grief_tpu.ops.khatri_rao import (
     rowcol_kr_matvec,
     rowcol_kr_rmatvec,
 )
+from gp_grief_tpu.ops.kron_fast import group_factors, kron_matvec_fast
+from gp_grief_tpu.ops.compose import op_product, op_scale, op_shift, op_sum
 from gp_grief_tpu.ops.selection import select_rows, select_rows_t, selection_expand
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 from gp_grief_tpu.ops.cg import CGInfo, cg_solve
@@ -34,6 +36,12 @@ from gp_grief_tpu.ops.lanczos import LanczosResult, lanczos, slq_logdet
 from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol, stable_cholesky
 
 __all__ = [
+    "kron_matvec_fast",
+    "group_factors",
+    "op_product",
+    "op_sum",
+    "op_scale",
+    "op_shift",
     "kron_matvec",
     "kron_matmat",
     "kron_expand",

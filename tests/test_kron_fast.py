@@ -1,0 +1,51 @@
+"""Grouped cyclic Kron matvec + trailing-slab Pallas pass vs dense oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gp_grief_tpu.ops import kron_expand
+from gp_grief_tpu.ops.kron_fast import group_factors, kron_matvec_fast
+from gp_grief_tpu.ops.pallas.kron_pallas import last_slab_pass
+
+
+@pytest.mark.parametrize("sizes", [(3,), (3, 4), (2, 3, 4), (4, 4, 4, 4), (5, 5, 5)])
+def test_kron_matvec_fast_matches_dense(rng, sizes):
+    factors = tuple(jnp.asarray(rng.standard_normal((m, m))) for m in sizes)
+    K = np.asarray(kron_expand(factors))
+    v = rng.standard_normal(K.shape[1])
+    got = kron_matvec_fast(factors, jnp.asarray(v), target_width=8, precision=None)
+    np.testing.assert_allclose(np.asarray(got), K @ v, rtol=1e-9)
+
+
+def test_kron_matvec_fast_batched(rng):
+    sizes = (3, 4, 2)
+    factors = tuple(jnp.asarray(rng.standard_normal((m, m))) for m in sizes)
+    K = np.asarray(kron_expand(factors))
+    V = rng.standard_normal((K.shape[1], 5))
+    got = kron_matvec_fast(factors, jnp.asarray(V), target_width=8)
+    np.testing.assert_allclose(np.asarray(got), K @ V, rtol=1e-9)
+
+
+def test_group_factors_widths(rng):
+    fs = [jnp.asarray(rng.standard_normal((8, 8))) for _ in range(4)]
+    gf = group_factors(fs, target_width=64, max_width=64)
+    assert [int(g.shape[0]) for g in gf] == [64, 64]
+    # Grouped product equals the full product.
+    np.testing.assert_allclose(
+        np.asarray(kron_expand(gf)), np.asarray(kron_expand(fs)), rtol=1e-12
+    )
+    # Rectangular factors break groups.
+    fs2 = [fs[0], jnp.asarray(rng.standard_normal((3, 8))), fs[1]]
+    gf2 = group_factors(fs2, target_width=64)
+    assert [g.shape for g in gf2] == [(8, 8), (3, 8), (8, 8)]
+
+
+def test_last_slab_pass_interpret(rng):
+    N, S = 64, 8
+    x2 = jnp.asarray(rng.standard_normal((N, S)), dtype=jnp.float32)
+    W = jnp.asarray(rng.standard_normal((S, S)), dtype=jnp.float32)
+    got = last_slab_pass(x2, W, BP=16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(x2) @ np.asarray(W).T, rtol=2e-4, atol=2e-4
+    )
