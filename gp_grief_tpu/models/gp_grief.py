@@ -91,14 +91,49 @@ class GPGriefModel(BaseModel):
     def _build(self, kerns) -> GriefBasis:
         return build_basis(kerns, self.xg, self.n_eigs, dim_noise_var=self.dim_noise_var)
 
+    # Row-chunk size for the one-time O(n·p²) reductions: bounds peak memory
+    # at ~chunk·p·(d-ish) floats regardless of n (the 2M-point config would
+    # otherwise materialize several (n, p) intermediates at once).
+    stats_chunk: int = 131072
+
     def _stats_from(self, kerns, basis: GriefBasis) -> BasisStats:
-        Phi = phi(basis, kerns, self.xg, self.x)
-        return BasisStats(
-            C=Phi.T @ Phi,
-            v=Phi.T @ self.y,
-            yy=jnp.dot(self.y, self.y),
-            n=self.x.shape[0],
+        n = self.x.shape[0]
+        if n <= self.stats_chunk:
+            Phi = phi(basis, kerns, self.xg, self.x)
+            return BasisStats(
+                C=Phi.T @ Phi,
+                v=Phi.T @ self.y,
+                yy=jnp.dot(self.y, self.y),
+                n=n,
+            )
+        chunk = self.stats_chunk
+        nchunks = -(-n // chunk)
+        pad = nchunks * chunk - n
+        xp = jnp.pad(self.x, ((0, pad), (0, 0)))
+        yp = jnp.pad(self.y, (0, pad))
+        mask = jnp.pad(jnp.ones((n,), self.y.dtype), (0, pad))
+        xc = xp.reshape(nchunks, chunk, -1)
+        yc = (yp * mask).reshape(nchunks, chunk)
+        mc = mask.reshape(nchunks, chunk)
+        p = basis.idx.shape[0]
+        dtype = self.y.dtype
+
+        def body(carry, inp):
+            C, v, yy = carry
+            xk, yk, mk = inp
+            Phik = phi(basis, kerns, self.xg, xk) * mk[:, None]
+            return (
+                C + Phik.T @ Phik,
+                v + Phik.T @ yk,
+                yy + jnp.dot(yk, yk),
+            ), None
+
+        (C, v, yy), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((p, p), dtype), jnp.zeros((p,), dtype), jnp.zeros((), dtype)),
+            (xc, yc, mc),
         )
+        return BasisStats(C=C, v=v, yy=yy, n=n)
 
     def _refresh_cache(self):
         self._basis = jax.jit(self._build)(self.params["kernels"])
@@ -122,6 +157,65 @@ class GPGriefModel(BaseModel):
         if self.opt_kernel_params:
             self._refresh_cache()  # re-anchor the cached basis at the optimum
         return res
+
+    # -- large-scale iterative path ------------------------------------------
+
+    def kernel_matvec(self, v):
+        """``(K̃ + σ²I) v = Φ W Φᵀ v + σ² v`` in O(n·p) — the structured matvec
+        that makes CG/Lanczos/SLQ run at the 2M-point scale (BASELINE config 4).
+        ``v``: ``(n,)`` or ``(n, B)``."""
+        from gp_grief_tpu.kernels.grief import phi as _phi
+
+        Phi = _phi(self._basis, self.params["kernels"], self.xg, self.x)
+        w = jnp.exp(self.params["log_w"])
+        sigma2 = jnp.exp(self.params["log_noise"])
+        squeeze = v.ndim == 1
+        vv = v[:, None] if squeeze else v
+        out = Phi @ (w[:, None] * (Phi.T @ vv)) + sigma2 * vv
+        return out[:, 0] if squeeze else out
+
+    def log_likelihood_iterative(
+        self,
+        *,
+        key=None,
+        num_probes: int = 32,
+        lanczos_iters: int = 64,
+        cg_tol: float = 1e-8,
+        cg_iters: int = 1000,
+    ) -> float:
+        """NLML via CG (quadratic term) + SLQ (log-det) on the n×n operator.
+
+        The reference's large-n training path (``linalg.py`` CG + stochastic
+        Lanczos — SURVEY.md §3.2) driven by the O(n·p) GRIEF matvec.  The
+        closed-form O(p³) ``log_likelihood`` is exact and preferred; this
+        exists for parity and for very large ``p`` where O(p³) dominates.
+        """
+        from gp_grief_tpu.kernels.grief import phi as _phi
+        from gp_grief_tpu.ops.cg import cg_solve
+        from gp_grief_tpu.ops.lanczos import slq_logdet
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        n = self.x.shape[0]
+
+        @jax.jit
+        def _nlml(params, key):
+            Phi = _phi(self._basis, params["kernels"], self.xg, self.x)
+            w = jnp.exp(params["log_w"])
+            sigma2 = jnp.exp(params["log_noise"])
+
+            def mv(vv):
+                return Phi @ (w[:, None] * (Phi.T @ vv)) + sigma2 * vv
+
+            alpha = cg_solve(mv, self.y, tol=cg_tol, max_iters=cg_iters)
+            quad = jnp.dot(self.y, alpha)
+            ld = slq_logdet(
+                mv, n, key=key, num_probes=num_probes,
+                lanczos_iters=lanczos_iters, dtype=self.y.dtype,
+            )
+            return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
+
+        return -float(_nlml(self.params, key))
 
     # -- prediction ----------------------------------------------------------
 

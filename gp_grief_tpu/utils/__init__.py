@@ -2,5 +2,6 @@
 
 from gp_grief_tpu.utils.checkpoint import load_pytree, save_pytree
 from gp_grief_tpu.utils.logging import MetricLogger
+from gp_grief_tpu.utils.checks import check_finite, guarded
 
-__all__ = ["save_pytree", "load_pytree", "MetricLogger"]
+__all__ = ["save_pytree", "load_pytree", "MetricLogger", "check_finite", "guarded"]

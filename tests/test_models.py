@@ -201,3 +201,18 @@ def test_gp_grief_d100_stress(rng):
     assert np.isfinite(ll)
     mean, var = model.predict(x[:5])
     assert np.all(np.isfinite(mean)) and np.all(np.isfinite(var)) and np.all(var >= 0)
+
+
+def test_gp_grief_chunked_stats_match(rng):
+    # Force the scan-chunked reduction path and compare against direct stats.
+    x, y = _sine_data(rng, n=100)
+    grid = InducingGrid.build(x, mbar=15)
+    kerns = [make_kernel("rbf", lengthscale=0.5)]
+    a = GPGriefModel(x, y, kerns, grid, n_eigs=8, noise_var=0.2)
+    b = GPGriefModel(x, y, kerns, grid, n_eigs=8, noise_var=0.2)
+    b.stats_chunk = 17  # 100 rows -> 6 chunks with padding
+    b._refresh_cache()
+    np.testing.assert_allclose(np.asarray(b._stats.C), np.asarray(a._stats.C), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(b._stats.v), np.asarray(a._stats.v), rtol=1e-10)
+    np.testing.assert_allclose(float(b._stats.yy), float(a._stats.yy), rtol=1e-12)
+    np.testing.assert_allclose(b.log_likelihood(), a.log_likelihood(), rtol=1e-10)
