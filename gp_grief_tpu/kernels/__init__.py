@@ -4,6 +4,7 @@ from gp_grief_tpu.kernels.base import inverse_positive, param_dataclass, positiv
 from gp_grief_tpu.kernels.stationary import KERNEL_KINDS, Stationary, cov, make_kernel
 from gp_grief_tpu.kernels.grid import cov_grid, cross_cov_grid, product_cov
 from gp_grief_tpu.kernels.grief import GriefBasis, build_basis, phi
+from gp_grief_tpu.kernels.diag import cov_diag
 from gp_grief_tpu.kernels.extra import (
     Constant,
     Cosine,
@@ -18,6 +19,7 @@ from gp_grief_tpu.kernels.extra import (
 )
 
 __all__ = [
+    "cov_diag",
     "RatQuad",
     "Periodic",
     "Cosine",

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gp_grief_tpu.kernels.base import inverse_positive
-from gp_grief_tpu.kernels.grid import cov_grid, cross_cov_grid, product_cov
+from gp_grief_tpu.kernels.diag import cov_diag
+from gp_grief_tpu.kernels.grid import cov_grid, cross_cov_grid
 from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
 from gp_grief_tpu.ops.cg import cg_solve
@@ -123,7 +124,7 @@ class GPKroneckerRegression(BaseModel):
                 Kx = cross_cov_grid(kerns, x_new, self.xg)  # KR factors (n*, m_d)
                 mean = kr_matvec(list(Kx), alpha)
                 # var: k_**(t,t) − k_*Uᵀ (K+σ²I)⁻¹ k_*U per test point.
-                prior_diag = jnp.diagonal(product_cov(kerns, x_new))
+                prior_diag = cov_diag(kerns, x_new)
                 # Materialize K_U* as (m, n*) via the transposed KR product.
                 KUx = _kr_transpose_dense(Kx)
                 S = kron_solve_schur(Qs, lams, KUx, sigma2)

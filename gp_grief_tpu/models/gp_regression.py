@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gp_grief_tpu.kernels.base import inverse_positive
+from gp_grief_tpu.kernels.diag import cov_diag
 from gp_grief_tpu.kernels.grid import product_cov
 from gp_grief_tpu.kernels.stationary import Stationary, cov
 from gp_grief_tpu.models.base import BaseModel
@@ -132,7 +133,7 @@ class GPRegression(BaseModel):
                 Ks = _cov_any(kern, x_new, self.x)  # (n*, n)
                 mean = Ks @ alpha
                 A = jax.scipy.linalg.solve_triangular(L, Ks.T, lower=True)  # (n, n*)
-                prior_diag = jnp.diagonal(_cov_any(kern, x_new))
+                prior_diag = cov_diag(kern, x_new)
                 var = prior_diag - jnp.sum(A**2, axis=0)
                 return mean, jnp.maximum(var, 0.0), sigma2
 
