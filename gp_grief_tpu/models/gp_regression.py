@@ -18,6 +18,7 @@ from typing import Optional, Sequence, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.diag import cov_diag
@@ -63,24 +64,44 @@ def gp_nlml_iterative(
     cg_tol: float = 1e-8,
     cg_iters: int = 1000,
 ) -> jax.Array:
-    """Large-n NLML: CG for the quadratic form + SLQ for the log-det.
+    """Large-n NLML: CG quadratic form + SLQ log-det, BBMM-style gradients.
 
-    The log-det gradient flows through SLQ's matvecs only stochastically; for
-    training at scale the standard practice (BBMM, PAPERS.md) is exactly this
-    estimator.  O(n²) memory never materializes beyond the Gram matvec.
+    Gradients do NOT flow through the Lanczos recurrence (noisy/biased).
+    Instead the value carries stop-gradient surrogates whose autodiff yields
+    the exact stochastic identities (GPyTorch BBMM, PAPERS.md):
+
+        ∂ yᵀÃ⁻¹y      = −αᵀ (∂Ã) α,                α  = Ã⁻¹y   (CG)
+        ∂ log|Ã|       = tr(Ã⁻¹ ∂Ã) ≈ (1/R) Σ_r s_rᵀ (∂Ã) z_r,  s_r = Ã⁻¹z_r
+
+    One batched CG solves for ``[y, z_1..z_R]`` simultaneously; SLQ supplies
+    the log-det *value* only.
     """
     n = x.shape[0]
     sigma2 = jnp.exp(log_noise)
-    K = _cov_any(kernels, x)  # dense Gram matvec closure could replace this at 2M scale
+    K = _cov_any(kernels, x)  # swap for a chunked matvec closure at 2M scale
 
     def mv(vv):
         return K @ vv + sigma2 * vv
 
-    alpha = cg_solve(mv, y, tol=cg_tol, max_iters=cg_iters)
-    quad = jnp.dot(y, alpha)
-    ld = slq_logdet(
-        mv, n, key=key, num_probes=num_probes, lanczos_iters=lanczos_iters, dtype=y.dtype
+    z = jax.random.rademacher(key, (n, num_probes), dtype=y.dtype)
+    rhs = jnp.concatenate([y[:, None], z], axis=1)
+    sol = cg_solve(mv, rhs, tol=cg_tol, max_iters=cg_iters)
+    alpha = lax.stop_gradient(sol[:, 0])
+    S = lax.stop_gradient(sol[:, 1:])
+
+    # Quadratic term surrogate: value yᵀα, gradient −αᵀ(∂Ã)α.
+    quad = 2.0 * jnp.dot(y, alpha) - jnp.dot(alpha, mv(alpha[:, None])[:, 0])
+
+    # Log-det: SLQ value (stop-grad) + Hutchinson-gradient surrogate.
+    ld_val = lax.stop_gradient(
+        slq_logdet(
+            mv, n, key=jax.random.fold_in(key, 1), num_probes=num_probes,
+            lanczos_iters=lanczos_iters, dtype=y.dtype,
+        )
     )
+    g_sur = jnp.sum(S * mv(z)) / num_probes
+    ld = ld_val + g_sur - lax.stop_gradient(g_sur)
+
     return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
 
 
@@ -93,13 +114,30 @@ class GPRegression(BaseModel):
         y,
         kernel: KernelLike,
         noise_var: float = 1.0,
+        *,
+        solver: str = "cholesky",
+        num_probes: int = 32,
+        lanczos_iters: int = 64,
+        cg_tol: float = 1e-8,
+        cg_iters: int = 1000,
+        key=None,
     ):
+        """``solver``: ``"cholesky"`` (exact, O(n³)) or ``"iterative"``
+        (CG + SLQ — the reference's large-n path, SURVEY.md §3.2)."""
         x = jnp.asarray(x)
         y = jnp.asarray(y).reshape(-1)
         if x.ndim == 1:
             x = x[:, None]
         assert x.shape[0] == y.shape[0]
+        if solver not in ("cholesky", "iterative"):
+            raise ValueError("solver must be 'cholesky' or 'iterative'")
         self.x, self.y = x, y
+        self.solver = solver
+        self._iter_opts = dict(
+            num_probes=num_probes, lanczos_iters=lanczos_iters,
+            cg_tol=cg_tol, cg_iters=cg_iters,
+        )
+        self._key = jax.random.PRNGKey(0) if key is None else key
         self.params = {
             "kernel": kernel,
             "log_noise": inverse_positive(noise_var),
@@ -110,6 +148,11 @@ class GPRegression(BaseModel):
         return float(jnp.exp(self.params["log_noise"]))
 
     def _loss(self, params):
+        if self.solver == "iterative":
+            return gp_nlml_iterative(
+                params["kernel"], params["log_noise"], self.x, self.y,
+                key=self._key, **self._iter_opts,
+            )
         return gp_nlml(params["kernel"], params["log_noise"], self.x, self.y)
 
     def predict(self, x_new, compute_var: bool = True, include_noise: bool = False):

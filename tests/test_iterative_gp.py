@@ -22,5 +22,56 @@ def test_iterative_nlml_close_to_exact(rng):
             key=jax.random.PRNGKey(1), num_probes=64, lanczos_iters=60,
         )
     )
-    # The quadratic term is CG-exact; only the SLQ log-det is stochastic.
-    assert abs(approx - exact) / abs(exact) < 0.03
+    # The quadratic term is CG-exact; only the SLQ log-det is stochastic
+    # (absolute error scales with tr|log|, a few nats at n=300).
+    assert abs(approx - exact) < 6.0
+
+
+def test_gp_regression_iterative_solver_model(rng):
+    from gp_grief_tpu import GPRegression
+
+    n = 250
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) + 0.1 * rng.standard_normal(n)
+    exact = GPRegression(x, y, make_kernel("rbf", lengthscale=0.7), noise_var=0.05)
+    it = GPRegression(
+        x, y, make_kernel("rbf", lengthscale=0.7), noise_var=0.05,
+        solver="iterative", num_probes=64, lanczos_iters=50,
+    )
+    # SLQ absolute error scales with tr|log| magnitude, not the (near-zero)
+    # NLML total; allow a few nats on n=250.
+    assert abs(it.log_likelihood() - exact.log_likelihood()) < 5.0
+    # Optimization with the stochastic objective still improves the exact NLML.
+    ll0 = exact.log_likelihood()
+    it.optimize(optimizer="adam", max_iters=30, learning_rate=0.05)
+    exact.params = it.params
+    assert exact.log_likelihood() > ll0 - 1.0
+
+
+def test_iterative_gradients_match_exact(rng):
+    # BBMM surrogate gradients ≈ exact gradients (stochastic only via the
+    # Hutchinson trace; CG terms are exact).
+    n = 200
+    x = jnp.asarray(rng.uniform(0, 3, size=(n, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.1 * rng.standard_normal(n))
+    kern = make_kernel("rbf", lengthscale=0.8)
+
+    def f_exact(params):
+        return gp_nlml(params[0], params[1], x, y)
+
+    def f_iter(params):
+        return gp_nlml_iterative(
+            params[0], params[1], x, y,
+            key=jax.random.PRNGKey(3), num_probes=256, lanczos_iters=50,
+        )
+
+    params = (kern, jnp.log(0.05))
+    g_ex = jax.grad(f_exact)(params)
+    g_it = jax.grad(f_iter)(params)
+    np.testing.assert_allclose(float(g_it[1]), float(g_ex[1]), rtol=0.1)
+    np.testing.assert_allclose(
+        float(g_it[0].log_lengthscale), float(g_ex[0].log_lengthscale), rtol=0.1
+    )
+    np.testing.assert_allclose(
+        float(g_it[0].log_variance), float(g_ex[0].log_variance), rtol=0.15
+    )
