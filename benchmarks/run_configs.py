@@ -57,12 +57,26 @@ def sine1d():
 
     rmse = float(np.sqrt(np.mean((mean - f) ** 2)))
     rmse_exact = float(np.sqrt(np.mean((em - f) ** 2)))
+
+    # Exact-parity sub-check ([B:5] "1e-4 parity"): with ON-GRID training data
+    # and the full basis (p = m), the GRIEF kernel equals the exact kernel on
+    # the training set and the Nyström extension is exact at test points —
+    # NLML and predictive means must agree with the exact GP to f64 precision.
+    xg_pts = np.asarray(grid.xg[0])  # (100, 1)
+    yg = np.sin(2 * xg_pts[:, 0]) + 0.1 * np.random.default_rng(1).standard_normal(100)
+    kern = gpx.make_kernel("rbf", lengthscale=0.5)
+    full = gpx.GPGriefModel(xg_pts, yg, [kern], grid, n_eigs=100, noise_var=0.05, dim_noise_var=1e-10)
+    og_exact = gpx.GPRegression(xg_pts, yg, kern, noise_var=0.05)
+    fm = full.predict(xs, compute_var=False)
+    om = og_exact.predict(xs, compute_var=False)
     _emit(
         "sine1d",
         rmse=rmse,
         rmse_exact=rmse_exact,
         rmse_gap=abs(rmse - rmse_exact),
         mean_gap=float(np.abs(mean - em).mean()),
+        parity_nlml_gap=float(abs(full.log_likelihood() - og_exact.log_likelihood())),
+        parity_mean_gap=float(np.abs(fm - om).max()),
         train_s=t_grief,
     )
 
