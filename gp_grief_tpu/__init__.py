@@ -22,7 +22,13 @@ __version__ = "0.1.0"
 from gp_grief_tpu import kernels, models, ops, optimize
 from gp_grief_tpu.grid import InducingGrid
 from gp_grief_tpu.kernels import make_kernel
-from gp_grief_tpu.models import GPGriefModel, GPKroneckerRegression, GPRegression, GPweb
+from gp_grief_tpu.models import (
+    GPGriefModel,
+    GPKroneckerRegression,
+    GPRegression,
+    GPSKIRegression,
+    GPweb,
+)
 
 __all__ = [
     "ops",
@@ -34,6 +40,7 @@ __all__ = [
     "GPRegression",
     "GPGriefModel",
     "GPKroneckerRegression",
+    "GPSKIRegression",
     "GPweb",
     "__version__",
 ]

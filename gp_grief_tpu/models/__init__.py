@@ -4,6 +4,7 @@ from gp_grief_tpu.models.base import BaseModel, BasisStats, basis_nlml, basis_po
 from gp_grief_tpu.models.gp_regression import GPRegression
 from gp_grief_tpu.models.gp_grief import GPGriefModel
 from gp_grief_tpu.models.gp_kron import GPKroneckerRegression
+from gp_grief_tpu.models.gp_ski import GPSKIRegression
 from gp_grief_tpu.models.gp_web import GPweb
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "GPRegression",
     "GPGriefModel",
     "GPKroneckerRegression",
+    "GPSKIRegression",
     "GPweb",
 ]

@@ -29,6 +29,13 @@ from gp_grief_tpu.ops.khatri_rao import (
 )
 from gp_grief_tpu.ops.kron_fast import group_factors, kron_matvec_fast
 from gp_grief_tpu.ops.compose import op_product, op_scale, op_shift, op_sum
+from gp_grief_tpu.ops.interp import (
+    InterpWeights,
+    interp_expand,
+    interp_matvec,
+    interp_rmatvec,
+    interp_weights,
+)
 from gp_grief_tpu.ops.selection import select_rows, select_rows_t, selection_expand
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 from gp_grief_tpu.ops.cg import CGInfo, cg_solve
@@ -42,6 +49,11 @@ __all__ = [
     "op_sum",
     "op_scale",
     "op_shift",
+    "InterpWeights",
+    "interp_weights",
+    "interp_matvec",
+    "interp_rmatvec",
+    "interp_expand",
     "kron_matvec",
     "kron_matmat",
     "kron_expand",

@@ -1,0 +1,98 @@
+"""SKI interpolation operators vs dense oracle; GPSKIRegression accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gp_grief_tpu import GPRegression, InducingGrid, make_kernel
+from gp_grief_tpu.models.gp_ski import GPSKIRegression
+from gp_grief_tpu.ops import kron_expand
+from gp_grief_tpu.ops.interp import (
+    interp_expand,
+    interp_matvec,
+    interp_rmatvec,
+    interp_weights,
+)
+
+
+def _grid(*ms):
+    return [jnp.asarray(np.linspace(0, 1, m)[:, None]) for m in ms]
+
+
+def test_interp_weights_partition_of_unity(rng):
+    xg = _grid(7, 5)
+    x = jnp.asarray(rng.uniform(0, 1, size=(20, 2)))
+    iw = interp_weights(x, xg)
+    W = np.asarray(interp_expand(iw))
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, rtol=1e-12)
+    assert (W >= 0).all()
+    # ≤ 2^d nonzeros per row
+    assert (np.count_nonzero(W, axis=1) <= 4).all()
+
+
+def test_interp_exact_on_grid_points(rng):
+    xg = _grid(6, 4)
+    g0 = np.asarray(xg[0])[:, 0]
+    g1 = np.asarray(xg[1])[:, 0]
+    pts = jnp.asarray(np.stack(np.meshgrid(g0, g1, indexing="ij"), -1).reshape(-1, 2))
+    iw = interp_weights(pts, xg)
+    v = jnp.asarray(rng.standard_normal(24))
+    np.testing.assert_allclose(np.asarray(interp_matvec(iw, v)), np.asarray(v), atol=1e-12)
+
+
+def test_interp_matvec_rmatvec_adjoint(rng):
+    xg = _grid(5, 4, 3)
+    x = jnp.asarray(rng.uniform(0, 1, size=(11, 3)))
+    iw = interp_weights(x, xg)
+    W = np.asarray(interp_expand(iw))
+    v = rng.standard_normal(60)
+    u = rng.standard_normal(11)
+    np.testing.assert_allclose(np.asarray(interp_matvec(iw, jnp.asarray(v))), W @ v, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(interp_rmatvec(iw, jnp.asarray(u))), W.T @ u, rtol=1e-10)
+
+
+def test_interp_linear_functions_exact(rng):
+    # Linear interpolation reproduces affine functions inside the grid.
+    xg = _grid(9, 8)
+    g0 = np.asarray(xg[0])[:, 0]
+    g1 = np.asarray(xg[1])[:, 0]
+    grid_pts = np.stack(np.meshgrid(g0, g1, indexing="ij"), -1).reshape(-1, 2)
+    f = lambda p: 2.0 * p[:, 0] - 0.7 * p[:, 1] + 0.3
+    v = jnp.asarray(f(grid_pts))
+    x = jnp.asarray(rng.uniform(0.05, 0.95, size=(30, 2)))
+    iw = interp_weights(x, xg)
+    np.testing.assert_allclose(np.asarray(interp_matvec(iw, v)), f(np.asarray(x)), rtol=1e-10)
+
+
+def test_gp_ski_close_to_exact_gp(rng):
+    # Dense grid → SKI kernel ≈ exact kernel; NLML and predictions close.
+    n = 120
+    x = rng.uniform(0.02, 0.98, size=(n, 2))
+    y = np.sin(4 * x[:, 0]) + 0.5 * np.cos(3 * x[:, 1]) + 0.05 * rng.standard_normal(n)
+    kerns = [make_kernel("rbf", lengthscale=0.3), make_kernel("rbf", lengthscale=0.4)]
+    grid = [np.linspace(-0.02, 1.02, 40)[:, None]] * 2
+    ski = GPSKIRegression(x, y, kerns, grid, noise_var=0.05, num_probes=64, lanczos_iters=50)
+    exact = GPRegression(x, y, kerns, noise_var=0.05)
+    assert abs(ski.log_likelihood() - exact.log_likelihood()) < 5.0
+    xs = rng.uniform(0.1, 0.9, size=(15, 2))
+    sm, sv = ski.predict(xs)
+    em, ev = exact.predict(xs)
+    np.testing.assert_allclose(sm, em, atol=0.02)
+    np.testing.assert_allclose(sv, ev, atol=0.02)
+
+
+def test_gp_ski_optimize_improves(rng):
+    n = 100
+    x = rng.uniform(0, 1, size=(n, 1))
+    y = np.sin(6 * x[:, 0]) + 0.05 * rng.standard_normal(n)
+    ski = GPSKIRegression(
+        x, y, [make_kernel("rbf", lengthscale=0.5)], [np.linspace(-0.05, 1.05, 50)[:, None]],
+        noise_var=0.5, num_probes=32, lanczos_iters=40,
+    )
+    ll0 = ski.log_likelihood()
+    ski.optimize(optimizer="adam", max_iters=60, learning_rate=0.05)
+    assert ski.log_likelihood() > ll0
+    mean = ski.predict(x[:20], compute_var=False)
+    rmse = float(np.sqrt(np.mean((mean - np.sin(6 * x[:20, 0])) ** 2)))
+    assert rmse < 0.15
