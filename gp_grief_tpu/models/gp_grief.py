@@ -76,6 +76,8 @@ class GPGriefModel(BaseModel):
         )
         if len(kerns) != grid.grid_dim:
             raise ValueError(f"need {grid.grid_dim} kernels, got {len(kerns)}")
+        # Keep every parameter leaf in the working dtype (f32 on TPU).
+        kerns = jax.tree.map(lambda a: jnp.asarray(a, dtype=x.dtype), kerns)
 
         self.params = {
             "log_w": jnp.zeros((self.n_eigs,), dtype=x.dtype),
