@@ -16,7 +16,6 @@ pytree structure (and therefore jit caches) never changes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

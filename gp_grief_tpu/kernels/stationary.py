@@ -19,7 +19,6 @@ from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from gp_grief_tpu.kernels.base import inverse_positive, param_dataclass, positive
 

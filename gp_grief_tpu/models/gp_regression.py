@@ -13,7 +13,7 @@ reference ``linalg.py`` CG + stochastic Lanczos — SURVEY.md §3.2).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ from jax import lax
 from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.diag import cov_diag
 from gp_grief_tpu.kernels.grid import product_cov
-from gp_grief_tpu.kernels.stationary import Stationary, cov
+from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.lanczos import slq_logdet

@@ -20,7 +20,6 @@ from jax import lax
 
 from gp_grief_tpu.grid import InducingGrid
 from gp_grief_tpu.kernels.base import inverse_positive
-from gp_grief_tpu.kernels.diag import cov_diag
 from gp_grief_tpu.kernels.grid import cov_grid
 from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel

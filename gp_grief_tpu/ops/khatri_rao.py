@@ -19,8 +19,7 @@ the bandwidth-bound large-``d`` case (``ops/pallas``).
 
 from __future__ import annotations
 
-import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

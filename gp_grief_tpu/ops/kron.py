@@ -21,7 +21,6 @@ Conventions
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax

@@ -14,7 +14,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 __all__ = ["solve_chol", "stable_cholesky", "logdet_from_chol"]
 

@@ -8,7 +8,7 @@ collectives.  No NCCL/MPI/custom transports anywhere.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

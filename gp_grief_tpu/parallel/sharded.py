@@ -23,9 +23,7 @@ two ICI reductions total per step.
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
