@@ -5,6 +5,7 @@ built entirely on ``jax.sharding`` + XLA collectives over ICI.
 """
 
 from gp_grief_tpu.parallel.mesh import NamedSharding, P, data_mesh, make_mesh
+from gp_grief_tpu.parallel.model import ShardedGPGriefModel
 from gp_grief_tpu.parallel.sharded import (
     pad_to_multiple,
     sharded_basis_stats,
@@ -13,6 +14,7 @@ from gp_grief_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "ShardedGPGriefModel",
     "make_mesh",
     "data_mesh",
     "P",

@@ -154,3 +154,30 @@ def test_stacked_eigh_sharded(rng):
     for i in range(d):
         recon = np.asarray(Qs[i]) * np.asarray(lams[i]) @ np.asarray(Qs[i]).T
         np.testing.assert_allclose(recon, Ks_np[i], rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_model_matches_single_device(rng, mesh):
+    from gp_grief_tpu.parallel import ShardedGPGriefModel
+
+    x, y = _data(rng, n=90)
+    grid = InducingGrid.build(x, mbar=6)
+    kerns = [make_kernel("rbf", lengthscale=0.5) for _ in range(2)]
+    local = GPGriefModel(
+        x, y, kerns, grid, n_eigs=10, noise_var=0.2, dim_noise_var=1e-12,
+        opt_kernel_params=True,
+    )
+    sharded = ShardedGPGriefModel(
+        x, y, kerns, grid, n_eigs=10, noise_var=0.2, dim_noise_var=1e-12, mesh=mesh,
+    )
+    np.testing.assert_allclose(sharded.log_likelihood(), local.log_likelihood(), rtol=1e-10)
+
+    res = sharded.optimize(optimizer="adam", max_iters=15, learning_rate=0.05)
+    assert np.all(np.isfinite(res.losses))
+    assert sharded.log_likelihood() > -np.inf
+    xs = rng.uniform(0, 1, size=(7, 2))
+    sm, sv = sharded.predict(xs)
+    assert np.all(np.isfinite(sm)) and np.all(sv >= 0)
+    # After identical short training, predictions track the local model.
+    local.optimize(optimizer="adam", max_iters=15, learning_rate=0.05)
+    lm = local.predict(xs, compute_var=False)
+    np.testing.assert_allclose(sm, lm, atol=5e-3)
