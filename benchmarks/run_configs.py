@@ -147,7 +147,7 @@ def kin40k(tpu: bool = True):
     model.optimize(optimizer="adam", max_iters=150, learning_rate=0.03)
     # Phase 2: cheap reweighting polish at the learned hypers.
     model.opt_kernel_params = False
-    model._refresh_cache()
+    model.refresh_basis()
     model.optimize(optimizer="adam", max_iters=200, learning_rate=0.05)
     t_train = time.perf_counter() - t0
     mean, var = model.predict(xte, include_noise=True)

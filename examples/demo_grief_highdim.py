@@ -28,6 +28,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
 
+    import jax.numpy as jnp
+
     import gp_grief_tpu as gpx
 
     rng = np.random.default_rng(0)
@@ -41,13 +43,20 @@ def main():
     print(f"grid: {args.d} dims × {grid.grid_shape[0]} pts = 10^{grid.log10_num_virtual:.0f} "
           "virtual inducing points")
 
+    # Per-dimension kernels + opt_kernel_params: ARD-style relevance — the
+    # lengthscales of the ~97 irrelevant dims grow, flattening their factors.
+    kerns = [gpx.make_kernel("rbf", lengthscale=1.5) for _ in range(args.d)]
     model = gpx.GPGriefModel(
-        x, y, gpx.make_kernel("rbf", lengthscale=1.5), grid,
-        n_eigs=args.p, noise_var=0.1, dtype=dtype,
+        x, y, kerns, grid, n_eigs=args.p, noise_var=0.1, dtype=dtype,
+        opt_kernel_params=True, dim_noise_var=1e-8,
     )
     print(f"initial ll: {model.log_likelihood():.2f}")
-    res = model.optimize(optimizer="adam", max_iters=150, learning_rate=0.05)
+    res = model.optimize(optimizer="adam", max_iters=200, learning_rate=0.05)
     print(f"optimized ll: {model.log_likelihood():.2f} ({res.iterations} iters, {res.wall_time:.1f}s)")
+    ls = sorted(
+        (float(jnp.exp(k.log_lengthscale)), i) for i, k in enumerate(model.params["kernels"])
+    )
+    print("most relevant dims (smallest lengthscales):", [i for _, i in ls[:5]])
 
     xs = rng.uniform(0, 1, size=(500, args.d)).astype(dtype)
     f_true = np.sin(4 * xs[:, 0]) + 0.7 * np.cos(3 * xs[:, 1]) + 0.3 * xs[:, 2]

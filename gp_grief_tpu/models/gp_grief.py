@@ -138,8 +138,17 @@ class GPGriefModel(BaseModel):
         return BasisStats(C=C, v=v, yy=yy, n=n)
 
     def _refresh_cache(self):
-        self._basis = jax.jit(self._build)(self.params["kernels"])
-        self._stats = jax.jit(self._stats_from)(self.params["kernels"], self._basis)
+        if not hasattr(self, "_build_jit"):
+            self._build_jit = jax.jit(self._build)
+            self._stats_jit = jax.jit(self._stats_from)
+        self._basis = self._build_jit(self.params["kernels"])
+        self._stats = self._stats_jit(self.params["kernels"], self._basis)
+
+    def refresh_basis(self):
+        """Public re-anchor: rebuild the eigenbasis + cached statistics at the
+        current hyperparameters (e.g. after loading a checkpoint or switching
+        ``opt_kernel_params`` phases)."""
+        self._refresh_cache()
 
     # -- NLML ---------------------------------------------------------------
 
