@@ -216,3 +216,35 @@ def test_gp_grief_chunked_stats_match(rng):
     np.testing.assert_allclose(np.asarray(b._stats.v), np.asarray(a._stats.v), rtol=1e-10)
     np.testing.assert_allclose(float(b._stats.yy), float(a._stats.yy), rtol=1e-12)
     np.testing.assert_allclose(b.log_likelihood(), a.log_likelihood(), rtol=1e-10)
+
+
+def test_gp_web_predict_matches_grief(rng):
+    x, y = _sine_data(rng, n=70)
+    grid = InducingGrid.build(x, mbar=12)
+    kerns = [make_kernel("rbf", lengthscale=0.5)]
+    p = 8
+    grief = GPGriefModel(x, y, kerns, grid, n_eigs=p, noise_var=0.1)
+    xg = [jnp.asarray(g) for g in grid.xg]
+    basis = build_basis(kerns, xg, p)
+    web = GPweb(phi(basis, kerns, xg, jnp.asarray(x)), y, noise_var=0.1)
+
+    xs = np.linspace(0.2, 3.8, 9)[:, None]
+    Phis = phi(basis, kerns, xg, jnp.asarray(xs))
+    wm, wv = web.predict(Phis)
+    gm, gv = grief.predict(xs)
+    np.testing.assert_allclose(wm, gm, rtol=1e-9)
+    np.testing.assert_allclose(wv, gv, rtol=1e-8)
+    # include_noise adds exactly sigma^2
+    wm2, wv2 = web.predict(Phis, include_noise=True)
+    np.testing.assert_allclose(wv2 - wv, np.exp(float(web.params["log_noise"])), rtol=1e-9)
+
+
+def test_gp_grief_kmeans_grid(rng):
+    # eq=False exercises the 1D k-means placement path end to end.
+    x, y = _sine_data(rng, n=150)
+    grid = InducingGrid.build(x, mbar=20, eq=False)
+    model = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=0.5)], grid, n_eigs=12, noise_var=0.2)
+    model.optimize(max_iters=30)
+    mean = model.predict(np.linspace(0.3, 3.7, 20)[:, None], compute_var=False)
+    rmse = float(np.sqrt(np.mean((mean - np.sin(2 * np.linspace(0.3, 3.7, 20))) ** 2)))
+    assert rmse < 0.15
