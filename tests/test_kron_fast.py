@@ -49,3 +49,15 @@ def test_last_slab_pass_interpret(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(x2) @ np.asarray(W).T, rtol=2e-4, atol=2e-4
     )
+
+
+def test_kron_matvec_fast_rectangular(rng):
+    factors = (
+        jnp.asarray(rng.standard_normal((4, 3))),
+        jnp.asarray(rng.standard_normal((5, 5))),
+        jnp.asarray(rng.standard_normal((2, 6))),
+    )
+    K = np.asarray(kron_expand(factors))
+    v = rng.standard_normal(K.shape[1])
+    got = kron_matvec_fast(factors, jnp.asarray(v), target_width=8)
+    np.testing.assert_allclose(np.asarray(got), K @ v, rtol=1e-9)
