@@ -143,6 +143,16 @@ class GPGriefModel(BaseModel):
             self._stats_jit = jax.jit(self._stats_from)
         self._basis = self._build_jit(self.params["kernels"])
         self._stats = self._stats_jit(self.params["kernels"], self._basis)
+        self._cached_for = self.params
+        # The NLML jit (BaseModel.log_likelihood) closes over self._stats at
+        # trace time; a re-anchored cache must invalidate it.
+        self.__dict__.pop("_loss_jit", None)
+
+    def _ensure_cache(self):
+        """Build/refresh the cached basis+stats if missing or stale (params
+        have been replaced since the last refresh)."""
+        if not hasattr(self, "_basis") or self._cached_for is not self.params:
+            self._refresh_cache()
 
     def refresh_basis(self):
         """Public re-anchor: rebuild the eigenbasis + cached statistics at the
@@ -177,6 +187,7 @@ class GPGriefModel(BaseModel):
         ``v``: ``(n,)`` or ``(n, B)``."""
         from gp_grief_tpu.kernels.grief import phi as _phi
 
+        self._ensure_cache()
         Phi = _phi(self._basis, self.params["kernels"], self.xg, self.x)
         w = jnp.exp(self.params["log_w"])
         sigma2 = jnp.exp(self.params["log_noise"])
@@ -207,6 +218,7 @@ class GPGriefModel(BaseModel):
 
         if key is None:
             key = jax.random.PRNGKey(0)
+        self._ensure_cache()
         n = self.x.shape[0]
 
         @jax.jit
@@ -236,8 +248,7 @@ class GPGriefModel(BaseModel):
         x_new = jnp.asarray(x_new, dtype=self.x.dtype)
         if x_new.ndim == 1:
             x_new = x_new[:, None]
-        if self.opt_kernel_params:
-            self._refresh_cache()
+        self._ensure_cache()
 
         if not hasattr(self, "_predict_jit"):
 

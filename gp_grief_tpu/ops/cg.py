@@ -58,7 +58,11 @@ def _cg_raw(
         return jnp.sqrt(_colsum(t * t))
 
     bnorm = _colnorm(b)  # (B,)
-    stop = tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
+    # Clamp the relative tolerance at ~20·eps of the working dtype: f64-grade
+    # defaults (1e-10) can never be met in f32, which would otherwise spin
+    # every solve to max_iters after stagnating near 1e-6.
+    eff_tol = max(float(tol), 20.0 * float(jnp.finfo(b.dtype).eps))
+    stop = eff_tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
 
     precond = M_inv if M_inv is not None else (lambda r: r)
 

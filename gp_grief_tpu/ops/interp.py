@@ -54,10 +54,19 @@ def interp_weights(x: jax.Array, xg: Sequence[jax.Array]) -> InterpWeights:
         gd = g.reshape(-1)
         m = gd.shape[0]
         xi = x[:, d]
+        if m == 1:
+            # Degenerate dimension (e.g. a constant feature column): all mass
+            # on the single grid point.
+            idxs.append(jnp.zeros(xi.shape, jnp.int32))
+            ws.append(
+                jnp.stack([jnp.ones_like(xi), jnp.zeros_like(xi)], axis=1).astype(x.dtype)
+            )
+            continue
         left = jnp.clip(jnp.searchsorted(gd, xi, side="right") - 1, 0, m - 2)
         g0 = gd[left]
         g1 = gd[left + 1]
-        t = jnp.clip((xi - g0) / (g1 - g0), 0.0, 1.0)
+        span = g1 - g0
+        t = jnp.clip((xi - g0) / jnp.where(span > 0, span, 1.0), 0.0, 1.0)
         idxs.append(left.astype(jnp.int32))
         ws.append(jnp.stack([1.0 - t, t], axis=1).astype(x.dtype))
     return InterpWeights(
@@ -66,10 +75,15 @@ def interp_weights(x: jax.Array, xg: Sequence[jax.Array]) -> InterpWeights:
 
 
 def _corner_flat_idx(iw: InterpWeights, offsets) -> jax.Array:
-    """Flat C-order grid index of one corner combination (n,)."""
+    """Flat C-order grid index of one corner combination (n,).
+
+    Corner indices clip to the dimension bound so phantom corners of
+    degenerate (m_d = 1) dimensions — whose weight is exactly zero — cannot
+    bleed into neighbouring flat indices.
+    """
     flat = None
     for d, (left, off) in enumerate(zip(iw.idx, offsets)):
-        comp = left + off
+        comp = jnp.minimum(left + off, iw.shape[d] - 1)
         flat = comp if flat is None else flat * iw.shape[d] + comp
     return flat
 

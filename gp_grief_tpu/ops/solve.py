@@ -51,11 +51,15 @@ def stable_cholesky(
     ]
 
     def attempt(j):
-        L = jnp.linalg.cholesky(A + j * diag_mean * eye)
-        ok = jnp.all(jnp.isfinite(L))
-        # Sanitize so the masked-out NaNs of failed attempts cannot poison
-        # gradients through the jnp.where selections below.
-        return jnp.nan_to_num(L), ok
+        M = A + j * diag_mean * eye
+        # Probe factorization decides success (no gradient flows through a
+        # boolean); the value used downstream re-factorizes a sanitized input
+        # so failed attempts contribute finite (and mask-zeroed) gradients —
+        # nan_to_num on the output alone would still leak NaN cotangents
+        # through the cholesky VJP.
+        ok = jnp.all(jnp.isfinite(jnp.linalg.cholesky(M)))
+        L = jnp.linalg.cholesky(jnp.where(ok, M, eye))
+        return L, ok
 
     L, ok = attempt(jnp.asarray(jitters[0], A.dtype))
     used = jnp.asarray(jitters[0], A.dtype)

@@ -69,17 +69,13 @@ def top_p_kron_eigs(
     for dd in range(1, d):
         log_d = jnp.log(jnp.clip(lams[dd].astype(dtype), min_eig, None))
         m_d = int(log_d.shape[0])
-        # All p × m_d candidate sums; -inf prefixes stay -inf.
+        # All p × m_d candidate sums; -inf prefixes (lattice smaller than p,
+        # padded at the first fold) stay -inf and sort to the tail.
         cand = sums[:, None] + log_d[None, :]
         flat = cand.reshape(-1)
-        k = min(p, p * m_d)
-        new_vals, flat_i = lax.top_k(flat, k)
+        new_vals, flat_i = lax.top_k(flat, p)
         prefix_i = (flat_i // m_d).astype(jnp.int32)
         col_i = (flat_i % m_d).astype(jnp.int32)
-        new_idx = jnp.take(idx, prefix_i, axis=0).at[:, dd].set(col_i)
-        if k < p:  # only possible when total lattice < p; pad
-            sums = jnp.full((p,), neg_inf, dtype).at[:k].set(new_vals)
-            idx = jnp.zeros((p, d), jnp.int32).at[:k].set(new_idx)
-        else:
-            sums, idx = new_vals, new_idx
+        idx = jnp.take(idx, prefix_i, axis=0).at[:, dd].set(col_i)
+        sums = new_vals
     return sums, idx

@@ -105,16 +105,20 @@ class ShardedGPGriefModel(BaseModel):
         if x_new.ndim == 1:
             x_new = x_new[:, None]
 
-        def _predict(params, x_new):
-            basis, stats = self._build_and_stats(params)
-            Lp, theta = basis_posterior(stats, params["log_w"], params["log_noise"])
-            Phis = phi(basis, params["kernels"], self.xg, x_new)
-            mean = Phis @ theta
-            sigma2 = jnp.exp(params["log_noise"])
-            A = jax.scipy.linalg.solve_triangular(Lp, Phis.T, lower=True)
-            return mean, sigma2 * jnp.sum(A**2, axis=0), sigma2
+        if not hasattr(self, "_predict_jit"):
 
-        mean, var, sigma2 = jax.jit(_predict)(self.params, x_new)
+            def _predict(params, x_new):
+                basis, stats = self._build_and_stats(params)
+                Lp, theta = basis_posterior(stats, params["log_w"], params["log_noise"])
+                Phis = phi(basis, params["kernels"], self.xg, x_new)
+                mean = Phis @ theta
+                sigma2 = jnp.exp(params["log_noise"])
+                A = jax.scipy.linalg.solve_triangular(Lp, Phis.T, lower=True)
+                return mean, sigma2 * jnp.sum(A**2, axis=0), sigma2
+
+            self._predict_jit = jax.jit(_predict)
+
+        mean, var, sigma2 = self._predict_jit(self.params, x_new)
         if not compute_var:
             return np.asarray(mean)
         if include_noise:

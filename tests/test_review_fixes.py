@@ -1,0 +1,81 @@
+"""Regression tests for the round-1 code-review findings (all were verified
+bugs before the fixes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gp_grief_tpu import GPGriefModel, GPRegression, InducingGrid, make_kernel
+from gp_grief_tpu.models.gp_ski import GPSKIRegression
+from gp_grief_tpu.ops import stable_cholesky
+from gp_grief_tpu.ops.cg import cg_solve
+from gp_grief_tpu.ops.interp import interp_matvec, interp_weights
+
+
+def test_interp_weights_single_point_dim(rng):
+    # Finding 1: m_d = 1 grid dims produced NaN weights.
+    xg = [jnp.asarray(np.linspace(0, 1, 6)[:, None]), jnp.asarray([[2.5]])]
+    x = jnp.asarray(np.stack([rng.uniform(0, 1, 10), np.full(10, 2.5)], axis=1))
+    iw = interp_weights(x, xg)
+    assert np.all(np.isfinite(np.asarray(iw.w[1])))
+    v = jnp.asarray(rng.standard_normal(6))
+    out = interp_matvec(iw, v)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # SKI end-to-end with a constant feature column
+    y = np.sin(4 * np.asarray(x)[:, 0]) + 0.01 * rng.standard_normal(10)
+    ski = GPSKIRegression(np.asarray(x), y, [make_kernel("rbf")] * 2, xg, noise_var=0.1)
+    assert np.isfinite(ski.log_likelihood())
+
+
+def test_refresh_basis_invalidates_nlml(rng):
+    # Finding 2: log_likelihood() returned stale values after refresh_basis().
+    x = rng.uniform(0, 4, size=(50, 1))
+    y = np.sin(2 * x[:, 0])
+    m = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=0.5)], n_eigs=8, mbar=10, noise_var=0.1)
+    ll_old = m.log_likelihood()
+    new_params = dict(m.params)
+    new_params["kernels"] = [make_kernel("rbf", lengthscale=1.5)]
+    m.params = new_params
+    m.refresh_basis()
+    ll_new = m.log_likelihood()
+    fresh = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=1.5)], n_eigs=8, mbar=10, noise_var=0.1)
+    np.testing.assert_allclose(ll_new, fresh.log_likelihood(), rtol=1e-10)
+    assert abs(ll_new - ll_old) > 1e-6
+
+
+def test_stable_cholesky_gradients_finite(rng):
+    # Finding 3: failed jitter attempts leaked NaN gradients.
+    U = rng.standard_normal((6, 2))
+    A = jnp.asarray(U @ U.T)  # singular: first attempt fails
+
+    def f(scale):
+        L, _ = stable_cholesky(A * scale)
+        return jnp.sum(L)
+
+    g = jax.grad(f)(1.0)
+    assert np.isfinite(float(g))
+
+
+def test_kernel_matvec_with_opt_kernel_params(rng):
+    # Finding 4: AttributeError (no _basis) before any predict call.
+    x = rng.uniform(0, 4, size=(40, 1))
+    y = np.sin(2 * x[:, 0])
+    m = GPGriefModel(
+        x, y, [make_kernel("rbf", lengthscale=0.5)], n_eigs=6, mbar=8,
+        noise_var=0.1, opt_kernel_params=True,
+    )
+    out = m.kernel_matvec(jnp.asarray(rng.standard_normal(40)))
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.isfinite(m.log_likelihood_iterative(num_probes=16, lanczos_iters=20))
+
+
+def test_cg_tolerance_clamped_in_f32(rng):
+    # Finding 5: sub-eps tolerances spun every f32 solve to max_iters.
+    n = 50
+    A_np = rng.standard_normal((n, n)).astype(np.float32)
+    A = jnp.asarray(A_np @ A_np.T + n * np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x, info = cg_solve(lambda v: A @ v, b, tol=1e-12, max_iters=400, return_info=True)
+    assert int(info.iterations) < 300  # stops at f32 stagnation, not max_iters
+    ref = np.linalg.solve(np.asarray(A, np.float64), np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-3, atol=1e-4)
