@@ -85,11 +85,16 @@ def kron_matvec_fast(
 ) -> jax.Array:
     """``(⊗_d K_d) @ v`` via grouped cyclic passes.
 
-    ``v``: ``(M,)`` or ``(M, B)``.  Exact f32 math (no precision tricks),
-    jittable, differentiable.  The layout-preserving Pallas trailing-slab
-    kernel (``ops.pallas``, 540 GB/s per pass) is NOT chained here because the
-    cyclic rotation invariant requires every pass to rotate — fusing it in
-    needs a rotation-free schedule, a round-2 optimization.
+    ``v``: ``(M,)`` or ``(M, B)``.  Jittable, differentiable.
+
+    ``precision`` picks the accuracy/bandwidth point (v5e, d=5×32 headline):
+    ``HIGHEST`` (default; X6 passes, rel err ~1e-7, 150 GB/s effective),
+    ``lax.DotAlgorithmPreset.BF16_BF16_F32_X3`` (2.4e-5, 231 GB/s), or
+    ``Precision.DEFAULT`` (bf16 products, ~3e-3, 401 GB/s — what bench.py
+    reports).  The layout-preserving Pallas trailing-slab kernel
+    (``ops.pallas``, 540 GB/s per pass) is NOT chained here because the cyclic
+    rotation invariant requires every pass to rotate — fusing it in needs a
+    rotation-free schedule, a round-2 optimization.
     """
     squeeze = v.ndim == 1
     if squeeze:
