@@ -32,7 +32,13 @@ def _timed_loop(step, init, iters=ITERS, warmup=1):
     def make(n):
         @jax.jit
         def run(v):
-            v = jax.lax.fori_loop(0, n, lambda i, vv: step(vv), v)
+            # optimization_barrier stops XLA from unrolling+fusing trivial
+            # bodies across iterations (observed: a bare saxpy chain collapsed
+            # into one pass, reporting 1.5 TB/s "stream").
+            def body(i, vv):
+                return jax.lax.optimization_barrier(step(vv))
+
+            v = jax.lax.fori_loop(0, n, body, v)
             return jnp.sum(v[:8])  # tiny fetch forces execution
 
         return run

