@@ -123,7 +123,12 @@ class GPRegression(BaseModel):
         key=None,
     ):
         """``solver``: ``"cholesky"`` (exact, O(n³)) or ``"iterative"``
-        (CG + SLQ — the reference's large-n path, SURVEY.md §3.2)."""
+        (CG + SLQ — the reference's large-n path, SURVEY.md §3.2).
+
+        The iterative objective holds its probe set fixed across optimizer
+        steps (sample-average approximation): the optimized surface is
+        deterministic and ``fit``'s convergence checks stay meaningful;
+        pass a fresh ``key`` between ``optimize`` calls to redraw."""
         x = jnp.asarray(x)
         y = jnp.asarray(y).reshape(-1)
         if x.ndim == 1:

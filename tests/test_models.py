@@ -189,7 +189,7 @@ def test_gp_web_equals_grief_given_same_basis(rng):
 def test_gp_grief_d100_stress(rng):
     # BASELINE.json config 5: d=100 grid → 10^100+ virtual inducing points;
     # basis build + predict must succeed.
-    d, n, p = 100, 30, 50
+    d, n, p = 100, 20, 16
     x = rng.uniform(0, 1, size=(n, d))
     grid = InducingGrid.build(x, mbar=10)
     assert grid.log10_num_virtual >= 99.9
