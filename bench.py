@@ -57,17 +57,15 @@ def _timed_loop(step, init, iters=ITERS, warmup=1):
     return max((best_of(long) - best_of(short)) / iters, 1e-9)
 
 
-def main():
+def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
     import jax
     import jax.numpy as jnp
 
     from gp_grief_tpu.ops import kron_matvec_fast as kron_matvec
 
     dtype = jnp.float32
-    # Bandwidth-bound shape: d=5 dims of 32 → m = 33.5M (134 MB vectors f32);
-    # arithmetic intensity per pass is m_d/4 = 8 flop/byte — far below the MXU
-    # ridge, so the matvec streams from HBM.
-    d, m_d = 5, 32
+    # Default shape is bandwidth-bound: d=5 dims of 32 → m = 33.5M (134 MB
+    # vectors f32) — the matvec streams from HBM.
     m = m_d**d
     rng = np.random.default_rng(0)
     # Normalize factors to ~unit spectral radius so 50 chained matvecs stay finite.
@@ -80,7 +78,9 @@ def main():
     v = jnp.asarray(rng.standard_normal((m,)), dtype=dtype)
 
     t_mv = _timed_loop(
-        lambda vv: kron_matvec(factors, vv, precision=jax.lax.Precision.DEFAULT), v
+        lambda vv: kron_matvec(factors, vv, precision=jax.lax.Precision.DEFAULT),
+        v,
+        iters=iters,
     )
     # Algorithmic traffic: each of the d passes reads and writes the lattice
     # once (factor matrices are negligible).
@@ -88,7 +88,7 @@ def main():
 
     # Stream speed-of-light proxy: y = 2y + 1 reads m + writes m per iter.
     x = jnp.asarray(rng.standard_normal((m,)), dtype=dtype)
-    t_st = _timed_loop(lambda vv: 2.0 * vv + 1.0, x)
+    t_st = _timed_loop(lambda vv: 2.0 * vv + 1.0, x, iters=iters)
     stream_gbs = 2 * m * x.dtype.itemsize / t_st / 1e9
 
     target = 0.70 * stream_gbs
