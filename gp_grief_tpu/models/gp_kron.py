@@ -41,6 +41,22 @@ def _lam_kron(lams):
     return lam
 
 
+def _clamp_psd(lams):
+    """Clamp per-dim eigenvalues at their round-off floor.
+
+    Kernel Gram factors are PSD, but finite-precision ``eigh`` returns small
+    negatives (~eps·λmax; ≈1e-5 in f32 at m_d=128).  Left unclamped they get
+    *amplified* by the other dimensions' λmax in the Kronecker product —
+    λ_⊗ ≈ −eps·Πλmax can exceed σ², and ``log(λ_⊗+σ²)`` goes NaN.
+    """
+    out = []
+    for lam in lams:
+        eps = jnp.finfo(lam.dtype).eps
+        floor = 10.0 * eps * jnp.max(lam)
+        out.append(jnp.maximum(lam, floor))
+    return tuple(out)
+
+
 class GPKroneckerRegression(BaseModel):
     """Exact GP on a Cartesian grid: ``GPKroneckerRegression(xg, y, kern_list)``.
 
@@ -89,6 +105,7 @@ class GPKroneckerRegression(BaseModel):
         sigma2 = jnp.exp(log_noise)
         factors = self._factors(kerns)
         Qs, lams = kron_eigh(factors)
+        lams = _clamp_psd(lams)
         lam = _lam_kron(lams)
         if self.solver == "schur":
             z = kron_matvec(tuple(Q.T for Q in Qs), self.y)
@@ -120,6 +137,7 @@ class GPKroneckerRegression(BaseModel):
                 sigma2 = jnp.exp(log_noise)
                 factors = self._factors(kerns)
                 Qs, lams = kron_eigh(factors)
+                lams = _clamp_psd(lams)
                 alpha = kron_solve_schur(Qs, lams, self.y, sigma2)
                 Kx = cross_cov_grid(kerns, x_new, self.xg)  # KR factors (n*, m_d)
                 mean = kr_matvec(list(Kx), alpha)
