@@ -41,6 +41,25 @@ def _kmeans_1d(x: np.ndarray, k: int, iters: int = 25, seed: int = 0) -> np.ndar
     return np.sort(centers)
 
 
+def _kmeans_nd(x: np.ndarray, k: int, iters: int = 25, seed: int = 0) -> np.ndarray:
+    """Lloyd's algorithm for multi-column grid dimensions (sub_dim > 1)."""
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        new = np.stack(
+            [
+                x[assign == j].mean(axis=0) if np.any(assign == j) else centers[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
 @dataclasses.dataclass(frozen=True)
 class InducingGrid:
     """Cartesian inducing grid: per-dim point arrays ``xg[d]`` of shape ``(m_d, 1)``.
@@ -67,6 +86,8 @@ class InducingGrid:
     def log10_num_virtual(self) -> float:
         return sum(math.log10(m) for m in self.grid_shape)
 
+    dims: Tuple[Tuple[int, ...], ...] = None  # input columns per grid dim
+
     @classmethod
     def build(
         cls,
@@ -75,39 +96,59 @@ class InducingGrid:
         eq: bool = True,
         pad: float = 0.05,
         seed: int = 0,
+        dims: Sequence[Sequence[int]] | None = None,
     ) -> "InducingGrid":
         """Construct from data ``x`` of shape ``(n, d)``.
 
         Args:
-          mbar: per-dimension point budget (scalar or one per dimension).
+          mbar: per-grid-dimension point budget (scalar or one per grid dim).
           eq: equispaced placement when the unique values exceed the budget;
-            ``False`` selects 1D k-means centers instead (the reference's two
+            ``False`` selects k-means centers instead (the reference's two
             placement modes).
           pad: relative range padding for equispaced placement.
+          dims: optional grouping of input columns into grid dimensions (the
+            reference's ``sub_dim`` capability: ``xg[d]`` of shape
+            ``(m_d, sub_dim)``).  Default: one grid dim per input column.
+            Multi-column groups always use k-means placement.
         """
         x = np.asarray(x, dtype=np.float64)
         if x.ndim == 1:
             x = x[:, None]
         n, d = x.shape
-        mbars = [int(mbar)] * d if np.isscalar(mbar) else [int(m) for m in mbar]
-        if len(mbars) != d:
-            raise ValueError(f"mbar must be scalar or length {d}")
+        groups = (
+            tuple(tuple(int(c) for c in g) for g in dims)
+            if dims is not None
+            else tuple((c,) for c in range(d))
+        )
+        covered = sorted(c for g in groups for c in g)
+        if covered != list(range(d)):
+            raise ValueError(f"dims must cover every input column exactly once, got {groups}")
+        ng = len(groups)
+        mbars = [int(mbar)] * ng if np.isscalar(mbar) else [int(m) for m in mbar]
+        if len(mbars) != ng:
+            raise ValueError(f"mbar must be scalar or length {ng} (one per grid dim)")
         xg = []
-        for dd in range(d):
-            col = x[:, dd]
-            uniq = np.unique(col)
-            if uniq.size <= mbars[dd]:
-                pts = uniq
-            elif eq:
-                lo, hi = col.min(), col.max()
-                span = hi - lo
-                pts = np.linspace(lo - pad * span, hi + pad * span, mbars[dd])
+        for gi, cols in enumerate(groups):
+            sub = x[:, list(cols)]
+            if len(cols) == 1:
+                col = sub[:, 0]
+                uniq = np.unique(col)
+                if uniq.size <= mbars[gi]:
+                    pts = uniq[:, None]
+                elif eq:
+                    lo, hi = col.min(), col.max()
+                    span = hi - lo
+                    pts = np.linspace(lo - pad * span, hi + pad * span, mbars[gi])[:, None]
+                else:
+                    pts = _kmeans_1d(col, mbars[gi], seed=seed)[:, None]
             else:
-                pts = _kmeans_1d(col, mbars[dd], seed=seed)
-            xg.append(pts[:, None])
+                uniq = np.unique(sub, axis=0)
+                pts = uniq if len(uniq) <= mbars[gi] else _kmeans_nd(sub, mbars[gi], seed=seed)
+            xg.append(pts)
         return cls(
             xg=tuple(xg),
             grid_shape=tuple(int(g.shape[0]) for g in xg),
             input_dim=d,
             num_data=n,
+            dims=groups,
         )

@@ -62,6 +62,11 @@ class GPGriefModel(BaseModel):
         self.x, self.y = x, y
         self.grid = grid
         self.xg = tuple(jnp.asarray(g, dtype=x.dtype) for g in grid.xg)
+        # Grouped grid dimensions (reference sub_dim > 1): column mapping for
+        # the cross-covariance factors.
+        self.dims = getattr(grid, "dims", None)
+        if self.dims is not None and all(len(g) == 1 for g in self.dims):
+            self.dims = None  # trivial mapping; keep the fast default path
         # Mirror build_basis's clamp so log_w matches the realizable basis size.
         self.n_eigs = int(n_eigs)
         if grid.log10_num_virtual < 18:  # lattice countable in int64
@@ -101,7 +106,7 @@ class GPGriefModel(BaseModel):
     def _stats_from(self, kerns, basis: GriefBasis) -> BasisStats:
         n = self.x.shape[0]
         if n <= self.stats_chunk:
-            Phi = phi(basis, kerns, self.xg, self.x)
+            Phi = phi(basis, kerns, self.xg, self.x, dims=self.dims)
             return BasisStats(
                 C=Phi.T @ Phi,
                 v=Phi.T @ self.y,
@@ -123,7 +128,7 @@ class GPGriefModel(BaseModel):
         def body(carry, inp):
             C, v, yy = carry
             xk, yk, mk = inp
-            Phik = phi(basis, kerns, self.xg, xk) * mk[:, None]
+            Phik = phi(basis, kerns, self.xg, xk, dims=self.dims) * mk[:, None]
             return (
                 C + Phik.T @ Phik,
                 v + Phik.T @ yk,
@@ -188,7 +193,7 @@ class GPGriefModel(BaseModel):
         from gp_grief_tpu.kernels.grief import phi as _phi
 
         self._ensure_cache()
-        Phi = _phi(self._basis, self.params["kernels"], self.xg, self.x)
+        Phi = _phi(self._basis, self.params["kernels"], self.xg, self.x, dims=self.dims)
         w = jnp.exp(self.params["log_w"])
         sigma2 = jnp.exp(self.params["log_noise"])
         squeeze = v.ndim == 1
@@ -223,7 +228,7 @@ class GPGriefModel(BaseModel):
 
         @jax.jit
         def _nlml(params, key):
-            Phi = _phi(self._basis, params["kernels"], self.xg, self.x)
+            Phi = _phi(self._basis, params["kernels"], self.xg, self.x, dims=self.dims)
             w = jnp.exp(params["log_w"])
             sigma2 = jnp.exp(params["log_noise"])
 
@@ -257,7 +262,7 @@ class GPGriefModel(BaseModel):
                 Lp, theta = basis_posterior(
                     stats, params["log_w"], params["log_noise"]
                 )
-                Phis = phi(basis, kerns, self.xg, x_new)
+                Phis = phi(basis, kerns, self.xg, x_new, dims=self.dims)
                 mean = Phis @ theta
                 sigma2 = jnp.exp(params["log_noise"])
                 A = jax.scipy.linalg.solve_triangular(Lp, Phis.T, lower=True)

@@ -160,6 +160,12 @@ def checkgrad(
     ``(index, analytic, numerical, relative_error)`` over the flattened
     parameter vector — the reference's ``checkgrad`` table (SURVEY.md §3.5)
     with the roles of analytic/numerical swapped.
+
+    Check at *generic* parameter points: near an optimum with ill-scaled
+    directions (e.g. ``log w`` components driven to −∞ so ``σ²/w`` is huge)
+    the FD *truncation* term ``eps²·f‴/6`` dominates the tiny true gradients
+    and the comparison is meaningless — the analytic gradient is exact either
+    way (it is what the FD quotient converges to as eps→0).
     """
     flat, unravel = ravel_pytree(params)
     flat = np.asarray(flat, dtype=np.float64)
@@ -168,9 +174,15 @@ def checkgrad(
         return float(loss_fn(unravel(jnp.asarray(vec, dtype=flat.dtype))))
 
     analytic = np.asarray(ravel_pytree(jax.grad(loss_fn)(params))[0], dtype=np.float64)
-    # Components far below the overall gradient scale sit in finite-difference
-    # truncation noise (e.g. at an optimum); don't fail on them.
-    noise_floor = 1e-6 * max(1.0, float(np.linalg.norm(analytic)))
+    # Components far below the finite-difference noise scale can't be checked:
+    # central differences carry ~|f|·ε_mach/eps round-off plus eps²·f''' _
+    # truncation, so the floor scales with both the gradient norm and |f|
+    # (matters near an optimum of a large-|NLML| objective).
+    f0 = abs(float(loss_fn(params)))
+    noise_floor = max(
+        1e-6 * max(1.0, float(np.linalg.norm(analytic))),
+        1e-8 * (1.0 + f0),
+    )
     rows = []
     ok = True
     for i in range(flat.size):

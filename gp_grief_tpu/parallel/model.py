@@ -58,6 +58,12 @@ class ShardedGPGriefModel(BaseModel):
             x = x[:, None]
         if grid is None:
             grid = InducingGrid.build(x, mbar=mbar)
+        gdims = getattr(grid, "dims", None)
+        if gdims is not None and any(len(g) > 1 for g in gdims):
+            raise NotImplementedError(
+                "grouped grid dimensions (sub_dim > 1) are not wired through the "
+                "sharded reductions yet — use GPGriefModel"
+            )
         self.grid = grid
         self.mesh = mesh if mesh is not None else data_mesh(axis_name=axis_name)
         self.axis_name = axis_name

@@ -155,3 +155,28 @@ def test_inducing_grid_modes(rng):
     # log10 virtual count sane
     big = InducingGrid.build(rng.standard_normal((50, 100)), mbar=10)
     assert big.log10_num_virtual == pytest.approx(100.0)
+
+
+def test_inducing_grid_grouped_dims(rng):
+    # The reference's sub_dim capability: grid dims spanning multiple columns.
+    x = rng.standard_normal((300, 4))
+    g = InducingGrid.build(x, mbar=[8, 25], dims=[[0], [1, 2, 3]])
+    assert g.grid_dim == 2
+    assert g.xg[0].shape[1] == 1 and g.xg[1].shape == (25, 3)
+    assert g.dims == ((0,), (1, 2, 3))
+
+
+def test_grief_model_grouped_dims(rng):
+    from gp_grief_tpu import GPGriefModel
+
+    n = 120
+    x = rng.uniform(0, 1, size=(n, 3))
+    y = np.sin(4 * x[:, 0]) + 0.5 * x[:, 1] * x[:, 2] + 0.03 * rng.standard_normal(n)
+    grid = InducingGrid.build(x, mbar=[12, 30], dims=[[0], [1, 2]])
+    kerns = [make_kernel("rbf", lengthscale=0.4), make_kernel("rbf", lengthscale=0.6, input_dim=2)]
+    model = GPGriefModel(x, y, kerns, grid, n_eigs=25, noise_var=0.2)
+    assert np.isfinite(model.log_likelihood())
+    model.optimize(max_iters=40)
+    mean, var = model.predict(x[:15])
+    rmse = float(np.sqrt(np.mean((mean - (np.sin(4 * x[:15, 0]) + 0.5 * x[:15, 1] * x[:15, 2])) ** 2)))
+    assert rmse < 0.2 and np.all(var >= 0)
