@@ -101,8 +101,8 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
                 "vs_baseline": round(kron_gbs / target, 4),
                 "detail": {
                     "shape": f"(kron {d}x{m_d}^2)·v, m={m}",
-                    "dtype": "float32 data, bf16 MXU products (Precision.DEFAULT; rel err ~3e-3 vs f64;"
-                    " X3 algorithm: 231 GB/s at 2.4e-5; X6/HIGHEST: 150 GB/s at 1.4e-7)",
+                    "dtype": "float32 data, Precision.DEFAULT dots (bf16 MXU products on TPU;"
+                    " measured accuracy/bandwidth curve: benchmarks/RESULTS_r1.md)",
                     "matvec_ms": round(t_mv * 1e3, 3),
                     "stream_GBs": round(stream_gbs, 2),
                     "target_GBs(0.7xstream)": round(target, 2),

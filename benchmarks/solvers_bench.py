@@ -22,7 +22,6 @@ def main(m_d: int = 32, d: int = 5, sigma2: float = 0.5):
     import jax
     import jax.numpy as jnp
 
-    import gp_grief_tpu as gpx
     from gp_grief_tpu.ops import cg_solve, group_factors, kron_matvec_fast, slq_logdet
 
     dtype = jnp.float32
@@ -35,8 +34,8 @@ def main(m_d: int = 32, d: int = 5, sigma2: float = 0.5):
         factors.append(jnp.asarray(A @ A.T / m_d + np.eye(m_d), dtype=dtype))
     factors = tuple(factors)
     y = jnp.asarray(rng.standard_normal(m), dtype=dtype)
-    # Pre-group the super-factors once so the while_loop body contains no
-    # re-materialization (LICM through while_loop is not guaranteed).
+    # Group once up front (grouping happens at trace time either way; this
+    # just keeps the matvec closure's input canonical).
     gf = group_factors(factors)
 
     def mv(v):

@@ -32,7 +32,43 @@ from gp_grief_tpu.kernels.grief import GriefBasis, build_basis, phi
 from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel, BasisStats, basis_nlml, basis_posterior
 
-__all__ = ["GPGriefModel"]
+__all__ = ["GPGriefModel", "init_grief_state"]
+
+
+
+def init_grief_state(x, y, kern_list, grid, n_eigs, noise_var, mbar, dtype):
+    """Shared constructor plumbing for GRIEF-family models (single-chip and
+    sharded): coerce data, default the grid, clamp ``n_eigs`` to the
+    realizable lattice, broadcast/validate/cast the kernel list, and build the
+    parameter pytree.  Returns ``(x, y, grid, xg, n_eigs, dims, params)``."""
+    x = jnp.asarray(x, dtype=dtype)
+    y = jnp.asarray(y, dtype=dtype).reshape(-1)
+    if x.ndim == 1:
+        x = x[:, None]
+    if grid is None:
+        grid = InducingGrid.build(np.asarray(x), mbar=mbar)
+    xg = tuple(jnp.asarray(g, dtype=x.dtype) for g in grid.xg)
+    n_eigs = int(n_eigs)
+    if grid.log10_num_virtual < 18:  # lattice countable in int64
+        n_eigs = min(n_eigs, int(np.prod(grid.grid_shape)))
+    dims = getattr(grid, "dims", None)
+    if dims is not None and all(len(g) == 1 for g in dims):
+        dims = None  # trivial mapping; keep the fast default path
+    kerns = (
+        list(kern_list)
+        if isinstance(kern_list, (list, tuple))
+        else [kern_list] * grid.grid_dim
+    )
+    if len(kerns) != grid.grid_dim:
+        raise ValueError(f"need {grid.grid_dim} kernels, got {len(kerns)}")
+    # Keep every parameter leaf in the working dtype (f32 on TPU).
+    kerns = jax.tree.map(lambda a: jnp.asarray(a, dtype=x.dtype), kerns)
+    params = {
+        "log_w": jnp.zeros((n_eigs,), dtype=x.dtype),
+        "log_noise": inverse_positive(noise_var).astype(x.dtype),
+        "kernels": kerns,
+    }
+    return x, y, grid, xg, n_eigs, dims, params
 
 
 class GPGriefModel(BaseModel):
@@ -53,42 +89,13 @@ class GPGriefModel(BaseModel):
         mbar: int = 10,
         dtype=None,
     ):
-        x = jnp.asarray(x, dtype=dtype)
-        y = jnp.asarray(y, dtype=dtype).reshape(-1)
-        if x.ndim == 1:
-            x = x[:, None]
-        if grid is None:
-            grid = InducingGrid.build(np.asarray(x), mbar=mbar)
-        self.x, self.y = x, y
-        self.grid = grid
-        self.xg = tuple(jnp.asarray(g, dtype=x.dtype) for g in grid.xg)
-        # Grouped grid dimensions (reference sub_dim > 1): column mapping for
-        # the cross-covariance factors.
-        self.dims = getattr(grid, "dims", None)
-        if self.dims is not None and all(len(g) == 1 for g in self.dims):
-            self.dims = None  # trivial mapping; keep the fast default path
-        # Mirror build_basis's clamp so log_w matches the realizable basis size.
-        self.n_eigs = int(n_eigs)
-        if grid.log10_num_virtual < 18:  # lattice countable in int64
-            self.n_eigs = min(self.n_eigs, int(np.prod(grid.grid_shape)))
+        (self.x, self.y, self.grid, self.xg, self.n_eigs, self.dims,
+         self.params) = init_grief_state(
+            x, y, kern_list, grid, n_eigs, noise_var, mbar, dtype
+        )
         self.reweight_eig_funs = bool(reweight_eig_funs)
         self.opt_kernel_params = bool(opt_kernel_params)
         self.dim_noise_var = float(dim_noise_var)
-        kerns = (
-            list(kern_list)
-            if isinstance(kern_list, (list, tuple))
-            else [kern_list] * grid.grid_dim
-        )
-        if len(kerns) != grid.grid_dim:
-            raise ValueError(f"need {grid.grid_dim} kernels, got {len(kerns)}")
-        # Keep every parameter leaf in the working dtype (f32 on TPU).
-        kerns = jax.tree.map(lambda a: jnp.asarray(a, dtype=x.dtype), kerns)
-
-        self.params = {
-            "log_w": jnp.zeros((self.n_eigs,), dtype=x.dtype),
-            "log_noise": inverse_positive(noise_var).astype(x.dtype),
-            "kernels": kerns,
-        }
         if not self.opt_kernel_params:
             # Fixed basis: build once, cache the O(n·p²) reductions.
             self._refresh_cache()
@@ -142,22 +149,38 @@ class GPGriefModel(BaseModel):
         )
         return BasisStats(C=C, v=v, yy=yy, n=n)
 
+    def _kern_fingerprint(self):
+        """Value-based fingerprint of the kernel hyperparameters (the only
+        params the cached basis/stats depend on).  Kernel leaves are tiny, so
+        the host sync is negligible; value comparison catches in-place
+        mutation of ``self.params`` and avoids spurious rebuilds after
+        reweight-only training (where the kernels are bit-identical)."""
+        return tuple(
+            np.asarray(leaf).tobytes()
+            for leaf in jax.tree_util.tree_leaves(self.params["kernels"])
+        )
+
     def _refresh_cache(self):
         if not hasattr(self, "_build_jit"):
             self._build_jit = jax.jit(self._build)
             self._stats_jit = jax.jit(self._stats_from)
         self._basis = self._build_jit(self.params["kernels"])
         self._stats = self._stats_jit(self.params["kernels"], self._basis)
-        self._cached_for = self.params
+        self._cached_for = self._kern_fingerprint()
         # The NLML jit (BaseModel.log_likelihood) closes over self._stats at
         # trace time; a re-anchored cache must invalidate it.
         self.__dict__.pop("_loss_jit", None)
 
     def _ensure_cache(self):
-        """Build/refresh the cached basis+stats if missing or stale (params
-        have been replaced since the last refresh)."""
-        if not hasattr(self, "_basis") or self._cached_for is not self.params:
+        """Build/refresh the cached basis+stats if missing or stale (kernel
+        values changed since the last refresh, by replacement OR mutation)."""
+        if not hasattr(self, "_basis") or self._cached_for != self._kern_fingerprint():
             self._refresh_cache()
+
+    def log_likelihood(self) -> float:
+        if not self.opt_kernel_params:
+            self._ensure_cache()  # _loss reads the cached stats
+        return super().log_likelihood()
 
     def refresh_basis(self):
         """Public re-anchor: rebuild the eigenbasis + cached statistics at the

@@ -77,6 +77,12 @@ class GPKroneckerRegression(BaseModel):
         cg_iters: int = 1000,
     ):
         self.xg = tuple(jnp.asarray(g) for g in xg)
+        if any(g.ndim == 2 and g.shape[1] > 1 for g in self.xg):
+            raise NotImplementedError(
+                "multi-column (sub_dim > 1) grid dimensions are not wired through "
+                "GPKroneckerRegression.predict's cross-covariances — use "
+                "GPGriefModel with grouped dims"
+            )
         y = jnp.asarray(y).reshape(-1)
         m = int(np.prod([g.shape[0] for g in self.xg]))
         assert y.shape[0] == m, f"y must have {m} grid responses"

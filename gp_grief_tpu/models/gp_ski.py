@@ -61,6 +61,11 @@ class GPSKIRegression(BaseModel):
             grid = InducingGrid.build(np.asarray(x), mbar=mbar)
         xg = grid.xg if isinstance(grid, InducingGrid) else grid
         self.xg = tuple(jnp.asarray(g, dtype=x.dtype) for g in xg)
+        if any(g.ndim == 2 and g.shape[1] > 1 for g in self.xg):
+            raise NotImplementedError(
+                "multi-column (sub_dim > 1) grid dimensions are not supported by "
+                "linear grid interpolation — use GPGriefModel with grouped dims"
+            )
         self.x, self.y = x, y
         self.iw = interp_weights(x, self.xg)
         self.dim_noise_var = float(dim_noise_var)

@@ -18,10 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from gp_grief_tpu.grid import InducingGrid
-from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.grief import build_basis, phi
 from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel, basis_nlml, basis_posterior
+from gp_grief_tpu.models.gp_grief import init_grief_state
 from gp_grief_tpu.parallel.mesh import data_mesh
 from gp_grief_tpu.parallel.sharded import pad_to_multiple, sharded_basis_stats
 
@@ -52,14 +52,10 @@ class ShardedGPGriefModel(BaseModel):
         axis_name: str = "data",
         dtype=None,
     ):
-        x = np.asarray(x, dtype=dtype)
-        y = np.asarray(y, dtype=dtype).reshape(-1)
-        if x.ndim == 1:
-            x = x[:, None]
-        if grid is None:
-            grid = InducingGrid.build(x, mbar=mbar)
-        gdims = getattr(grid, "dims", None)
-        if gdims is not None and any(len(g) > 1 for g in gdims):
+        x_j, y_j, grid, self.xg, self.n_eigs, dims, self.params = init_grief_state(
+            x, y, kern_list, grid, n_eigs, noise_var, mbar, dtype
+        )
+        if dims is not None:
             raise NotImplementedError(
                 "grouped grid dimensions (sub_dim > 1) are not wired through the "
                 "sharded reductions yet — use GPGriefModel"
@@ -68,29 +64,12 @@ class ShardedGPGriefModel(BaseModel):
         self.mesh = mesh if mesh is not None else data_mesh(axis_name=axis_name)
         self.axis_name = axis_name
         n_dev = int(np.prod(self.mesh.devices.shape))
-        xp, mask = pad_to_multiple(x, n_dev)
-        yp, _ = pad_to_multiple(y, n_dev)
-        self.n_real = x.shape[0]
+        xp, mask = pad_to_multiple(np.asarray(x_j), n_dev)
+        yp, _ = pad_to_multiple(np.asarray(y_j), n_dev)
+        self.n_real = x_j.shape[0]
         self.x, self.y = jnp.asarray(xp), jnp.asarray(yp)
         self.mask = jnp.asarray(mask)
-        self.xg = tuple(jnp.asarray(g, dtype=self.x.dtype) for g in grid.xg)
-        self.n_eigs = int(n_eigs)
-        if grid.log10_num_virtual < 18:
-            self.n_eigs = min(self.n_eigs, int(np.prod(grid.grid_shape)))
         self.dim_noise_var = float(dim_noise_var)
-        kerns = (
-            list(kern_list)
-            if isinstance(kern_list, (list, tuple))
-            else [kern_list] * grid.grid_dim
-        )
-        if len(kerns) != grid.grid_dim:
-            raise ValueError(f"need {grid.grid_dim} kernels, got {len(kerns)}")
-        kerns = jax.tree.map(lambda a: jnp.asarray(a, dtype=self.x.dtype), kerns)
-        self.params = {
-            "log_w": jnp.zeros((self.n_eigs,), dtype=self.x.dtype),
-            "log_noise": inverse_positive(noise_var).astype(self.x.dtype),
-            "kernels": kerns,
-        }
 
     def _build_and_stats(self, params):
         basis = build_basis(

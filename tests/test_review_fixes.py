@@ -79,3 +79,56 @@ def test_cg_tolerance_clamped_in_f32(rng):
     assert int(info.iterations) < 300  # stops at f32 stagnation, not max_iters
     ref = np.linalg.solve(np.asarray(A, np.float64), np.asarray(b, np.float64))
     np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_inplace_kernel_mutation_detected(rng):
+    # Review round 2, finding 1: mutating self.params in place must invalidate
+    # the cached basis (identity check missed it).
+    x = rng.uniform(0, 4, size=(40, 1))
+    y = np.sin(2 * x[:, 0])
+    m = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=0.5)], n_eigs=6, mbar=8, noise_var=0.1)
+    m.predict(x[:3])
+    m.params["kernels"] = [make_kernel("rbf", lengthscale=1.7)]  # in-place
+    mean2 = m.predict(x[:3], compute_var=False)
+    fresh = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=1.7)], n_eigs=6, mbar=8, noise_var=0.1)
+    np.testing.assert_allclose(mean2, fresh.predict(x[:3], compute_var=False), rtol=1e-10)
+
+
+def test_log_likelihood_order_independent(rng):
+    # Review round 2, finding 2: log_likelihood after a params change must not
+    # depend on whether predict() happened to run in between.
+    x = rng.uniform(0, 4, size=(40, 1))
+    y = np.sin(2 * x[:, 0])
+
+    def make_pair():
+        m = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=0.5)], n_eigs=6, mbar=8, noise_var=0.1)
+        m.log_likelihood()
+        m.params = {**m.params, "kernels": [make_kernel("rbf", lengthscale=1.4)]}
+        return m
+
+    a = make_pair()
+    ll_direct = a.log_likelihood()
+    b = make_pair()
+    b.predict(x[:2])
+    ll_after_predict = b.log_likelihood()
+    np.testing.assert_allclose(ll_direct, ll_after_predict, rtol=1e-12)
+
+
+def test_reweight_optimize_no_spurious_rebuild(rng):
+    # Review round 2, finding 3: reweight-only training leaves kernels
+    # bit-identical, so predict must NOT re-run the O(n p^2) reductions.
+    x = rng.uniform(0, 4, size=(60, 1))
+    y = np.sin(2 * x[:, 0])
+    m = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=0.5)], n_eigs=6, mbar=8, noise_var=0.1)
+    m.optimize(max_iters=5)
+    calls = {"n": 0}
+    orig = m._refresh_cache
+
+    def counting():
+        calls["n"] += 1
+        return orig()
+
+    m._refresh_cache = counting
+    m.predict(x[:3])
+    m.log_likelihood()
+    assert calls["n"] == 0
