@@ -96,6 +96,50 @@ def _cg_raw(
     return x, CGInfo(iterations=k, residual_norm=_colnorm(r))
 
 
+def _cg_fixed(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    num_iters: int,
+    M_inv: Optional[Callable[[jax.Array], jax.Array]],
+    axis_name: Optional[str] = None,
+):
+    """Fixed-iteration CG as a ``lax.scan`` — no convergence test, so each
+    iteration skips the residual-norm pass and the loop carries no branch.
+    Use when the iteration count is known/budgeted (batched solves, profiling,
+    sharded contexts where the ``cond`` reduction costs a collective)."""
+
+    def _colsum(t):
+        s = jnp.sum(t, axis=0)
+        return lax.psum(s, axis_name) if axis_name is not None else s
+
+    precond = M_inv if M_inv is not None else (lambda r: r)
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    rz0 = _colsum(r0 * z0)
+
+    def body(state, _):
+        x, r, z, p, rz = state
+        Ap = matvec(p)
+        pAp = _colsum(p * Ap)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        alpha = jnp.where(pAp == 0, 0.0, alpha)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        z = precond(r)
+        rz_new = _colsum(r * z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        beta = jnp.where(rz == 0, 0.0, beta)
+        p = z + beta[None, :] * p
+        return (x, r, z, p, rz_new), None
+
+    (x, r, _, _, _), _ = lax.scan(body, (x0, r0, z0, z0, rz0), None, length=num_iters)
+    return x, CGInfo(
+        iterations=jnp.asarray(num_iters, jnp.int32),
+        residual_norm=jnp.sqrt(_colsum(r * r)),
+    )
+
+
 def cg_solve(
     matvec: Callable[[jax.Array], jax.Array],
     b: jax.Array,
@@ -106,6 +150,7 @@ def cg_solve(
     M_inv: Optional[Callable[[jax.Array], jax.Array]] = None,
     return_info: bool = False,
     axis_name: Optional[str] = None,
+    fixed_iters: Optional[int] = None,
 ):
     """Solve ``A x = b`` for symmetric positive-definite ``A`` given only a matvec.
 
@@ -123,20 +168,28 @@ def cg_solve(
         The info path is not differentiable (use the default path under grad).
       axis_name: mesh axis the system rows are sharded over (``shard_map``
         context); inner products become ``psum`` collectives over ICI.
+      fixed_iters: run exactly this many iterations as a branch-free
+        ``lax.scan`` instead of the tolerance-tested ``while_loop`` (skips the
+        per-iteration residual-norm pass; right for budgeted/profiled solves).
     """
     squeeze = b.ndim == 1
     bb = b[:, None] if squeeze else b
     x0b = jnp.zeros_like(bb) if x0 is None else (x0[:, None] if squeeze else x0)
 
+    def _raw(mv, rhs, start):
+        if fixed_iters is not None:
+            return _cg_fixed(mv, rhs, start, fixed_iters, M_inv, axis_name)
+        return _cg_raw(mv, rhs, start, tol, max_iters, M_inv, axis_name)
+
     if return_info:
-        x, info = _cg_raw(matvec, bb, x0b, tol, max_iters, M_inv, axis_name)
+        x, info = _raw(matvec, bb, x0b)
         return (x[:, 0] if squeeze else x), info
 
     def _solve(mv, rhs):
         # x0 only applies to the primal solve; custom_linear_solve re-invokes
         # this for the adjoint where the rhs differs, so a zero start is used
         # there via the same closure (x0b is shaped like bb in both cases).
-        x, _ = _cg_raw(mv, rhs, jnp.zeros_like(rhs), tol, max_iters, M_inv, axis_name)
+        x, _ = _raw(mv, rhs, jnp.zeros_like(rhs))
         return x
 
     if x0 is not None:

@@ -160,3 +160,20 @@ def test_stable_cholesky_and_solve(rng):
     L2, used2 = stable_cholesky(S)
     assert float(used2) > 0.0
     assert np.all(np.isfinite(np.asarray(L2)))
+
+
+def test_cg_fixed_iters_matches_while(rng):
+    n = 40
+    A = jnp.asarray(_spd(rng, n))
+    b = jnp.asarray(rng.standard_normal((n, 3)))
+    x_w = cg_solve(lambda v: A @ v, b, tol=1e-13, max_iters=200)
+    x_f, info = cg_solve(lambda v: A @ v, b, fixed_iters=80, return_info=True)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_w), rtol=1e-8, atol=1e-10)
+    assert int(info.iterations) == 80
+    # differentiable through custom_linear_solve as well
+    theta0 = 0.3
+    g = jax.grad(
+        lambda t: jnp.dot(b[:, 0], cg_solve(lambda v: A @ v + t * v, b[:, 0], fixed_iters=100))
+    )(theta0)
+    Ainv_b = np.linalg.solve(np.asarray(A) + theta0 * np.eye(n), np.asarray(b[:, 0]))
+    np.testing.assert_allclose(float(g), -(Ainv_b @ Ainv_b), rtol=1e-6)
