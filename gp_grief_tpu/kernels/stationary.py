@@ -26,6 +26,19 @@ __all__ = ["Stationary", "make_kernel", "KERNEL_KINDS"]
 
 KERNEL_KINDS = ("rbf", "exponential", "matern12", "matern32", "matern52")
 
+# GPy-style spelling aliases (the reference passes GPy kernel names through
+# its GPyKernel adapter — SURVEY.md §2 #11).
+_KIND_ALIASES = {
+    "expquad": "rbf",
+    "squaredexponential": "rbf",
+    "sqexp": "rbf",
+    "exponential": "exponential",
+    "mat12": "matern12",
+    "mat32": "matern32",
+    "mat52": "matern52",
+    "ou": "matern12",
+}
+
 
 @param_dataclass
 class Stationary:
@@ -65,7 +78,8 @@ def make_kernel(
     ``input_dim`` with an ARD request broadcasts a scalar lengthscale to a
     per-dimension vector.
     """
-    kind = kind.lower()
+    kind = kind.lower().replace("-", "").replace("_", "")
+    kind = _KIND_ALIASES.get(kind, kind)
     if kind not in KERNEL_KINDS:
         raise ValueError(f"unknown kernel kind {kind!r}; expected one of {KERNEL_KINDS}")
     ls = jnp.asarray(lengthscale, dtype=jnp.result_type(float))

@@ -44,6 +44,28 @@ class BaseModel:
     def _loss(self, params) -> jax.Array:
         raise NotImplementedError
 
+    @property
+    def parameters(self) -> "np.ndarray":
+        """Flat (log-transformed) hyperparameter vector — the reference's
+        ``BaseModel.parameters`` get/set API (SURVEY.md §2 #15).  The pytree
+        remains the primary representation; this view exists for parity and
+        for external optimizers."""
+        import numpy as np
+        from jax.flatten_util import ravel_pytree
+
+        return np.asarray(ravel_pytree(self.params)[0])
+
+    @parameters.setter
+    def parameters(self, vec) -> None:
+        import numpy as np
+        from jax.flatten_util import ravel_pytree
+
+        flat, unravel = ravel_pytree(self.params)
+        vec = jnp.asarray(np.asarray(vec), dtype=flat.dtype)
+        if vec.shape != flat.shape:
+            raise ValueError(f"expected {flat.shape[0]} parameters, got {vec.shape}")
+        self.params = unravel(vec)
+
     def log_likelihood(self) -> float:
         """Log marginal likelihood at the current parameters."""
         if not hasattr(self, "_loss_jit"):

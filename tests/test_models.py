@@ -248,3 +248,20 @@ def test_gp_grief_kmeans_grid(rng):
     mean = model.predict(np.linspace(0.3, 3.7, 20)[:, None], compute_var=False)
     rmse = float(np.sqrt(np.mean((mean - np.sin(2 * np.linspace(0.3, 3.7, 20))) ** 2)))
     assert rmse < 0.15
+
+
+def test_flat_parameters_roundtrip(rng):
+    # Reference API parity: BaseModel.parameters flat get/set.
+    x, y = _sine_data(rng, n=40)
+    m = GPGriefModel(x, y, [make_kernel("rbf", lengthscale=0.5)], n_eigs=6, mbar=8, noise_var=0.2)
+    vec = m.parameters
+    ll0 = m.log_likelihood()
+    vec2 = vec.copy()
+    vec2[-1] += 0.3  # perturb one entry
+    m.parameters = vec2
+    assert m.log_likelihood() != ll0
+    m.parameters = vec
+    np.testing.assert_allclose(m.log_likelihood(), ll0, rtol=1e-12)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        m.parameters = vec[:-1]
