@@ -40,3 +40,20 @@ def test_pallas_kron_rectangular_interpret(rng):
     got = kron_matvec_pallas(fs, v, interpret=True)
     ref = np.asarray(kron_expand(fs)) @ np.asarray(v)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_phi_fused_pallas_interpret(rng):
+    from gp_grief_tpu.ops.pallas.phi_pallas import phi_fused_pallas
+
+    d, n, m, p = 3, 32, 8, 16
+    B = jnp.asarray(rng.standard_normal((d, n, m)), dtype=jnp.float32)
+    idx = rng.integers(0, m, size=(p, d))
+    scales = rng.uniform(0.5, 2.0, size=(p, d)).astype(np.float32)
+    S = np.zeros((d, m, p), dtype=np.float32)
+    for dd in range(d):
+        S[dd, idx[:, dd], np.arange(p)] = scales[:, dd]
+    got = phi_fused_pallas(B, jnp.asarray(S), block_rows=16, interpret=True)
+    ref = np.ones((n, p))
+    for dd in range(d):
+        ref *= np.asarray(B[dd])[:, idx[:, dd]] * scales[:, dd]
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
