@@ -202,6 +202,11 @@ class GPGriefModel(BaseModel):
         return basis_nlml(stats, log_w, params["log_noise"])
 
     def optimize(self, **kwargs):
+        if not self.opt_kernel_params:
+            # Reweight mode trains log_w/noise against the cached basis/stats;
+            # rebuild them first if params['kernels'] was mutated after
+            # construction, so training and later predict() share one basis.
+            self._ensure_cache()
         res = super().optimize(**kwargs)
         if self.opt_kernel_params:
             self._refresh_cache()  # re-anchor the cached basis at the optimum

@@ -80,7 +80,9 @@ def _cg_raw(
         x, r, z, p, k, rz = state
         Ap = matvec(p)
         pAp = _colsum(p * Ap)
-        # Converged columns get alpha=0 (frozen) via the safe divide.
+        # Safe divide: only exact-breakdown columns (pAp == 0) freeze; columns
+        # that merely passed the tolerance keep taking (benign) steps until
+        # every column converges and the while_loop exits.
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         alpha = jnp.where(pAp == 0, 0.0, alpha)
         x = x + alpha[None, :] * p

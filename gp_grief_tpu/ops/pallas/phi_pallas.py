@@ -21,6 +21,8 @@ ragged grids fall back to the XLA path at the caller.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -43,6 +45,13 @@ def _pad128(x: int) -> int:
     return -(-x // 128) * 128
 
 
+def _phi_xla_ref(B_stack, S_stack, precision):
+    """The equivalent XLA per-dim loop (used as fallback and as the VJP's
+    backward program — einsum over the stacked dim keeps it one fused HLO)."""
+    C = jnp.einsum("dnm,dmp->dnp", B_stack, S_stack, precision=precision)
+    return jnp.prod(C, axis=0)
+
+
 def phi_fused_pallas(
     B_stack: jax.Array,
     S_stack: jax.Array,
@@ -59,8 +68,29 @@ def phi_fused_pallas(
       S_stack: ``(d, m, p)`` scaled one-hot selection matrices
         (``onehot(idx[:, d]) · λ_d[idx[:, d]]^{-1/2}``).
 
-    Returns ``(n, p)``.
+    Returns ``(n, p)``.  Differentiable: custom VJP routes the backward pass
+    through the XLA reference program (grads w.r.t. both stacks).
     """
+    return _phi_fused(int(block_rows), precision, bool(interpret), B_stack, S_stack)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _phi_fused(block_rows, precision, interpret, B_stack, S_stack):
+    return _phi_fused_primal(block_rows, precision, interpret, B_stack, S_stack)
+
+
+def _phi_fused_fwd(block_rows, precision, interpret, B_stack, S_stack):
+    out = _phi_fused_primal(block_rows, precision, interpret, B_stack, S_stack)
+    return out, (B_stack, S_stack)
+
+
+def _phi_fused_bwd(block_rows, precision, interpret, res, g):
+    B_stack, S_stack = res
+    _, vjp = jax.vjp(lambda b, s: _phi_xla_ref(b, s, precision), B_stack, S_stack)
+    return vjp(g)
+
+
+def _phi_fused_primal(block_rows, precision, interpret, B_stack, S_stack):
     d, n, m = B_stack.shape
     p = S_stack.shape[2]
     itemsize = B_stack.dtype.itemsize
@@ -68,8 +98,13 @@ def phi_fused_pallas(
     # double-buffered B block + out block + the full S operand.
     per_row = d * _pad128(m) * itemsize * 2 + _pad128(p) * itemsize * 2
     s_bytes = d * m * _pad128(p) * itemsize
-    bound = max(8, (_VMEM_BUDGET - s_bytes) // per_row)
-    BN = _largest_divisor(n, min(block_rows, bound))
+    avail = _VMEM_BUDGET - s_bytes
+    if avail < per_row * 8:
+        # The full S operand (plus a minimal 8-row block) would not fit in
+        # scoped VMEM — Mosaic would fail at compile time.  Same math via the
+        # XLA per-dim loop (measured at stream roofline per pass).
+        return _phi_xla_ref(B_stack, S_stack, precision)
+    BN = _largest_divisor(n, min(block_rows, avail // per_row))
 
     def kernel(b_ref, s_ref, o_ref):
         # Measured on v5e at n=30k/d=8/p=384 vs the XLA per-dim loop:
@@ -100,3 +135,6 @@ def phi_fused_pallas(
         out_shape=jax.ShapeDtypeStruct((n, p), B_stack.dtype),
         interpret=interpret,
     )(B_stack, S_stack)
+
+
+_phi_fused.defvjp(_phi_fused_fwd, _phi_fused_bwd)

@@ -35,3 +35,55 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out))
     ge.dryrun_multichip(2)  # 1-D data mesh on the 8 virtual devices
+
+
+def test_dryrun_multichip_driver_exact():
+    """The driver's EXACT invocation — ``dryrun_multichip(8)`` in a fresh
+    subprocess with NO inherited virtual-device flags (this is what crashed in
+    round 1: the entry must self-configure the 8-device backend)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # Scrub anything the conftest set up; the entry must do it itself.
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as ge; ge.dryrun_multichip(8)"],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, f"stderr:\n{r.stderr}\nstdout:\n{r.stdout}"
+    assert "dryrun_multichip OK" in r.stdout
+    assert "'data': 4" in r.stdout and "'model': 2" in r.stdout
+
+
+def test_dryrun_multichip_subprocess_fallback():
+    """When jax is ALREADY initialized with too few devices, the entry must
+    fall back to a fresh subprocess (the axon-driver scenario: one real TPU)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "assert len(jax.devices()) == 1, jax.devices(); "  # backend up, 1 device
+        "import __graft_entry__ as ge; ge.dryrun_multichip(4)"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, f"stderr:\n{r.stderr}\nstdout:\n{r.stdout}"
+    assert "dryrun_multichip OK" in r.stdout

@@ -57,3 +57,66 @@ def test_phi_fused_pallas_interpret(rng):
     for dd in range(d):
         ref *= np.asarray(B[dd])[:, idx[:, dd]] * scales[:, dd]
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_kron_matmat_grad_interpret(rng):
+    """custom_vjp: grads w.r.t. factors AND v match the dense program."""
+    import jax
+
+    fs = tuple(
+        jnp.asarray(rng.standard_normal((m, m)), dtype=jnp.float32) for m in (4, 3, 5)
+    )
+    m = int(np.prod([f.shape[0] for f in fs]))
+    V = jnp.asarray(rng.standard_normal((m, 2)), dtype=jnp.float32)
+    G = jnp.asarray(rng.standard_normal((m, 2)), dtype=jnp.float32)
+
+    def loss_pallas(fs, V):
+        return jnp.sum(kron_matmat_pallas(fs, V, interpret=True) * G)
+
+    def loss_dense(fs, V):
+        return jnp.sum((kron_expand(fs) @ V) * G)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(fs, V)
+    gd = jax.grad(loss_dense, argnums=(0, 1))(fs, V)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_phi_fused_pallas_grad_interpret(rng):
+    import jax
+
+    from gp_grief_tpu.ops.pallas.phi_pallas import phi_fused_pallas
+
+    d, n, m, p = 3, 16, 8, 16
+    B = jnp.asarray(rng.standard_normal((d, n, m)), dtype=jnp.float32)
+    S = jnp.asarray(rng.standard_normal((d, m, p)), dtype=jnp.float32)
+    G = jnp.asarray(rng.standard_normal((n, p)), dtype=jnp.float32)
+
+    def loss_pallas(B, S):
+        return jnp.sum(phi_fused_pallas(B, S, block_rows=16, interpret=True) * G)
+
+    def loss_ref(B, S):
+        C = jnp.einsum("dnm,dmp->dnp", B, S)
+        return jnp.sum(jnp.prod(C, axis=0) * G)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(B, S)
+    gd = jax.grad(loss_ref, argnums=(0, 1))(B, S)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_phi_fused_pallas_vmem_fallback(rng):
+    """Oversized S operand must route to the XLA path, not crash Mosaic."""
+    from gp_grief_tpu.ops.pallas import phi_pallas as pp
+
+    d, n, m, p = 2, 8, 8, 8
+    B = jnp.asarray(rng.standard_normal((d, n, m)), dtype=jnp.float32)
+    S = jnp.asarray(rng.standard_normal((d, m, p)), dtype=jnp.float32)
+    old = pp._VMEM_BUDGET
+    try:
+        pp._VMEM_BUDGET = 0  # force the "S alone exceeds VMEM" branch
+        got = pp.phi_fused_pallas(B, S, interpret=True)
+    finally:
+        pp._VMEM_BUDGET = old
+    ref = np.prod(np.einsum("dnm,dmp->dnp", np.asarray(B), np.asarray(S)), axis=0)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
