@@ -66,6 +66,71 @@ class BaseModel:
             raise ValueError(f"expected {flat.shape[0]} parameters, got {vec.shape}")
         self.params = unravel(vec)
 
+    # -- per-parameter fix/free (reference BaseKernel/BaseModel constraint
+    #    surface — SURVEY.md §2 #10/#15) ------------------------------------
+
+    def _param_leaf_names(self):
+        """Dotted name per parameter leaf, e.g. ``kernels.0.log_lengthscale``."""
+        from jax.tree_util import tree_flatten_with_path
+
+        paths, _ = tree_flatten_with_path(self.params)
+
+        def render(path):
+            parts = []
+            for k in path:
+                for attr in ("key", "idx", "name"):
+                    if hasattr(k, attr):
+                        parts.append(str(getattr(k, attr)))
+                        break
+                else:
+                    parts.append(str(k))
+            return ".".join(parts)
+
+        return [render(p) for p, _ in paths]
+
+    def fix(self, *patterns: str) -> None:
+        """Fix parameters during ``optimize`` (zero gradient).
+
+        A pattern matches a leaf if it equals the leaf's dotted name
+        (``"kernels.0.log_lengthscale"``) or any dot-separated suffix segment
+        run of it (``"log_lengthscale"`` fixes every dimension's lengthscale;
+        ``"log_noise"`` fixes the noise).  Raises on patterns matching nothing.
+        """
+        names = self._param_leaf_names()
+        for pat in patterns:
+            if not any(n == pat or n.endswith("." + pat) for n in names):
+                raise ValueError(f"fix: pattern {pat!r} matches no parameter in {names}")
+        self._fixed_patterns = getattr(self, "_fixed_patterns", set()) | set(patterns)
+
+    def free(self, *patterns: str) -> None:
+        """Undo :meth:`fix` for the given patterns (all, if none given)."""
+        cur = getattr(self, "_fixed_patterns", set())
+        self._fixed_patterns = cur - set(patterns) if patterns else set()
+
+    @property
+    def fixed_parameters(self) -> list:
+        """Dotted names of currently-fixed parameter leaves."""
+        pats = getattr(self, "_fixed_patterns", set())
+        return [
+            n
+            for n in self._param_leaf_names()
+            if any(n == p or n.endswith("." + p) for p in pats)
+        ]
+
+    def _fixed_mask(self):
+        """Pytree of Python bools aligned with ``self.params`` (None if empty)."""
+        pats = getattr(self, "_fixed_patterns", set())
+        if not pats:
+            return None
+        from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+        names = self._param_leaf_names()
+        _, treedef = jax.tree_util.tree_flatten(self.params)
+        mask = [
+            any(n == p or n.endswith("." + p) for p in pats) for n in names
+        ]
+        return tree_unflatten(treedef, mask)
+
     def log_likelihood(self) -> float:
         """Log marginal likelihood at the current parameters."""
         if not hasattr(self, "_loss_jit"):
@@ -74,6 +139,7 @@ class BaseModel:
 
     def optimize(self, **kwargs) -> FitResult:
         """Maximize the log marginal likelihood (reference ``optimize``)."""
+        kwargs.setdefault("fixed", self._fixed_mask())
         res = fit(self._loss, self.params, **kwargs)
         self.params = res.params
         return res

@@ -75,6 +75,7 @@ class GPKroneckerRegression(BaseModel):
         solver: str = "schur",
         cg_tol: float = 1e-10,
         cg_iters: int = 1000,
+        precond_rank: int = 0,
     ):
         self.xg = tuple(jnp.asarray(g) for g in xg)
         if any(g.ndim == 2 and g.shape[1] > 1 for g in self.xg):
@@ -93,6 +94,9 @@ class GPKroneckerRegression(BaseModel):
             raise ValueError("solver must be 'schur' or 'cg'")
         self.solver = solver
         self.cg_tol, self.cg_iters = cg_tol, cg_iters
+        # CG option: deflate the top-`precond_rank` Kronecker eigenpairs
+        # (ops/precond.py) — collapses iteration counts for fast-decay kernels.
+        self.precond_rank = int(precond_rank)
         kerns = (
             list(kern_list)
             if isinstance(kern_list, (list, tuple))
@@ -117,46 +121,85 @@ class GPKroneckerRegression(BaseModel):
             z = kron_matvec(tuple(Q.T for Q in Qs), self.y)
             quad = jnp.sum(z * z / (lam + sigma2))
         else:
+            M_inv = None
+            if self.precond_rank > 0:
+                from gp_grief_tpu.ops.precond import kron_deflation_preconditioner
+                from gp_grief_tpu.ops.topk import top_p_kron_eigs
+
+                _, idx = top_p_kron_eigs(lams, self.precond_rank)
+                M_inv = kron_deflation_preconditioner(Qs, lams, idx, sigma2)
             alpha = cg_solve(
                 lambda v: kron_matvec_fast(factors, v) + sigma2 * v,
                 self.y,
                 tol=self.cg_tol,
                 max_iters=self.cg_iters,
+                M_inv=M_inv,
             )
             quad = jnp.dot(self.y, alpha)
         logdet = jnp.sum(jnp.log(lam + sigma2))
         return 0.5 * (quad + logdet + self.m * jnp.log(2.0 * jnp.pi))
 
-    def predict(self, x_new, compute_var: bool = True, include_noise: bool = False):
+    def predict(
+        self,
+        x_new,
+        compute_var: bool = True,
+        include_noise: bool = False,
+        chunk: int = 0,
+    ):
         """Scattered-point prediction off the grid: Khatri-Rao cross-covs.
 
         mean = K_*U α (one ``kr_matvec``); var via structured solves against
-        the ``(m, n*)`` cross-covariance columns.
+        the ``(m, c)`` cross-covariance columns of one test *chunk* at a time
+        (``lax.map`` over chunks) — the variance path materializes only
+        ``m × chunk``, never ``m × n*`` (a 128³ grid × 10k test points would
+        be 8.6 TB dense; chunked it is ``m·c`` ≈ 0.5 GB at the auto chunk).
+        ``chunk=0`` auto-sizes from ``m``; pass an explicit value to override.
         """
         x_new = jnp.asarray(x_new)
         if x_new.ndim == 1:
             x_new = x_new[:, None]
-        if not hasattr(self, "_predict_jit"):
+        n_star = int(x_new.shape[0])
+        if chunk <= 0:
+            # ~512 MB f32 of (m, c) columns, at least 16, at most n*.
+            chunk = int(max(1, min(n_star, max(16, (1 << 27) // max(self.m, 1)))))
+        chunk = min(chunk, n_star)
+        n_pad = -(-n_star // chunk) * chunk
+        if n_pad != n_star:
+            x_pad = jnp.concatenate(
+                [x_new, jnp.broadcast_to(x_new[:1], (n_pad - n_star, x_new.shape[1]))]
+            )
+        else:
+            x_pad = x_new
+        cache_key = (n_pad, chunk, bool(compute_var))
+        if getattr(self, "_predict_key", None) != cache_key:
+            self._predict_key = cache_key
 
-            def _predict(params, x_new):
+            def _predict(params, xs):
                 kerns, log_noise = params["kernels"], params["log_noise"]
                 sigma2 = jnp.exp(log_noise)
                 factors = self._factors(kerns)
                 Qs, lams = kron_eigh(factors)
                 lams = _clamp_psd(lams)
                 alpha = kron_solve_schur(Qs, lams, self.y, sigma2)
-                Kx = cross_cov_grid(kerns, x_new, self.xg)  # KR factors (n*, m_d)
-                mean = kr_matvec(list(Kx), alpha)
-                # var: k_**(t,t) − k_*Uᵀ (K+σ²I)⁻¹ k_*U per test point.
-                prior_diag = cov_diag(kerns, x_new)
-                # Materialize K_U* as (m, n*) via the transposed KR product.
-                KUx = _kr_transpose_dense(Kx)
-                S = kron_solve_schur(Qs, lams, KUx, sigma2)
-                var = prior_diag - jnp.sum(KUx * S, axis=0)
-                return mean, jnp.maximum(var, 0.0), sigma2
+
+                def one_chunk(xc):
+                    Kx = cross_cov_grid(kerns, xc, self.xg)  # (c, m_d) per dim
+                    mean = kr_matvec(list(Kx), alpha)
+                    if not compute_var:
+                        return mean, jnp.zeros_like(mean)
+                    prior_diag = cov_diag(kerns, xc)
+                    KUx = _kr_transpose_dense(Kx)  # (m, c)
+                    S = kron_solve_schur(Qs, lams, KUx, sigma2)
+                    var = prior_diag - jnp.sum(KUx * S, axis=0)
+                    return mean, jnp.maximum(var, 0.0)
+
+                xcs = xs.reshape(-1, chunk, xs.shape[1])
+                means, vars_ = jax.lax.map(one_chunk, xcs)
+                return means.reshape(-1), vars_.reshape(-1), sigma2
 
             self._predict_jit = jax.jit(_predict)
-        mean, var, sigma2 = self._predict_jit(self.params, x_new)
+        mean, var, sigma2 = self._predict_jit(self.params, x_pad)
+        mean, var = mean[:n_star], var[:n_star]
         if not compute_var:
             return np.asarray(mean)
         if include_noise:

@@ -126,66 +126,83 @@ class GPSKIRegression(BaseModel):
 
     # -- prediction --------------------------------------------------------------
 
-    def predict(self, x_new, compute_var: bool = True, include_noise: bool = False):
-        """Variance note: the cross-covariance solve is O(n·n*) memory (CG on
-        n* right-hand sides) — chunk very large test sets; the prior diagonal
-        is factorized per dimension, O(n*·4d), never materializing (n*, n*)."""
+    def predict(
+        self,
+        x_new,
+        compute_var: bool = True,
+        include_noise: bool = False,
+        chunk: int = 0,
+    ):
+        """The variance path CGs the ``(n, c)`` cross-covariance columns of
+        one test *chunk* at a time (``lax.map``), never materializing
+        ``(n, n*)`` — SKI at n=100k with 10k test points stays at ``n·c``.
+        ``chunk=0`` auto-sizes from ``n + m``; the prior diagonal is
+        factorized per dimension, O(n*·4d), never (n*, n*)."""
         x_new = jnp.asarray(x_new, dtype=self.x.dtype)
         if x_new.ndim == 1:
             x_new = x_new[:, None]
         o = self._opts
+        n_star = int(x_new.shape[0])
+        n = int(self.x.shape[0])
+        m = int(np.prod([g.shape[0] for g in self.xg]))
+        if chunk <= 0:
+            chunk = int(max(1, min(n_star, max(8, (1 << 26) // max(n + m, 1)))))
+        chunk = min(chunk, n_star)
+        n_pad = -(-n_star // chunk) * chunk
+        if n_pad != n_star:
+            x_pad = jnp.concatenate(
+                [x_new, jnp.broadcast_to(x_new[:1], (n_pad - n_star, x_new.shape[1]))]
+            )
+        else:
+            x_pad = x_new
+        cache_key = (n_pad, chunk, bool(compute_var))
+        if getattr(self, "_predict_key", None) != cache_key:
+            self._predict_key = cache_key
 
-        if not hasattr(self, "_predict_jit"):
-
-            def _mean_and_common(params, x_new):
+            def _predict(params, xs):
                 sigma2 = jnp.exp(params["log_noise"])
                 factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
                 mv = self._matvec(factors, sigma2)
                 alpha = cg_solve(mv, self.y, tol=o["cg_tol"], max_iters=o["cg_iters"])
-                iw_new = interp_weights(x_new, self.xg)
-                # k̂(x*, X) α = W* K (Wᵀ α)
-                mean = interp_matvec(
-                    iw_new, kron_matvec_fast(factors, interp_rmatvec(self.iw, alpha))
-                )
-                return mean, factors, mv, iw_new, sigma2
+                Kw_alpha = kron_matvec_fast(factors, interp_rmatvec(self.iw, alpha))
 
-            def _predict_mean(params, x_new):
-                mean, _, _, _, sigma2 = _mean_and_common(params, x_new)
-                return mean, sigma2
+                def one_chunk(xc):
+                    iw_c = interp_weights(xc, self.xg)
+                    # k̂(x*, X) α = W* K (Wᵀ α)
+                    mean = interp_matvec(iw_c, Kw_alpha)
+                    if not compute_var:
+                        return mean, jnp.zeros_like(mean)
+                    # Prior diagonal factorizes over dims:
+                    #   k̂(x*,x*)_tt = Π_d Σ_{o,o'} w_d[t,o]·K_d[i+o,i+o']·w_d[t,o']
+                    prior_diag = None
+                    for d_, Kd in enumerate(factors):
+                        m_d = Kd.shape[0]
+                        i0 = iw_c.idx[d_]
+                        w2 = iw_c.w[d_]  # (c, 2)
+                        s = None
+                        for a in (0, 1):
+                            for b in (0, 1):
+                                ia = jnp.minimum(i0 + a, m_d - 1)
+                                ib = jnp.minimum(i0 + b, m_d - 1)
+                                term = w2[:, a] * Kd[ia, ib] * w2[:, b]
+                                s = term if s is None else s + term
+                        prior_diag = s if prior_diag is None else prior_diag * s
+                    # Cross terms: c_t = k̂(X, x*_t); var_t = k̂** − c_tᵀ Ã⁻¹ c_t.
+                    WsT = interp_rmatvec(iw_c, jnp.eye(xc.shape[0], dtype=self.x.dtype))
+                    C = interp_matvec(self.iw, kron_matvec_fast(factors, WsT))  # (n, c)
+                    Sol = cg_solve(mv, C, tol=o["cg_tol"], max_iters=o["cg_iters"])
+                    var = prior_diag - jnp.sum(C * Sol, axis=0)
+                    return mean, jnp.maximum(var, 0.0)
 
-            def _predict_full(params, x_new):
-                mean, factors, mv, iw_new, sigma2 = _mean_and_common(params, x_new)
-                # Prior diagonal factorizes over dims:
-                #   k̂(x*,x*)_tt = Π_d Σ_{o,o'} w_d[t,o]·K_d[i+o, i+o']·w_d[t,o']
-                prior_diag = None
-                for d_, Kd in enumerate(factors):
-                    m_d = Kd.shape[0]
-                    i0 = iw_new.idx[d_]
-                    w2 = iw_new.w[d_]  # (n*, 2)
-                    s = None
-                    for a in (0, 1):
-                        for b in (0, 1):
-                            ia = jnp.minimum(i0 + a, m_d - 1)
-                            ib = jnp.minimum(i0 + b, m_d - 1)
-                            term = w2[:, a] * Kd[ia, ib] * w2[:, b]
-                            s = term if s is None else s + term
-                    prior_diag = s if prior_diag is None else prior_diag * s
-                # Cross terms: c_t = k̂(X, x*_t); var_t = k̂** − c_tᵀ Ã⁻¹ c_t.
-                WsT = interp_rmatvec(iw_new, jnp.eye(x_new.shape[0], dtype=self.x.dtype))
-                C = interp_matvec(self.iw, kron_matvec_fast(factors, WsT))  # (n, n*)
-                Sol = cg_solve(mv, C, tol=o["cg_tol"], max_iters=o["cg_iters"])
-                var = prior_diag - jnp.sum(C * Sol, axis=0)
-                return mean, jnp.maximum(var, 0.0), sigma2
+                xcs = xs.reshape(-1, chunk, xs.shape[1])
+                means, vars_ = lax.map(one_chunk, xcs)
+                return means.reshape(-1), vars_.reshape(-1), sigma2
 
-            self._predict_jit = {
-                False: jax.jit(_predict_mean),
-                True: jax.jit(_predict_full),
-            }
-
+            self._predict_jit = jax.jit(_predict)
+        mean, var, sigma2 = self._predict_jit(self.params, x_pad)
+        mean, var = mean[:n_star], var[:n_star]
         if not compute_var:
-            mean, _ = self._predict_jit[False](self.params, x_new)
             return np.asarray(mean)
-        mean, var, sigma2 = self._predict_jit[True](self.params, x_new)
         if include_noise:
             var = var + sigma2
         return np.asarray(mean), np.asarray(var)

@@ -18,6 +18,7 @@ from gp_grief_tpu.ops.kron import (
     kron_matvec,
     kron_shapes,
     kron_solve_schur,
+    kron_svd,
 )
 from gp_grief_tpu.ops.khatri_rao import (
     kr_expand,
@@ -28,6 +29,7 @@ from gp_grief_tpu.ops.khatri_rao import (
     rowcol_kr_rmatvec,
 )
 from gp_grief_tpu.ops.kron_fast import group_factors, kron_matvec_fast
+from gp_grief_tpu.ops.precond import kron_deflation_preconditioner, lowrank_preconditioner
 from gp_grief_tpu.ops.compose import op_product, op_scale, op_shift, op_sum
 from gp_grief_tpu.ops.interp import (
     InterpWeights,
@@ -44,6 +46,8 @@ from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol, stable_cholesky
 
 __all__ = [
     "kron_matvec_fast",
+    "kron_deflation_preconditioner",
+    "lowrank_preconditioner",
     "group_factors",
     "op_product",
     "op_sum",
@@ -63,6 +67,7 @@ __all__ = [
     "kron_logdet_from_chol",
     "kron_logdet_from_eigs",
     "kron_solve_schur",
+    "kron_svd",
     "kron_shapes",
     "kr_matvec",
     "kr_rmatvec",

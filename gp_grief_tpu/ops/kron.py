@@ -35,6 +35,7 @@ __all__ = [
     "kron_expand",
     "kron_diag",
     "kron_eigh",
+    "kron_svd",
     "kron_chol",
     "kron_logdet_from_chol",
     "kron_logdet_from_eigs",
@@ -134,6 +135,42 @@ def kron_eigh(factors: Factors) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array,
         out_Q.append(Q)
         out_l.append(lam)
     return tuple(out_Q), tuple(out_l)
+
+
+def kron_svd(
+    factors: Factors,
+) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+    """Per-factor SVD of a Kronecker matrix (reference ``KronMatrix.svd()``,
+    SURVEY.md §2 #1).
+
+    ``K_d = U_d S_d V_dᵀ`` for each factor, so ``⊗K_d = (⊗U_d)(⊗S_d)(⊗V_d)ᵀ``
+    — the singular values of the product are all products of per-factor
+    singular values (use :func:`kron_diag` on ``diag(S_d)`` factors, or
+    ``top_p_kron_eigs`` on ``log S_d`` for the top-p subset without
+    materializing ``m``).  Equal-size factors batch through ``vmap``.
+
+    Returns ``(Us, Ss, Vs)``: tuples of per-factor left singular vectors,
+    singular values (descending, per NumPy convention), and right singular
+    vectors ``V_d`` (not transposed).
+    """
+    shapes = {tuple(int(s) for s in f.shape) for f in factors}
+    if len(shapes) == 1 and len(factors) > 1:
+        U, S, Vh = jax.vmap(lambda a: jnp.linalg.svd(a, full_matrices=False))(
+            jnp.stack(list(factors), axis=0)
+        )
+        n = len(factors)
+        return (
+            tuple(U[i] for i in range(n)),
+            tuple(S[i] for i in range(n)),
+            tuple(Vh[i].T for i in range(n)),
+        )
+    Us, Ss, Vs = [], [], []
+    for K in factors:
+        U, S, Vh = jnp.linalg.svd(K, full_matrices=False)
+        Us.append(U)
+        Ss.append(S)
+        Vs.append(Vh.T)
+    return tuple(Us), tuple(Ss), tuple(Vs)
 
 
 def kron_chol(factors: Factors) -> Tuple[jax.Array, ...]:

@@ -46,6 +46,7 @@ def fit(
     learning_rate: float = 0.05,
     verbose: bool = False,
     callback: Optional[Callable[[int, float, float], None]] = None,
+    fixed: Any = None,
 ) -> FitResult:
     """Minimize ``loss_fn(params)`` over a parameter pytree.
 
@@ -54,7 +55,27 @@ def fit(
     jitted once; the Python loop only carries host-side convergence checks and
     logging (the per-step NLML/grad-norm trace is the reference's
     ``messages=True`` equivalent, returned as data).
+
+    ``fixed``: optional pytree matching ``params`` whose leaves are booleans
+    (Python bools or boolean arrays broadcastable to the leaf) — the
+    reference's per-parameter fix/free surface (SURVEY.md §2 #10/#15).  Fixed
+    leaves/components get zero gradient (``stop_gradient``) so every optimizer
+    leaves them untouched.
     """
+    if fixed is not None:
+        base_loss = loss_fn
+        fixed_tree = fixed
+
+        def loss_fn(p):
+            def mask_leaf(pi, fi):
+                if isinstance(fi, bool) or (
+                    isinstance(fi, np.bool_) and np.ndim(fi) == 0
+                ):
+                    return lax.stop_gradient(pi) if fi else pi
+                return jnp.where(fi, lax.stop_gradient(pi), pi)
+
+            return base_loss(jax.tree.map(mask_leaf, p, fixed_tree))
+
     if optimizer == "lbfgs":
         opt = optax.lbfgs()
     elif optimizer == "adam":

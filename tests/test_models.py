@@ -265,3 +265,84 @@ def test_flat_parameters_roundtrip(rng):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         m.parameters = vec[:-1]
+
+
+def test_fix_free_parameters():
+    """Reference per-parameter fix/free surface (SURVEY §2 #10/#15)."""
+    import gp_grief_tpu as gpx
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (200, 2))
+    y = np.sin(3 * x[:, 0]) + 0.1 * rng.standard_normal(200)
+    grid = gpx.InducingGrid.build(x, mbar=8)
+    m = gpx.GPGriefModel(
+        x, y, [gpx.make_kernel("rbf", lengthscale=0.4) for _ in range(2)],
+        grid, n_eigs=12, noise_var=0.3,
+    )
+    noise0 = float(m.params["log_noise"])
+    w0 = np.asarray(m.params["log_w"]).copy()
+    m.fix("log_noise")
+    assert "log_noise" in m.fixed_parameters
+    m.optimize(max_iters=10, optimizer="adam")
+    assert float(m.params["log_noise"]) == noise0  # fixed: untouched
+    assert np.abs(np.asarray(m.params["log_w"]) - w0).max() > 1e-6  # free moved
+    m.free()
+    assert m.fixed_parameters == []
+    m.optimize(max_iters=5, optimizer="adam")
+    assert float(m.params["log_noise"]) != noise0  # now it moves
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        m.fix("no_such_param")
+
+
+def test_fix_elementwise_mask():
+    """Array-valued masks fix individual components through fit()."""
+    import jax.numpy as jnp
+
+    from gp_grief_tpu.optimize import fit
+
+    def loss(p):
+        return jnp.sum((p["a"] - 3.0) ** 2) + (p["b"] - 1.0) ** 2
+
+    params = {"a": jnp.zeros(4), "b": jnp.zeros(())}
+    mask = {"a": np.array([True, False, True, False]), "b": False}
+    res = fit(loss, params, optimizer="adam", learning_rate=0.2, max_iters=200, fixed=mask)
+    a = np.asarray(res.params["a"])
+    assert abs(a[0]) < 1e-8 and abs(a[2]) < 1e-8  # fixed components pinned
+    assert abs(a[1] - 3.0) < 1e-2 and abs(a[3] - 3.0) < 1e-2
+    assert abs(float(res.params["b"]) - 1.0) < 1e-2
+
+
+def test_kron_svd_oracle():
+    from gp_grief_tpu.ops import kron_expand, kron_svd
+
+    rng = np.random.default_rng(7)
+    fs = tuple(jnp.asarray(rng.standard_normal((m, m))) for m in (4, 3, 5))
+    Us, Ss, Vs = kron_svd(fs)
+    # Reconstruct each factor and the full product.
+    for K, U, S, V in zip(fs, Us, Ss, Vs):
+        np.testing.assert_allclose(
+            np.asarray(U) * np.asarray(S) @ np.asarray(V).T, np.asarray(K),
+            rtol=1e-8, atol=1e-8,
+        )
+    dense = np.asarray(kron_expand(fs))
+    sv_kron = np.sort(np.asarray(kron_expand([jnp.diag(s) for s in Ss])).diagonal())[::-1]
+    sv_dense = np.linalg.svd(dense, compute_uv=False)
+    np.testing.assert_allclose(sv_kron, sv_dense, rtol=1e-8, atol=1e-10)
+
+
+def test_kron_predict_chunked_matches_unchunked():
+    import gp_grief_tpu as gpx
+
+    rng = np.random.default_rng(11)
+    xg = [np.linspace(0, 1, 7)[:, None], np.linspace(0, 1, 6)[:, None], np.linspace(0, 1, 5)[:, None]]
+    grid_pts = np.stack(np.meshgrid(*[g[:, 0] for g in xg], indexing="ij"), -1).reshape(-1, 3)
+    y = np.sin(3 * grid_pts[:, 0]) * np.cos(2 * grid_pts[:, 1]) + 0.01 * rng.standard_normal(len(grid_pts))
+    m = gpx.GPKroneckerRegression(xg, y, [gpx.make_kernel("rbf", lengthscale=0.4)] * 3, noise_var=0.01)
+    xs = rng.uniform(0, 1, (23, 3))
+    mean1, var1 = m.predict(xs, chunk=23)
+    mean2, var2 = m.predict(xs, chunk=4)  # pads 23 -> 24
+    np.testing.assert_allclose(mean1, mean2, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var1, var2, rtol=1e-6, atol=1e-10)

@@ -96,3 +96,18 @@ def test_gp_ski_optimize_improves(rng):
     mean = ski.predict(x[:20], compute_var=False)
     rmse = float(np.sqrt(np.mean((mean - np.sin(6 * x[:20, 0])) ** 2)))
     assert rmse < 0.15
+
+
+def test_ski_predict_chunked_matches_unchunked(rng):
+    import gp_grief_tpu as gpx
+
+    x = rng.uniform(0, 1, (120, 2))
+    y = np.sin(4 * x[:, 0]) + 0.1 * rng.standard_normal(120)
+    m = gpx.GPSKIRegression(x, y, [gpx.make_kernel("rbf", lengthscale=0.3)] * 2, mbar=10, noise_var=0.05)
+    xs = rng.uniform(0, 1, (37, 2))  # not a multiple of any chunk
+    mean1, var1 = m.predict(xs, chunk=37)
+    mean2, var2 = m.predict(xs, chunk=8)  # 37 pads to 40
+    np.testing.assert_allclose(mean1, mean2, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var1, var2, rtol=1e-6, atol=1e-10)
+    mean3 = m.predict(xs, compute_var=False, chunk=5)
+    np.testing.assert_allclose(mean1, mean3, rtol=1e-8, atol=1e-10)

@@ -177,3 +177,91 @@ def test_cg_fixed_iters_matches_while(rng):
     )(theta0)
     Ainv_b = np.linalg.solve(np.asarray(A) + theta0 * np.eye(n), np.asarray(b[:, 0]))
     np.testing.assert_allclose(float(g), -(Ainv_b @ Ainv_b), rtol=1e-6)
+
+
+def test_kron_deflation_preconditioner_oracle(rng):
+    """M_inv matches the dense inverse of the deflated operator."""
+    from gp_grief_tpu.ops import kron_deflation_preconditioner, kron_eigh, kron_expand
+    from gp_grief_tpu.ops.topk import top_p_kron_eigs
+    from gp_grief_tpu.ops.khatri_rao import kr_expand
+
+    sizes, p, sigma2 = (4, 3, 5), 7, 0.3
+    fs = []
+    for m in sizes:
+        A = rng.standard_normal((m, m))
+        fs.append(jnp.asarray(A @ A.T + m * np.eye(m)))
+    Qs, lams = kron_eigh(fs)
+    _, idx = top_p_kron_eigs(lams, p)
+    M_inv = kron_deflation_preconditioner(Qs, lams, idx, sigma2)
+    # Dense M: Q_p Λ_p Q_pᵀ + σ²I with Q_p columns = ⊗ selected eigencolumns.
+    idx_np = np.asarray(idx)
+    Qp = np.stack(
+        [
+            np.asarray(kron_expand([Qs[d][:, [idx_np[j, d]]] for d in range(3)]))[:, 0]
+            for j in range(p)
+        ],
+        axis=1,
+    )
+    lam_p = np.prod([np.asarray(lams[d])[idx_np[:, d]] for d in range(3)], axis=0)
+    m = int(np.prod(sizes))
+    M = Qp @ np.diag(lam_p) @ Qp.T + sigma2 * np.eye(m)
+    v = rng.standard_normal(m)
+    got = np.asarray(M_inv(jnp.asarray(v)))
+    ref = np.linalg.solve(M, v)
+    np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_lowrank_preconditioner_oracle(rng):
+    from gp_grief_tpu.ops import lowrank_preconditioner
+
+    n, k, sigma2 = 30, 5, 0.2
+    U = jnp.asarray(rng.standard_normal((n, k)))
+    lam = jnp.asarray(rng.uniform(0.5, 2.0, k))
+    M = np.asarray(U) @ np.diag(np.asarray(lam)) @ np.asarray(U).T + sigma2 * np.eye(n)
+    v = rng.standard_normal((n, 3))
+    got = np.asarray(lowrank_preconditioner(U, lam, sigma2)(jnp.asarray(v)))
+    np.testing.assert_allclose(got, np.linalg.solve(M, v), rtol=1e-8, atol=1e-10)
+
+
+def test_deflation_cuts_cg_iterations(rng):
+    """RBF grid operator: deflated CG converges in far fewer iterations."""
+    import gp_grief_tpu as gpx
+    from gp_grief_tpu.ops import kron_deflation_preconditioner, kron_eigh, kron_matvec
+    from gp_grief_tpu.ops.cg import cg_solve
+    from gp_grief_tpu.ops.topk import top_p_kron_eigs
+    from gp_grief_tpu.kernels.grid import cov_grid
+
+    xg = tuple(jnp.asarray(np.linspace(0, 1, 16)[:, None]) for _ in range(3))
+    kerns = [gpx.make_kernel("rbf", lengthscale=0.3) for _ in range(3)]
+    factors = cov_grid(kerns, xg, dim_noise_var=1e-8)
+    sigma2 = 1e-2
+    m = 16**3
+    b = jnp.asarray(rng.standard_normal(m))
+    mv = lambda v: kron_matvec(factors, v) + sigma2 * v
+    _, info0 = cg_solve(mv, b, tol=1e-8, max_iters=500, return_info=True)
+    Qs, lams = kron_eigh(factors)
+    lams = tuple(jnp.maximum(l, 1e-12) for l in lams)
+    _, idx = top_p_kron_eigs(lams, 64)
+    M_inv = kron_deflation_preconditioner(Qs, lams, idx, sigma2)
+    x, info1 = cg_solve(mv, b, tol=1e-8, max_iters=500, M_inv=M_inv, return_info=True)
+    assert int(info1.iterations) < int(info0.iterations) / 3, (
+        int(info0.iterations), int(info1.iterations))
+    # and the solution is right
+    r = mv(x) - b
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-6
+
+
+def test_gpkron_cg_preconditioned_matches_schur():
+    import gp_grief_tpu as gpx
+    from gp_grief_tpu.models import GPKroneckerRegression
+
+    rng = np.random.default_rng(5)
+    gs = [np.linspace(0, 1, 10)[:, None]] * 3
+    pts = np.stack(np.meshgrid(*[g[:, 0] for g in gs], indexing="ij"), -1).reshape(-1, 3)
+    y = np.sin(3 * pts[:, 0]) + 0.05 * rng.standard_normal(len(pts))
+    kerns = [gpx.make_kernel("rbf", lengthscale=0.4) for _ in range(3)]
+    ref = GPKroneckerRegression(gs, y, kerns, noise_var=0.05, solver="schur")
+    pc = GPKroneckerRegression(
+        gs, y, kerns, noise_var=0.05, solver="cg", cg_tol=1e-10, precond_rank=32
+    )
+    assert abs(ref.log_likelihood() - pc.log_likelihood()) / abs(ref.log_likelihood()) < 1e-8
