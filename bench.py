@@ -58,6 +58,9 @@ def _timed_loop(step, init, iters=ITERS, warmup=1):
 
 
 def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
+    from gp_grief_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

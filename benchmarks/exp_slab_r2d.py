@@ -72,21 +72,20 @@ def passA(x3, BL, prec=HI):
 
 
 x3 = v.reshape(32, 32, M // 1024)
-refA = np.einsum(
-    "ca,db,abL->cdL",
-    np.asarray(K1, np.float64), np.asarray(K2, np.float64),
-    np.asarray(x3, np.float64),
-).reshape(32, 32, -1)
+K1n, K2n = np.asarray(K1, np.float64), np.asarray(K2, np.float64)
+xn = np.asarray(x3, np.float64)
+t = np.tensordot(K1n, xn, axes=([1], [0]))          # (a1', a2, L)
+refA = np.tensordot(K2n, t, axes=([1], [1]))        # (a2', a1', L)
+refA = np.swapaxes(refA, 0, 1)                      # (a1', a2', L)
 for BL in (1024, 2048):
-    bench(f"passA 2-factor BL={BL}", lambda x, b=BL: passA(x, b), x3, ref=refA.ravel().reshape(x3.shape) * 0 + refA)
+    bench(f"passA 2-factor BL={BL}", lambda x, b=BL: passA(x, b), x3, ref=refA)
 
 # ---------- X2/X3: tail2 on (BB, 1024) with static lane slices ----------
 x2 = v.reshape(M // 1024, 1024)
-ref2 = np.einsum(
-    "ca,db,pab->pcd",
-    np.asarray(K1, np.float64), np.asarray(K2, np.float64),
-    np.asarray(x2, np.float64).reshape(-1, 32, 32),
-).reshape(-1, 1024)
+x2n = np.asarray(x2, np.float64).reshape(-1, 32, 32)
+t2 = np.tensordot(x2n, K1n, axes=([1], [1]))        # (p, b, c) = sum_a x[p,a,b] K1[c,a]
+ref2 = np.tensordot(t2, K2n, axes=([1], [1]))       # (p, c, d)
+ref2 = ref2.reshape(-1, 1024)
 
 
 def tail2_sliced(x2, BB, prec=HI, order="mxu_first"):

@@ -244,6 +244,9 @@ def d100():
 ALL = {"sine1d": sine1d, "grid3d": grid3d, "kin40k": kin40k, "uci2m": uci2m, "d100": d100}
 
 if __name__ == "__main__":
+    from gp_grief_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     names = sys.argv[1:] or ["sine1d", "grid3d", "d100"]
     for name in names:
         ALL[name]()

@@ -7,6 +7,7 @@ built entirely on ``jax.sharding`` + XLA collectives over ICI.
 from gp_grief_tpu.parallel.mesh import NamedSharding, P, data_mesh, make_mesh
 from gp_grief_tpu.parallel.model import ShardedGPGriefModel
 from gp_grief_tpu.parallel.sharded import (
+    kron_matvec_sharded,
     pad_to_multiple,
     sharded_basis_stats,
     sharded_grief_nlml,
@@ -23,4 +24,5 @@ __all__ = [
     "sharded_basis_stats",
     "sharded_grief_nlml",
     "stacked_eigh_sharded",
+    "kron_matvec_sharded",
 ]

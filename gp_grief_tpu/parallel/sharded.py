@@ -34,12 +34,14 @@ from jax import shard_map
 
 from gp_grief_tpu.kernels.grief import GriefBasis, build_basis, phi
 from gp_grief_tpu.models.base import BasisStats, basis_nlml
+from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
 
 __all__ = [
     "pad_to_multiple",
     "sharded_basis_stats",
     "sharded_grief_nlml",
     "stacked_eigh_sharded",
+    "kron_matvec_sharded",
 ]
 
 
@@ -120,6 +122,70 @@ def sharded_grief_nlml(
         axis_name=axis_name, n_real=n_real,
     )
     return basis_nlml(stats, params["log_w"], params["log_noise"])
+
+
+def kron_matvec_sharded(
+    factors,
+    v: jax.Array,
+    mesh: Mesh,
+    *,
+    axis_name: str = "model",
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Model-parallel ``(⊗_d K_d) @ v``: the lattice's leading axis is sharded
+    over ``axis_name`` (SURVEY.md §2 parallelism table, tensor/model row).
+
+    Device ``k`` holds rows ``a_1 ∈ block_k`` of the lattice.  The trailing
+    factors ``K_2..K_d`` act within a row block (local ``kron_matvec_fast``
+    with the row block as the batch); the leading factor mixes blocks, done as
+    one ``psum_scatter`` over ICI: each device forms its column-slice partial
+    ``K_1[:, block_k] @ y_k`` and the reduce-scatter returns exactly its
+    output rows.  One collective per matvec; compute is perfectly balanced.
+
+    ``v``: ``(M,)`` or ``(M, B)``; ``m_1`` must divide by the mesh axis size.
+    Note: the transient partial is ``(m_1, m/m_1)`` per device — traffic-
+    optimal; chunk the trailing axis when per-device memory, not bandwidth,
+    binds.
+    """
+    squeeze = v.ndim == 1
+    v2 = v[:, None] if squeeze else v
+    B = int(v2.shape[1])
+    m1 = int(factors[0].shape[1])
+    m1o = int(factors[0].shape[0])
+    R = int(v2.shape[0]) // m1
+    km = mesh.shape[axis_name]
+    if m1 % km or m1o % km:
+        raise ValueError(f"leading factor size {m1}->{m1o} must divide mesh axis {km}")
+    rest = tuple(factors[1:])
+    K1 = factors[0]
+    x3 = v2.reshape(m1, R, B)
+
+    def local(K1_rep, xk):
+        # xk: (m1/km, R, B) — trailing factors act per leading row.
+        m1_loc = xk.shape[0]
+        if rest:
+            xrows = jnp.moveaxis(xk, 0, -1).reshape(R, B * m1_loc)
+            yrows = kron_matvec_fast(rest, xrows, precision=precision)
+            Ro = yrows.shape[0]
+            yk = jnp.moveaxis(yrows.reshape(Ro, B, m1_loc), -1, 0)  # (m1_loc, Ro, B)
+        else:
+            yk, Ro = xk, R
+        j = lax.axis_index(axis_name)
+        K1_cols = lax.dynamic_slice_in_dim(K1_rep, j * m1_loc, m1_loc, axis=1)
+        partial = jnp.tensordot(
+            K1_cols, yk, axes=[[1], [0]], precision=precision
+        )  # (m1o, Ro, B) — this device's column-slice contribution
+        return lax.psum_scatter(partial, axis_name, scatter_dimension=0, tiled=True)
+
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None, None)),
+        out_specs=P(axis_name, None, None),
+        check_vma=False,
+    )(K1, x3)
+    out = out.reshape(-1, B)
+    return out[:, 0] if squeeze else out
 
 
 def stacked_eigh_sharded(Ks: jax.Array, mesh: Mesh, axis_name: str = "model"):

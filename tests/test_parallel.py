@@ -181,3 +181,97 @@ def test_sharded_model_matches_single_device(rng, mesh):
     local.optimize(optimizer="adam", max_iters=15, learning_rate=0.05)
     lm = local.predict(xs, compute_var=False)
     np.testing.assert_allclose(sm, lm, atol=5e-3)
+
+
+def test_kron_matvec_sharded_matches_single_device(rng):
+    """Model-parallel lattice-sharded matvec == local to 1e-10 (2-D mesh)."""
+    from gp_grief_tpu.ops import kron_expand
+    from gp_grief_tpu.parallel import kron_matvec_sharded, make_mesh
+
+    mesh2d = make_mesh((4, 2), ("data", "model"))
+    sizes = (8, 6, 4)  # leading 8 divides the model axis (2)
+    fs = tuple(jnp.asarray(rng.standard_normal((m, m))) for m in sizes)
+    m = int(np.prod(sizes))
+    for B in (None, 3):
+        v = jnp.asarray(rng.standard_normal((m,) if B is None else (m, B)))
+        got = kron_matvec_sharded(fs, v, mesh2d, axis_name="model")
+        ref = np.asarray(kron_expand(fs)) @ np.asarray(v)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-10, atol=1e-10)
+    # also across the 8-wide data axis of a 1-D mesh
+    mesh1d = make_mesh((8,), ("model",))
+    v = jnp.asarray(rng.standard_normal(m))
+    got = kron_matvec_sharded(fs, v, mesh1d, axis_name="model")
+    ref = np.asarray(kron_expand(fs)) @ np.asarray(v)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-10, atol=1e-10)
+
+
+def test_full_sharded_train_step_2d_mesh(rng):
+    """The FULL train step (sharded eigh + sharded stats + grad + Adam) on the
+    (4,2) (data, model) mesh matches the single-device program (VERDICT #8)."""
+    import optax
+
+    from gp_grief_tpu.kernels.grid import cov_grid
+    from gp_grief_tpu.kernels.grief import GriefBasis, build_basis, phi as _phi
+    from gp_grief_tpu.models.base import basis_nlml, BasisStats
+    from gp_grief_tpu.ops.topk import top_p_kron_eigs
+    from gp_grief_tpu.parallel import (
+        make_mesh,
+        pad_to_multiple,
+        sharded_basis_stats,
+        stacked_eigh_sharded,
+    )
+    from gp_grief_tpu import InducingGrid, make_kernel
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    n, d, p = 64, 4, 16
+    x = rng.uniform(0, 1, (n, d))
+    y = np.sin(3 * x[:, 0]) + 0.1 * rng.standard_normal(n)
+    grid = InducingGrid.build(x, mbar=8)
+    xg = tuple(jnp.asarray(g) for g in grid.xg)
+    params = {
+        "kernels": [make_kernel("rbf", lengthscale=0.4) for _ in range(d)],
+        "log_w": jnp.zeros((p,)),
+        "log_noise": jnp.asarray(-1.0),
+    }
+    xp, mask = pad_to_multiple(x, 8)
+    yp, _ = pad_to_multiple(y, 8)
+    xp, yp, mask = jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(mask)
+
+    def loss_sharded(params):
+        Ks = cov_grid(params["kernels"], xg, dim_noise_var=1e-10)
+        Qs_st, lams_st = stacked_eigh_sharded(jnp.stack(Ks), mesh, "model")
+        Qs = tuple(Qs_st[i] for i in range(d))
+        lams = tuple(lams_st[i] for i in range(d))
+        log_lam, idx = top_p_kron_eigs(lams, p)
+        basis = GriefBasis(Qs=Qs, lams=lams, log_lam=log_lam, idx=idx)
+        stats = sharded_basis_stats(
+            basis, params["kernels"], xg, xp, yp, mask, mesh, n_real=n
+        )
+        return basis_nlml(stats, params["log_w"], params["log_noise"])
+
+    def loss_local(params):
+        basis = build_basis(params["kernels"], xg, p, dim_noise_var=1e-10)
+        Phi = _phi(basis, params["kernels"], xg, jnp.asarray(x))
+        stats = BasisStats(
+            C=Phi.T @ Phi, v=Phi.T @ jnp.asarray(y),
+            yy=jnp.dot(jnp.asarray(y), jnp.asarray(y)), n=n,
+        )
+        return basis_nlml(stats, params["log_w"], params["log_noise"])
+
+    v_sh, g_sh = jax.value_and_grad(loss_sharded)(params)
+    v_lo, g_lo = jax.value_and_grad(loss_local)(params)
+    np.testing.assert_allclose(float(v_sh), float(v_lo), rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_lo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+    # One full jitted Adam step on the 2-D mesh runs and is finite.
+    opt = optax.adam(1e-2)
+
+    @jax.jit
+    def step(params, opt_state):
+        value, grads = jax.value_and_grad(loss_sharded)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, value
+
+    p2, _, val = step(params, opt.init(params))
+    assert np.isfinite(float(val))
