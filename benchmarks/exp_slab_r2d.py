@@ -77,8 +77,12 @@ xn = np.asarray(x3, np.float64)
 t = np.tensordot(K1n, xn, axes=([1], [0]))          # (a1', a2, L)
 refA = np.tensordot(K2n, t, axes=([1], [1]))        # (a2', a1', L)
 refA = np.swapaxes(refA, 0, 1)                      # (a1', a2', L)
-for BL in (1024, 2048):
-    bench(f"passA 2-factor BL={BL}", lambda x, b=BL: passA(x, b), x3, ref=refA)
+import os
+CASE = os.environ.get("CASE", "")
+if CASE in ("", "passA1024"):
+    bench("passA 2-factor BL=1024", lambda x: passA(x, 1024), x3, ref=refA)
+if CASE in ("", "passA2048"):
+    bench("passA 2-factor BL=2048", lambda x: passA(x, 2048), x3, ref=refA)
 
 # ---------- X2/X3: tail2 on (BB, 1024) with static lane slices ----------
 x2 = v.reshape(M // 1024, 1024)
@@ -136,11 +140,12 @@ def tail2_sliced(x2, BB, prec=HI, order="mxu_first"):
     )(x2, K1, K2)
 
 
-for BB in (256, 1024):
-    bench(f"tail2 sliced mxu1 BB={BB}",
-          lambda x, b=BB: tail2_sliced(x, b, order="mxu_first"), x2, ref=ref2)
-bench("tail2 sliced vpu1 BB=1024",
-      lambda x: tail2_sliced(x, 1024, order="vpu_first"), x2, ref=ref2)
+if CASE in ("", "sl256"):
+    bench("tail2 sliced mxu1 BB=256", lambda x: tail2_sliced(x, 256, order="mxu_first"), x2, ref=ref2)
+if CASE in ("", "sl1024"):
+    bench("tail2 sliced mxu1 BB=1024", lambda x: tail2_sliced(x, 1024, order="mxu_first"), x2, ref=ref2)
+if CASE in ("", "slv"):
+    bench("tail2 sliced vpu1 BB=1024", lambda x: tail2_sliced(x, 1024, order="vpu_first"), x2, ref=ref2)
 
 
 # ---------- X4: einsum one-shot on (BB, 32, 32) ----------
@@ -166,5 +171,6 @@ def tail2_einsum(x3, BB, prec=HI):
 
 
 x3t = v.reshape(M // 1024, 32, 32)
-bench("tail2 einsum BB=128", lambda x: tail2_einsum(x, 128), x3t,
-      ref=ref2.reshape(-1, 32, 32))
+if CASE in ("", "einsum"):
+    bench("tail2 einsum BB=128", lambda x: tail2_einsum(x, 128), x3t,
+          ref=ref2.reshape(-1, 32, 32))

@@ -40,7 +40,7 @@ from gp_grief_tpu.ops.interp import (
 )
 from gp_grief_tpu.ops.selection import select_rows, select_rows_t, selection_expand
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
-from gp_grief_tpu.ops.cg import CGInfo, cg_solve
+from gp_grief_tpu.ops.cg import cg_solve_refined, CGInfo, cg_solve
 from gp_grief_tpu.ops.lanczos import LanczosResult, lanczos, slq_logdet
 from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol, stable_cholesky
 
@@ -80,6 +80,7 @@ __all__ = [
     "selection_expand",
     "top_p_kron_eigs",
     "cg_solve",
+    "cg_solve_refined",
     "CGInfo",
     "lanczos",
     "slq_logdet",

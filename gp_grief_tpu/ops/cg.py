@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["cg_solve", "CGInfo"]
+__all__ = ["cg_solve", "cg_solve_refined", "CGInfo"]
 
 
 class CGInfo(NamedTuple):
@@ -202,4 +202,63 @@ def cg_solve(
         )
     else:
         x = lax.custom_linear_solve(matvec, bb, solve=_solve, symmetric=True)
+    return x[:, 0] if squeeze else x
+
+
+def cg_solve_refined(
+    matvec_fast: Callable[[jax.Array], jax.Array],
+    matvec_exact: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    *,
+    tol: float = 1e-6,
+    inner_iters: int = 50,
+    max_restarts: int = 20,
+    M_inv: Optional[Callable[[jax.Array], jax.Array]] = None,
+    axis_name: Optional[str] = None,
+    return_info: bool = False,
+):
+    """Mixed-precision CG via iterative refinement (Carson–Higham pattern).
+
+    Outer loop: ``r ← b − A_exact x`` with the *exact* (high-precision)
+    matvec; inner loop: ``inner_iters`` branch-free CG iterations on the
+    correction system ``A d = r`` using the *fast* (low-precision, e.g. bf16
+    MXU) matvec; ``x ← x + d``.  The final accuracy is governed by the exact
+    residual refreshes, not by the fast matvec — so the hot loop runs at the
+    fast matvec's bandwidth while the solution converges to ``tol`` in the
+    exact operator's arithmetic (accuracy study: benchmarks/RESULTS_r2.md).
+
+    No reference counterpart (the reference's CG is SciPy double precision —
+    SURVEY.md §2 #7); this is the TPU-native answer to "bf16 MXU products are
+    3-8x faster than f32-exact" without giving up solution accuracy.
+
+    Returns ``x`` (and ``CGInfo`` with total inner iterations + final TRUE
+    residual norms when ``return_info``).
+    """
+    squeeze = b.ndim == 1
+    bb = b[:, None] if squeeze else b
+
+    def _colnorm(t):
+        s = jnp.sum(t * t, axis=0)
+        return jnp.sqrt(lax.psum(s, axis_name) if axis_name is not None else s)
+
+    bnorm = _colnorm(bb)
+    stop = tol * jnp.maximum(bnorm, jnp.finfo(bb.dtype).tiny)
+
+    def cond(state):
+        _, rnorm, outer = state
+        return jnp.logical_and(outer < max_restarts, jnp.any(rnorm > stop))
+
+    def body(state):
+        x, _, outer = state
+        r = bb - matvec_exact(x)
+        d, _ = _cg_fixed(matvec_fast, r, jnp.zeros_like(r), inner_iters, M_inv, axis_name)
+        x = x + d
+        rnorm = _colnorm(bb - matvec_exact(x))
+        return x, rnorm, outer + 1
+
+    x0 = jnp.zeros_like(bb)
+    x, rnorm, outer = lax.while_loop(cond, body, (x0, bnorm, jnp.asarray(0, jnp.int32)))
+    if return_info:
+        info = CGInfo(iterations=outer * inner_iters, residual_norm=rnorm)
+        return (x[:, 0] if squeeze else x), info
     return x[:, 0] if squeeze else x

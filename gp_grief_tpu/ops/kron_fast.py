@@ -114,10 +114,16 @@ def kron_matvec_fast(
     for K in gf:
         mk = int(K.shape[1])
         X = x.reshape(mk, -1)  # (mk, rest·B)
+        # Narrow (width < 128) passes are bandwidth-bound — the MXU has flop
+        # headroom to run them at HIGHEST for free, so the requested (fast)
+        # precision only ever applies to the wide compute-bound groups.
+        pass_prec = precision if mk >= 128 else lax.Precision.HIGHEST
         x = lax.dot_general(
-            X, K, (((0,), (1,)), ((), ())), precision=precision
+            X, K, (((0,), (1,)), ((), ())), precision=pass_prec
         )  # (rest·B, mk')
     out = x.reshape(B, rows)
     if squeeze:
         return out[0]
     return out.T
+
+

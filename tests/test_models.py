@@ -346,3 +346,30 @@ def test_kron_predict_chunked_matches_unchunked():
     mean2, var2 = m.predict(xs, chunk=4)  # pads 23 -> 24
     np.testing.assert_allclose(mean1, mean2, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(var1, var2, rtol=1e-6, atol=1e-10)
+
+
+def test_checkgrad_catches_bug_under_large_objective():
+    """A 1e-2 per-parameter gradient bug at |f|~1e6 must be CAUGHT (the
+    round-1 global noise floor 1e-8*(1+|f|) would have hidden it)."""
+    from gp_grief_tpu.optimize import checkgrad
+
+    @jax.custom_vjp
+    def buggy(x):
+        return jnp.sum(x**2) + 1.0e6
+
+    def fwd(x):
+        return buggy(x), x
+
+    def bwd(x, g):
+        grad = 2.0 * x
+        grad = grad.at[1].add(1e-2)  # deliberate bug in one component
+        return (g * grad,)
+
+    buggy.defvjp(fwd, bwd)
+
+    params = jnp.asarray(np.linspace(0.5, 2.0, 4))
+    ok, rows = checkgrad(lambda p: buggy(p), params)
+    assert not ok
+    # and a correct gradient at the same |f| passes
+    ok2, _ = checkgrad(lambda p: jnp.sum(p**2) + 1.0e6, params)
+    assert ok2

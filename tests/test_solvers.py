@@ -265,3 +265,51 @@ def test_gpkron_cg_preconditioned_matches_schur():
         gs, y, kerns, noise_var=0.05, solver="cg", cg_tol=1e-10, precond_rank=32
     )
     assert abs(ref.log_likelihood() - pc.log_likelihood()) / abs(ref.log_likelihood()) < 1e-8
+
+
+def test_cg_solve_refined_reaches_exact_tolerance(rng):
+    """Mixed-precision refinement: a deliberately PERTURBED fast matvec (1e-3
+    relative error, emulating bf16 products) still converges to the EXACT
+    operator's solution at 1e-8 — accuracy is set by the residual refreshes."""
+    from gp_grief_tpu.ops.cg import cg_solve_refined
+
+    n = 120
+    A = rng.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    E = rng.standard_normal((n, n))
+    E = 1e-3 * np.linalg.norm(A) / np.linalg.norm(E) * E
+    E = (E + E.T) / 2
+    Aj = jnp.asarray(A)
+    Afast = jnp.asarray(A + E)  # "low-precision" operator
+    b = jnp.asarray(rng.standard_normal((n, 2)))
+
+    x = cg_solve_refined(
+        lambda v: Afast @ v, lambda v: Aj @ v, b,
+        tol=1e-10, inner_iters=30, max_restarts=30,
+    )
+    ref = np.linalg.solve(A, np.asarray(b))
+    rel = np.abs(np.asarray(x) - ref).max() / np.abs(ref).max()
+    assert rel < 1e-8, rel
+    # sanity: plain CG on the PERTURBED operator alone cannot do better than ~1e-3
+    from gp_grief_tpu.ops.cg import cg_solve
+    x_fast = cg_solve(lambda v: Afast @ v, b, tol=1e-12, max_iters=2000)
+    rel_fast = np.abs(np.asarray(x_fast) - ref).max() / np.abs(ref).max()
+    assert rel_fast > 1e-5  # the refinement genuinely added accuracy
+
+
+def test_cg_solve_refined_info_and_single_rhs(rng):
+    from gp_grief_tpu.ops.cg import cg_solve_refined
+
+    n = 60
+    A = rng.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, info = cg_solve_refined(
+        lambda v: Aj @ v, lambda v: Aj @ v, b,
+        tol=1e-9, inner_iters=25, max_restarts=10, return_info=True,
+    )
+    ref = np.linalg.solve(A, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-6, atol=1e-8)
+    assert int(info.iterations) % 25 == 0 and int(info.iterations) > 0
+    assert float(info.residual_norm.max()) <= 1e-9 * np.linalg.norm(np.asarray(b)) * 1.01
