@@ -89,6 +89,40 @@ def build_basis(
         return GriefBasis(Qs=Qs, lams=lams, log_lam=log_lam, idx=idx)
 
 
+def _phi_fused_applicable(xg, dims) -> bool:
+    """Fused-Pallas Φ assembly needs equal per-dim grids (stackable operands),
+    the trivial dim mapping, d ≥ 2, and a TPU backend (Mosaic)."""
+    if dims is not None or len(xg) < 2:
+        return False
+    m0 = int(xg[0].shape[0])
+    if any(int(g.shape[0]) != m0 for g in xg):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _phi_fused_operands(basis: GriefBasis, Kx) -> Tuple[jax.Array, jax.Array]:
+    """Stacked operands for the fused Pallas Φ kernel.
+
+    ``B_stack[d] = K_xU_d`` (the raw cross-covariances); the ``Q_d`` rotation,
+    the column selection, and the ``λ^{-1/2}`` normalization all fold into one
+    selection operand ``S_d = Q_d[:, idx_d] · λ_d[idx_d]^{-1/2}`` — so the
+    in-kernel per-dim dot ``(n, m)·(m, p)`` replaces matmul+gather+scale and
+    the d pre-rotation matmuls disappear entirely.
+    """
+    tiny = jnp.finfo(Kx[0].dtype).tiny
+    B_stack = jnp.stack(Kx, axis=0)  # (d, n, m)
+    S_cols = []
+    for dd in range(len(Kx)):
+        cols = basis.idx[:, dd]  # (p,)
+        log_lam_d = jnp.log(jnp.clip(basis.lams[dd], tiny, None))
+        scale = jnp.exp(-0.5 * jnp.take(log_lam_d, cols))  # (p,)
+        S_cols.append(basis.Qs[dd][:, cols] * scale[None, :])  # (m, p)
+    return B_stack, jnp.stack(S_cols, axis=0)  # (d, m, p)
+
+
 def phi(
     basis: GriefBasis,
     kernels: Union[Stationary, KernList],
@@ -96,6 +130,7 @@ def phi(
     x: jax.Array,
     *,
     dims: Optional[Sequence[Sequence[int]]] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Evaluate the ``(n, p)`` normalized eigenfunction features at ``x``.
 
@@ -103,10 +138,30 @@ def phi(
     a per-column ``λ^{-1/2}`` scale, and a running elementwise product —
     ``O(n·Σ m_d² + n·p·d)`` total (reference §3.1 "build Φ" / §3.3 Nyström
     extension at test points).
+
+    ``impl``: ``"auto"`` uses the fused Pallas assembly
+    (:func:`gp_grief_tpu.ops.pallas.phi_fused_pallas` — all ``d`` dimensions
+    multiplied in VMEM, one pass over the ``(n, p)`` accumulator instead of
+    ``d``) when it applies: TPU backend, equal per-dim grids, trivial dim
+    mapping.  ``"xla"`` forces the per-dim loop; ``"fused"`` requires the
+    fused path (raises if inapplicable).  Both paths are differentiable and
+    run all dots at ``HIGHEST`` precision; accuracy study at the NLML level:
+    ``benchmarks/RESULTS_r2.md``.
     """
     with jax.named_scope("grief_phi"):
         Kx = cross_cov_grid(kernels, x, xg, dims)
         tiny = jnp.finfo(Kx[0].dtype).tiny
+        use_fused = impl != "xla" and _phi_fused_applicable(xg, dims)
+        if impl == "fused" and not use_fused:
+            raise ValueError(
+                "phi(impl='fused') needs a TPU backend, equal per-dim grids, "
+                "and no dim grouping"
+            )
+        if use_fused:
+            from gp_grief_tpu.ops.pallas import phi_fused_pallas
+
+            B_stack, S_stack = _phi_fused_operands(basis, Kx)
+            return phi_fused_pallas(B_stack, S_stack)
         out = None
         for d in range(len(xg)):
             B = Kx[d] @ basis.Qs[d]

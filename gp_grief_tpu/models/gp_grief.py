@@ -110,10 +110,15 @@ class GPGriefModel(BaseModel):
     # otherwise materialize several (n, p) intermediates at once).
     stats_chunk: int = 131072
 
+    # Φ assembly implementation: "auto" picks the fused Pallas kernel on TPU
+    # when applicable (equal per-dim grids, no dim grouping), else the XLA
+    # per-dim loop; "xla" forces the loop (kernels/grief.py:phi).
+    phi_impl: str = "auto"
+
     def _stats_from(self, kerns, basis: GriefBasis) -> BasisStats:
         n = self.x.shape[0]
         if n <= self.stats_chunk:
-            Phi = phi(basis, kerns, self.xg, self.x, dims=self.dims)
+            Phi = phi(basis, kerns, self.xg, self.x, dims=self.dims, impl=self.phi_impl)
             return BasisStats(
                 C=Phi.T @ Phi,
                 v=Phi.T @ self.y,
@@ -135,7 +140,7 @@ class GPGriefModel(BaseModel):
         def body(carry, inp):
             C, v, yy = carry
             xk, yk, mk = inp
-            Phik = phi(basis, kerns, self.xg, xk, dims=self.dims) * mk[:, None]
+            Phik = phi(basis, kerns, self.xg, xk, dims=self.dims, impl=self.phi_impl) * mk[:, None]
             return (
                 C + Phik.T @ Phik,
                 v + Phik.T @ yk,
@@ -221,7 +226,7 @@ class GPGriefModel(BaseModel):
         from gp_grief_tpu.kernels.grief import phi as _phi
 
         self._ensure_cache()
-        Phi = _phi(self._basis, self.params["kernels"], self.xg, self.x, dims=self.dims)
+        Phi = _phi(self._basis, self.params["kernels"], self.xg, self.x, dims=self.dims, impl=self.phi_impl)
         w = jnp.exp(self.params["log_w"])
         sigma2 = jnp.exp(self.params["log_noise"])
         squeeze = v.ndim == 1
@@ -256,7 +261,7 @@ class GPGriefModel(BaseModel):
 
         @jax.jit
         def _nlml(params, key):
-            Phi = _phi(self._basis, params["kernels"], self.xg, self.x, dims=self.dims)
+            Phi = _phi(self._basis, params["kernels"], self.xg, self.x, dims=self.dims, impl=self.phi_impl)
             w = jnp.exp(params["log_w"])
             sigma2 = jnp.exp(params["log_noise"])
 
@@ -290,7 +295,7 @@ class GPGriefModel(BaseModel):
                 Lp, theta = basis_posterior(
                     stats, params["log_w"], params["log_noise"]
                 )
-                Phis = phi(basis, kerns, self.xg, x_new, dims=self.dims)
+                Phis = phi(basis, kerns, self.xg, x_new, dims=self.dims, impl=self.phi_impl)
                 mean = Phis @ theta
                 sigma2 = jnp.exp(params["log_noise"])
                 A = jax.scipy.linalg.solve_triangular(Lp, Phis.T, lower=True)

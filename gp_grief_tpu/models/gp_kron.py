@@ -76,6 +76,7 @@ class GPKroneckerRegression(BaseModel):
         cg_tol: float = 1e-10,
         cg_iters: int = 1000,
         precond_rank: int = 0,
+        cg_precision: str = "exact",
     ):
         self.xg = tuple(jnp.asarray(g) for g in xg)
         if any(g.ndim == 2 and g.shape[1] > 1 for g in self.xg):
@@ -97,6 +98,14 @@ class GPKroneckerRegression(BaseModel):
         # CG option: deflate the top-`precond_rank` Kronecker eigenpairs
         # (ops/precond.py) — collapses iteration counts for fast-decay kernels.
         self.precond_rank = int(precond_rank)
+        # "exact": every CG matvec at HIGHEST precision (f32-exact dots).
+        # "mixed": iterative refinement (ops/cg.py:cg_solve_refined) — the CG
+        # hot loop runs the bf16-MXU matvec (~2.5x the bandwidth on v5e, see
+        # CLAUDE.md precision curve) while exact-precision residual refreshes
+        # keep the final solution at `cg_tol` in exact arithmetic.
+        if cg_precision not in ("exact", "mixed"):
+            raise ValueError("cg_precision must be 'exact' or 'mixed'")
+        self.cg_precision = cg_precision
         kerns = (
             list(kern_list)
             if isinstance(kern_list, (list, tuple))
@@ -128,13 +137,29 @@ class GPKroneckerRegression(BaseModel):
 
                 _, idx = top_p_kron_eigs(lams, self.precond_rank)
                 M_inv = kron_deflation_preconditioner(Qs, lams, idx, sigma2)
-            alpha = cg_solve(
-                lambda v: kron_matvec_fast(factors, v) + sigma2 * v,
-                self.y,
-                tol=self.cg_tol,
-                max_iters=self.cg_iters,
-                M_inv=M_inv,
-            )
+            if self.cg_precision == "mixed":
+                from gp_grief_tpu.ops.cg import cg_solve_refined
+
+                alpha = cg_solve_refined(
+                    lambda v: kron_matvec_fast(
+                        factors, v, precision=jax.lax.Precision.DEFAULT
+                    )
+                    + sigma2 * v,
+                    lambda v: kron_matvec_fast(factors, v) + sigma2 * v,
+                    self.y,
+                    tol=max(self.cg_tol, 1e-7),
+                    inner_iters=50,
+                    max_restarts=max(1, self.cg_iters // 50),
+                    M_inv=M_inv,
+                )
+            else:
+                alpha = cg_solve(
+                    lambda v: kron_matvec_fast(factors, v) + sigma2 * v,
+                    self.y,
+                    tol=self.cg_tol,
+                    max_iters=self.cg_iters,
+                    M_inv=M_inv,
+                )
             quad = jnp.dot(self.y, alpha)
         logdet = jnp.sum(jnp.log(lam + sigma2))
         return 0.5 * (quad + logdet + self.m * jnp.log(2.0 * jnp.pi))

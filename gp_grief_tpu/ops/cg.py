@@ -233,6 +233,14 @@ def cg_solve_refined(
 
     Returns ``x`` (and ``CGInfo`` with total inner iterations + final TRUE
     residual norms when ``return_info``).
+
+    Differentiable like :func:`cg_solve`: the solve is wrapped in
+    ``lax.custom_linear_solve(symmetric=True)`` with ``matvec_exact`` as the
+    defining operator, so the adjoint is another refined solve and gradients
+    flow to ``b`` and to parameters captured in ``matvec_exact``'s closure
+    (parameters captured only by ``matvec_fast`` affect convergence, not the
+    solution, and are correctly excluded).  The ``return_info`` path is not
+    differentiable (as with :func:`cg_solve`).
     """
     squeeze = b.ndim == 1
     bb = b[:, None] if squeeze else b
@@ -241,24 +249,33 @@ def cg_solve_refined(
         s = jnp.sum(t * t, axis=0)
         return jnp.sqrt(lax.psum(s, axis_name) if axis_name is not None else s)
 
-    bnorm = _colnorm(bb)
-    stop = tol * jnp.maximum(bnorm, jnp.finfo(bb.dtype).tiny)
+    def _refined_raw(mv_exact, rhs):
+        bnorm = _colnorm(rhs)
+        stop = tol * jnp.maximum(bnorm, jnp.finfo(rhs.dtype).tiny)
 
-    def cond(state):
-        _, rnorm, outer = state
-        return jnp.logical_and(outer < max_restarts, jnp.any(rnorm > stop))
+        def cond(state):
+            _, rnorm, outer = state
+            return jnp.logical_and(outer < max_restarts, jnp.any(rnorm > stop))
 
-    def body(state):
-        x, _, outer = state
-        r = bb - matvec_exact(x)
-        d, _ = _cg_fixed(matvec_fast, r, jnp.zeros_like(r), inner_iters, M_inv, axis_name)
-        x = x + d
-        rnorm = _colnorm(bb - matvec_exact(x))
-        return x, rnorm, outer + 1
+        def body(state):
+            x, _, outer = state
+            r = rhs - mv_exact(x)
+            d, _ = _cg_fixed(
+                matvec_fast, r, jnp.zeros_like(r), inner_iters, M_inv, axis_name
+            )
+            x = x + d
+            rnorm = _colnorm(rhs - mv_exact(x))
+            return x, rnorm, outer + 1
 
-    x0 = jnp.zeros_like(bb)
-    x, rnorm, outer = lax.while_loop(cond, body, (x0, bnorm, jnp.asarray(0, jnp.int32)))
+        x0 = jnp.zeros_like(rhs)
+        return lax.while_loop(cond, body, (x0, bnorm, jnp.asarray(0, jnp.int32)))
+
     if return_info:
+        x, rnorm, outer = _refined_raw(matvec_exact, bb)
         info = CGInfo(iterations=outer * inner_iters, residual_norm=rnorm)
         return (x[:, 0] if squeeze else x), info
+
+    x = lax.custom_linear_solve(
+        matvec_exact, bb, solve=lambda mv, rhs: _refined_raw(mv, rhs)[0], symmetric=True
+    )
     return x[:, 0] if squeeze else x

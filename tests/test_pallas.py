@@ -120,3 +120,43 @@ def test_phi_fused_pallas_vmem_fallback(rng):
         pp._VMEM_BUDGET = old
     ref = np.prod(np.einsum("dnm,dmp->dnp", np.asarray(B), np.asarray(S)), axis=0)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_phi_fused_operands_match_xla(rng):
+    """The model-facing fused path (Q/idx/λ folded into S) equals the XLA
+    per-dim loop on a real GRIEF basis."""
+    from gp_grief_tpu.kernels.grief import (
+        _phi_fused_operands,
+        build_basis,
+        phi,
+    )
+    from gp_grief_tpu.kernels.grid import cross_cov_grid
+    from gp_grief_tpu.kernels.stationary import make_kernel
+    from gp_grief_tpu.ops.pallas.phi_pallas import phi_fused_pallas
+
+    d, m, n, p = 3, 8, 24, 20
+    xg = tuple(jnp.linspace(0.0, 1.0, m)[:, None] for _ in range(d))
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, d)), dtype=jnp.float32)
+    kerns = [make_kernel("rbf", lengthscale=0.4 + 0.1 * i) for i in range(d)]
+    basis = build_basis(kerns, xg, p)
+    ref = phi(basis, kerns, xg, x, impl="xla")
+    B_stack, S_stack = _phi_fused_operands(basis, cross_cov_grid(kerns, x, xg, None))
+    got = phi_fused_pallas(B_stack, S_stack, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("B", [1, 4])
+def test_kron_matvec_slab_interpret(rng, B):
+    """Rotation-free slab schedule == dense oracle (interpret mode; the
+    min-lattice gate is bypassed via the private entry point)."""
+    from gp_grief_tpu.ops.pallas.kron_pallas import kron_matvec_slab
+
+    sizes = (4, 2, 8, 8, 8)  # d=5, all dividing 128
+    fs = tuple(
+        jnp.asarray(rng.standard_normal((m, m)), dtype=jnp.float32) for m in sizes
+    )
+    m = int(np.prod(sizes))
+    V = jnp.asarray(rng.standard_normal((m, B)), dtype=jnp.float32)
+    got = kron_matvec_slab(fs, V, interpret=True)
+    ref = np.asarray(kron_expand(fs)) @ np.asarray(V)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
