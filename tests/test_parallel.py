@@ -258,8 +258,10 @@ def test_full_sharded_train_step_2d_mesh(rng):
         )
         return basis_nlml(stats, params["log_w"], params["log_noise"])
 
-    v_sh, g_sh = jax.value_and_grad(loss_sharded)(params)
-    v_lo, g_lo = jax.value_and_grad(loss_local)(params)
+    # jit the whole value+grad programs: op-by-op eager dispatch of the
+    # shard_map pipeline dominates wall time otherwise (116s -> ~35s).
+    v_sh, g_sh = jax.jit(jax.value_and_grad(loss_sharded))(params)
+    v_lo, g_lo = jax.jit(jax.value_and_grad(loss_local))(params)
     np.testing.assert_allclose(float(v_sh), float(v_lo), rtol=1e-10)
     for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_lo)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
