@@ -80,6 +80,11 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
     )
     v = jnp.asarray(rng.standard_normal((m,)), dtype=dtype)
 
+    # Production hot-loop operating point: Precision.DEFAULT is what the
+    # refined-CG inner loop runs (ops/cg.py:cg_solve_refined — bf16 matvecs,
+    # exact residual refreshes restore full solution accuracy; NLML-level
+    # study in benchmarks/RESULTS_r2.md).  On TPU this dispatches to the
+    # 2-pass rotation-free Pallas slab schedule (rel err ~2e-3 vs exact).
     t_mv = _timed_loop(
         lambda vv: kron_matvec(factors, vv, precision=jax.lax.Precision.DEFAULT),
         v,
@@ -88,6 +93,23 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
     # Algorithmic traffic: each of the d passes reads and writes the lattice
     # once (factor matrices are negligible).
     kron_gbs = 2 * d * m * v.dtype.itemsize / t_mv / 1e9
+
+    # X3-grade point (rel err ~4e-6): the 3-pass slab at Mosaic HIGHEST.
+    from gp_grief_tpu.ops.pallas.kron_pallas import (
+        kron_matvec_slab,
+        slab_schedule_applicable,
+    )
+
+    x3_gbs = None
+    if jax.default_backend() == "tpu" and slab_schedule_applicable(factors, 1):
+        t_x3 = _timed_loop(
+            lambda vv: kron_matvec_slab(
+                factors, vv, precision=jax.lax.Precision.HIGHEST
+            ),
+            v,
+            iters=iters,
+        )
+        x3_gbs = 2 * d * m * v.dtype.itemsize / t_x3 / 1e9
 
     # Stream speed-of-light proxy: y = 2y + 1 reads m + writes m per iter.
     x = jnp.asarray(rng.standard_normal((m,)), dtype=dtype)
@@ -104,9 +126,11 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
                 "vs_baseline": round(kron_gbs / target, 4),
                 "detail": {
                     "shape": f"(kron {d}x{m_d}^2)·v, m={m}",
-                    "dtype": "float32 data, Precision.DEFAULT dots (bf16 MXU products on TPU;"
-                    " measured accuracy/bandwidth curve: benchmarks/RESULTS_r1.md)",
+                    "dtype": "float32 data, Precision.DEFAULT (refined-CG hot-loop"
+                    " operating point: bf16 MXU dots, rel err ~2e-3; exact outer"
+                    " refreshes give exact-grade solutions — RESULTS_r2.md)",
                     "matvec_ms": round(t_mv * 1e3, 3),
+                    "x3_grade_GBs(rel~4e-6)": None if x3_gbs is None else round(x3_gbs, 2),
                     "stream_GBs": round(stream_gbs, 2),
                     "target_GBs(0.7xstream)": round(target, 2),
                     "device": str(jax.devices()[0]),

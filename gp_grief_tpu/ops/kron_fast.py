@@ -6,12 +6,13 @@ Measured on v5e (bench.py methodology — slope-timed chained loops):
 |-----------------------------------------------|--------------------------|
 | naive per-factor chain (tensordot+moveaxis)   | 220 GB/s effective       |
 | per-factor Pallas passes (narrow contractions)| 80–215 GB/s              |
-| **pair-grouped cyclic passes (this module)**  | **404–450 GB/s**         |
-| trailing-slab Pallas pass (ops/pallas)        | 540 GB/s (per pass)      |
+| pair-grouped cyclic passes (this module)      | 345–450 GB/s             |
+| **2-pass Pallas slab schedule (ops/pallas)**  | **~510 GB/s @ DEFAULT**  |
 
-(effective GB/s = the d-pass algorithmic-traffic model ``2·d·m·itemsize / t``.)
+(effective GB/s = the d-pass algorithmic-traffic model ``2·d·m·itemsize / t``;
+round-2 numbers in benchmarks/RESULTS_r2.md.)
 
-Two ideas:
+Two ideas behind the cyclic XLA chain (the general-shape path):
 
 1. **Adjacent-factor grouping**: merge neighbours into super-factors of width
    ~1K (``K_i ⊗ K_{i+1}`` materialized — a few MB), so each cyclic pass is one
@@ -21,11 +22,12 @@ Two ideas:
    m/m_g)`` — after one pass per (super-)factor in order, the lattice ordering
    is restored.  XLA fuses the transpose into the matmul epilogue.
 
-The layout-preserving Pallas trailing-slab kernel
-(``ops.pallas.kron_pallas.last_slab_pass``, 540 GB/s measured) is exported
-separately: it only contracts trailing dims without rotating, so chaining it
-here would leave the lattice order rotated — a rotation-free full-Pallas
-schedule is the round-2 follow-up.
+Every physical pass costs its HBM DMA plus its MXU time (they serialize
+through this runtime — measured, benchmarks/exp_r2_dma_overlap.py), so the
+round-2 winner is the rotation-free Pallas slab schedule
+(``ops.pallas.kron_pallas.kron_matvec_slab``) which collapses d=5 into 2–3
+physical passes; :func:`kron_matvec_fast` dispatches to it on TPU for
+applicable shapes at bandwidth-oriented precisions.
 """
 
 from __future__ import annotations
@@ -82,23 +84,63 @@ def kron_matvec_fast(
     *,
     target_width: int = 1024,
     precision=lax.Precision.HIGHEST,
+    impl: str = "auto",
 ) -> jax.Array:
-    """``(⊗_d K_d) @ v`` via grouped cyclic passes.
+    """``(⊗_d K_d) @ v`` via the fastest applicable formulation.
 
     ``v``: ``(M,)`` or ``(M, B)``.  Jittable, differentiable.
 
-    ``precision`` picks the accuracy/bandwidth point (v5e, d=5×32 headline):
-    ``HIGHEST`` (default; X6 passes, rel err ~1e-7, 150 GB/s effective),
-    ``lax.DotAlgorithmPreset.BF16_BF16_F32_X3`` (2.4e-5, 231 GB/s), or
-    ``Precision.DEFAULT`` (bf16 products, ~3e-3, 401 GB/s — what bench.py
-    reports).  The layout-preserving Pallas trailing-slab kernel
-    (``ops.pallas``, 540 GB/s per pass) is NOT chained here because the cyclic
-    rotation invariant requires every pass to rotate — fusing it in needs a
-    rotation-free schedule, a round-2 optimization.
+    ``precision`` picks the accuracy/bandwidth point (v5e, d=5×32 headline,
+    round-2 measurements in benchmarks/RESULTS_r2.md):
+
+    - ``HIGHEST`` (default): exact f32 (rel err ~1e-7) grouped cyclic XLA
+      passes — the correctness-first solver default.
+    - ``Precision.DEFAULT``: bf16 MXU products.  On TPU, shapes accepted by
+      :func:`gp_grief_tpu.ops.pallas.slab_schedule_applicable` dispatch to the
+      rotation-free 2-pass Pallas slab schedule (rel err ~2e-3, ~1.4× the
+      cyclic XLA chain); others run the cyclic chain.  This is the operating
+      point of the refined-CG hot loop (``ops.cg.cg_solve_refined``), whose
+      exact-residual refreshes restore full solution accuracy.
+    - a ``lax.DotAlgorithmPreset`` (e.g. ``BF16_BF16_F32_X3``): on TPU,
+      slab-applicable shapes upgrade to the slab's HIGHEST path (rel err
+      ~4e-6 — at least as accurate as X3, faster); others run the cyclic
+      chain with the requested algorithm.
+
+    ``impl``: ``"auto"`` (dispatch as above), ``"xla"`` (force the grouped
+    cyclic chain), ``"slab"`` (force the Pallas slab; raises if inapplicable).
     """
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]
+    if isinstance(precision, str):
+        precision = lax.Precision(precision)
+    if impl != "xla":
+        from gp_grief_tpu.ops.pallas.kron_pallas import (
+            kron_matvec_slab,
+            slab_schedule_applicable,
+        )
+
+        applicable = (
+            jax.default_backend() == "tpu"
+            and slab_schedule_applicable(factors, int(v.shape[1]))
+        )
+        if impl == "slab" and not applicable:
+            raise ValueError(
+                "kron_matvec_fast(impl='slab') needs a TPU backend and "
+                "slab_schedule_applicable shapes"
+            )
+        want_slab = applicable and not (
+            isinstance(precision, lax.Precision)
+            and precision != lax.Precision.DEFAULT
+        )
+        if want_slab:
+            slab_prec = (
+                lax.Precision.DEFAULT
+                if precision == lax.Precision.DEFAULT
+                else lax.Precision.HIGHEST
+            )
+            out = kron_matvec_slab(factors, v, precision=slab_prec)
+            return out[:, 0] if squeeze else out
     B = int(v.shape[1])
     gf = group_factors(factors, target_width=target_width)
     rows = math.prod(int(K.shape[0]) for K in gf)

@@ -584,15 +584,36 @@ def _slab_primal(precision, interpret, factors, v):
         v.reshape(1, ms[0] * G0, (m // ms[0]) * B // G0),
         factors[0], G0, Wp, S, precision, interpret,
     )
-    # P2..: remaining middle factors, one widened HIGHEST pass each.
-    for i in range(1, d - 2):
+    # Remaining middle factors.  Every pass costs its DMA (~0.84 ms at the
+    # headline shape) PLUS its MXU time — they serialize through this runtime
+    # (measured, benchmarks/exp_r2_passes_today2.py + exp_r2_dma_overlap.py:
+    # even a manual DMA pipeline cannot overlap read+write).  So at
+    # ``Precision.DEFAULT`` adjacent mids are merged into ONE wide bf16 pass
+    # (``K_i ⊗ K_{i+1}``, ≤2048-wide single MXU dot): d=5 runs in 2 physical
+    # passes total.  At HIGHEST each mid runs its own exact 128-wide pass.
+    i = 1
+    while i < d - 2:
         pre = math.prod(ms[:i])
-        G = 128 // ms[i]
-        post = math.prod(ms[i + 1:]) * B
-        x = _mid_widened_pass(
-            x.reshape(pre, ms[i] * G, post // G),
-            factors[i], G, lax.Precision.HIGHEST, interpret,
-        )
+        post_i = math.prod(ms[i + 1:]) * B
+        pair_w = ms[i] * ms[i + 1] if i + 1 < d - 2 else 0
+        if (
+            precision == lax.Precision.DEFAULT
+            and 128 <= pair_w <= 2048
+            and post_i // ms[i + 1] >= 128
+        ):
+            W = jnp.kron(factors[i], factors[i + 1])
+            x = _mid_widened_pass(
+                x.reshape(pre, pair_w, post_i // ms[i + 1]),
+                W, 1, lax.Precision.DEFAULT, interpret,
+            )
+            i += 2
+        else:
+            G = 128 // ms[i]
+            x = _mid_widened_pass(
+                x.reshape(pre, ms[i] * G, post_i // G),
+                factors[i], G, lax.Precision.HIGHEST, interpret,
+            )
+            i += 1
     return x.reshape(m, B)
 
 
