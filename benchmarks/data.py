@@ -1,0 +1,89 @@
+"""Real-dataset loaders that activate when files appear (zero-egress fallback).
+
+The environment cannot fetch UCI/kin40k (no network — SURVEY.md provenance
+notes), so the BASELINE configs run on synthetic stand-ins by default.  If the
+real files are dropped into ``benchmarks/data/`` (or a directory named by
+``$GP_GRIEF_DATA``), the configs pick them up automatically and report metrics
+on the genuine task — the round-1 review's requested hook (VERDICT missing #6).
+
+Supported layouts per dataset:
+
+kin40k (the GP-GRIEF paper's headline task; n_train=10000/30000 variants):
+  - ``kin40k.npz`` with arrays ``x_train, y_train, x_test, y_test``; or
+  - the classic 4-file ASCII export: ``kin40k_train_data.asc``,
+    ``kin40k_train_labels.asc``, ``kin40k_test_data.asc``,
+    ``kin40k_test_labels.asc``.
+
+Large UCI regression (for the 2M config, e.g. HouseElectric):
+  - ``uci2m.npz`` with arrays ``x, y`` (n ≥ 1e6 rows).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["data_dir", "load_kin40k", "load_uci2m", "standardize"]
+
+
+def data_dir() -> str:
+    return os.environ.get(
+        "GP_GRIEF_DATA", os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    )
+
+
+def standardize(
+    x_train: np.ndarray, y_train: np.ndarray, x_test: np.ndarray, y_test: np.ndarray
+):
+    """Per-feature zero-mean/unit-variance on x, zero-mean/unit-variance on y,
+    statistics from the training split only (the paper's protocol)."""
+    xm, xs = x_train.mean(0), x_train.std(0) + 1e-12
+    ym, ys = y_train.mean(), y_train.std() + 1e-12
+    return (
+        (x_train - xm) / xs,
+        (y_train - ym) / ys,
+        (x_test - xm) / xs,
+        (y_test - ym) / ys,
+        float(ys),
+    )
+
+
+def load_kin40k(
+    root: Optional[str] = None, dtype=np.float32
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Return ``(x_train, y_train, x_test, y_test)`` or ``None`` if absent."""
+    root = root or data_dir()
+    npz = os.path.join(root, "kin40k.npz")
+    if os.path.exists(npz):
+        z = np.load(npz)
+        return tuple(
+            np.asarray(z[k], dtype=dtype)
+            for k in ("x_train", "y_train", "x_test", "y_test")
+        )
+    asc = [
+        os.path.join(root, f"kin40k_{s}.asc")
+        for s in ("train_data", "train_labels", "test_data", "test_labels")
+    ]
+    if all(os.path.exists(p) for p in asc):
+        xt, yt, xe, ye = (np.loadtxt(p) for p in asc)
+        return (
+            np.asarray(xt, dtype=dtype),
+            np.asarray(yt, dtype=dtype).reshape(-1),
+            np.asarray(xe, dtype=dtype),
+            np.asarray(ye, dtype=dtype).reshape(-1),
+        )
+    return None
+
+
+def load_uci2m(
+    root: Optional[str] = None, dtype=np.float32
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Return ``(x, y)`` (n ≥ 1e6) or ``None`` if absent."""
+    root = root or data_dir()
+    npz = os.path.join(root, "uci2m.npz")
+    if os.path.exists(npz):
+        z = np.load(npz)
+        return np.asarray(z["x"], dtype=dtype), np.asarray(z["y"], dtype=dtype).reshape(-1)
+    return None

@@ -126,16 +126,27 @@ def kin40k(tpu: bool = True):
         jax.config.update("jax_enable_x64", True)
     import gp_grief_tpu as gpx
 
-    rng = np.random.default_rng(0)
-    n, d = 40000, 8
     dtype = np.float32 if tpu else np.float64
-    x = rng.uniform(-1, 1, size=(n, d)).astype(dtype)
-    # kin40k-like: highly nonlinear low-noise robot-arm-ish target
-    f = (np.sin(3 * x[:, 0] * x[:, 1]) + x[:, 2] * np.cos(2 * x[:, 3])
-         + np.sin(x[:, 4] + 2 * x[:, 5]) * x[:, 6] + 0.5 * x[:, 7] ** 2)
-    y = (f + 0.05 * rng.standard_normal(n)).astype(dtype)
-    xtr, ytr, xte, yte = x[:30000], y[:30000], x[30000:], y[30000:]
-    fte = f[30000:]
+    from benchmarks.data import load_kin40k, standardize
+
+    real = load_kin40k(dtype=dtype)
+    if real is not None:
+        xtr, ytr, xte, yte, _ = standardize(*real)
+        xtr, ytr, xte, yte = (np.asarray(a, dtype=dtype) for a in (xtr, ytr, xte, yte))
+        fte = yte  # no noiseless target available; RMSE is vs labels
+        n, d = xtr.shape[0] + xte.shape[0], xtr.shape[1]
+        tag = "kin40k_real"
+    else:
+        rng = np.random.default_rng(0)
+        n, d = 40000, 8
+        x = rng.uniform(-1, 1, size=(n, d)).astype(dtype)
+        # kin40k-like: highly nonlinear low-noise robot-arm-ish target
+        f = (np.sin(3 * x[:, 0] * x[:, 1]) + x[:, 2] * np.cos(2 * x[:, 3])
+             + np.sin(x[:, 4] + 2 * x[:, 5]) * x[:, 6] + 0.5 * x[:, 7] ** 2)
+        y = (f + 0.05 * rng.standard_normal(n)).astype(dtype)
+        xtr, ytr, xte, yte = x[:30000], y[:30000], x[30000:], y[30000:]
+        fte = f[30000:]
+        tag = "kin40k_synth"
 
     p = 400
     t0 = time.perf_counter()
@@ -156,7 +167,7 @@ def kin40k(tpu: bool = True):
     mean, var = model.predict(xte, include_noise=True)
     rmse = float(np.sqrt(np.mean((mean - fte) ** 2)))
     nll = float(np.mean(0.5 * np.log(2 * np.pi * var) + 0.5 * (yte - mean) ** 2 / var))
-    _emit("kin40k_synth", n=n, d=d, p=p, rmse=rmse, nll=nll, train_s=t_train,
+    _emit(tag, n=n, d=d, p=p, rmse=rmse, nll=nll, train_s=t_train,
           virtual_pts_log10=grid.log10_num_virtual)
 
 
@@ -168,12 +179,25 @@ def uci2m(tpu: bool = True):
         jax.config.update("jax_enable_x64", True)
     import gp_grief_tpu as gpx
 
-    rng = np.random.default_rng(0)
-    n, d = 2_000_000, 10
     dtype = np.float32
-    x = rng.uniform(-1, 1, size=(n, d)).astype(dtype)
-    f = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.4 * x[:, 2] * x[:, 3] + np.tanh(x[:, 4] + x[:, 5])
-    y = (f + 0.1 * rng.standard_normal(n)).astype(dtype)
+    from benchmarks.data import load_uci2m
+
+    real = load_uci2m(dtype=dtype)
+    if real is not None:
+        x, y = real
+        xm, xs = x.mean(0), x.std(0) + 1e-12
+        ym, ys = y.mean(), y.std() + 1e-12
+        x, y = ((x - xm) / xs).astype(dtype), ((y - ym) / ys).astype(dtype)
+        n, d = x.shape
+        f = y  # RMSE vs labels on the real task
+        tag = "uci2m_real"
+    else:
+        rng = np.random.default_rng(0)
+        n, d = 2_000_000, 10
+        x = rng.uniform(-1, 1, size=(n, d)).astype(dtype)
+        f = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.4 * x[:, 2] * x[:, 3] + np.tanh(x[:, 4] + x[:, 5])
+        y = (f + 0.1 * rng.standard_normal(n)).astype(dtype)
+        tag = "uci2m_synth"
     xte, yte, fte = x[-100000:], y[-100000:], f[-100000:]
     xtr, ytr = x[:-100000], y[:-100000]
 
@@ -199,7 +223,7 @@ def uci2m(tpu: bool = True):
     )
     t_iter = time.perf_counter() - t0
     _emit(
-        "uci2m_synth",
+        tag,
         n=n,
         d=d,
         p=400,

@@ -112,7 +112,9 @@ def kron_matvec_fast(
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]
-    if isinstance(precision, str):
+    if precision is None:
+        precision = lax.Precision.DEFAULT
+    elif isinstance(precision, str):
         precision = lax.Precision(precision)
     if impl != "xla":
         from gp_grief_tpu.ops.pallas.kron_pallas import (

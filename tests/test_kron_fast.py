@@ -51,6 +51,23 @@ def test_last_slab_pass_interpret(rng):
     )
 
 
+def test_kron_matvec_fast_dispatch_gate(rng):
+    """On the CPU backend the auto dispatch must stay on the XLA chain (Pallas
+    slab requires TPU); impl='slab' must raise; impl='xla' must equal auto."""
+    import jax
+    from jax import lax
+
+    sizes = (4, 4, 8, 8, 8)  # slab-applicable shape class
+    factors = tuple(jnp.asarray(rng.standard_normal((m, m))) for m in sizes)
+    v = jnp.asarray(rng.standard_normal(int(np.prod(sizes))))
+    auto = kron_matvec_fast(factors, v, precision=lax.Precision.DEFAULT)
+    forced = kron_matvec_fast(factors, v, precision=lax.Precision.DEFAULT, impl="xla")
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(forced), rtol=1e-12)
+    assert jax.default_backend() == "cpu"
+    with pytest.raises(ValueError, match="slab"):
+        kron_matvec_fast(factors, v, impl="slab")
+
+
 def test_kron_matvec_fast_rectangular(rng):
     factors = (
         jnp.asarray(rng.standard_normal((4, 3))),
