@@ -52,38 +52,48 @@ def main():
     print(json.dumps({"quad_closed": quad_closed, "ld_closed": ld_closed,
                       "sigma2": sigma2, "n": int(stats.n)}), flush=True)
 
-    # iterative pieces
+    # iterative pieces — Phi built INSIDE the jitted programs (a host-side
+    # Phi + in-program copy doubles HBM and OOMs at 3 GB each).
     model._ensure_cache()
     nn = model.x.shape[0]
-    Phi = _phi(model._basis, model.params["kernels"], model.xg, model.x, dims=model.dims)
-    w = jnp.exp(lw)
-    s2 = jnp.exp(ln)
 
-    def mv(vv):
-        return Phi @ (w[:, None] * (Phi.T @ vv)) + s2 * vv
+    def make_mv(params):
+        Phi = _phi(model._basis, params["kernels"], model.xg, model.x, dims=model.dims)
+        w = jnp.exp(params["log_w"])
+        s2 = jnp.exp(params["log_noise"])
+
+        def mv(vv):
+            return Phi @ (w[:, None] * (Phi.T @ vv)) + s2 * vv
+
+        return mv
+
+    @jax.jit
+    def quad_prog(params, yy):
+        mv = make_mv(params)
+        alpha, info = cg_solve(mv, yy, tol=1e-5, max_iters=300, return_info=True)
+        return jnp.dot(yy, alpha), info.iterations, jnp.max(info.residual_norm)
 
     t0 = time.perf_counter()
-    alpha, info = jax.jit(
-        lambda yy: cg_solve(mv, yy, tol=1e-5, max_iters=300, return_info=True)
-    )(model.y)
-    quad_iter = float(jnp.dot(model.y, alpha))
+    quad_iter, iters, res = quad_prog(model.params, model.y)
+    quad_iter = float(quad_iter)
     print(json.dumps({"quad_iter": quad_iter,
                       "quad_gap": abs(quad_iter - quad_closed) / abs(quad_closed),
-                      "cg_iters": int(info.iterations),
-                      "cg_res": float(jnp.max(info.residual_norm)),
+                      "cg_iters": int(iters), "cg_res": float(res),
                       "s": round(time.perf_counter() - t0, 1)}), flush=True)
 
     for probes, k in [(8, 192), (16, 256)]:
+        @jax.jit
+        def ld_prog(params, key, probes=probes, k=k):
+            return slq_logdet(make_mv(params), nn, key=key, num_probes=probes,
+                              lanczos_iters=k, dtype=model.y.dtype)
+
         t0 = time.perf_counter()
-        ld = float(jax.jit(
-            lambda key: slq_logdet(mv, nn, key=key, num_probes=probes,
-                                   lanczos_iters=k, dtype=model.y.dtype)
-        )(jax.random.PRNGKey(0)))
+        ld = float(ld_prog(model.params, jax.random.PRNGKey(0)))
         print(json.dumps({
             "probes": probes, "k": k, "ld_slq": ld,
-            "ld_gap_rel": abs(ld - ld_closed) / abs(ld_closed),
+            "ld_gap_rel": float(abs(ld - ld_closed) / abs(ld_closed)),
             "nlml_gap_rel": abs(ld - ld_closed) / (2 * abs(
-                0.5 * (quad_closed + ld_closed + stats.n * np.log(2 * np.pi)))),
+                0.5 * (quad_closed + ld_closed + float(stats.n) * np.log(2 * np.pi)))),
             "s": round(time.perf_counter() - t0, 1),
         }), flush=True)
 

@@ -215,11 +215,16 @@ def uci2m(tpu: bool = True):
     rmse = float(np.sqrt(np.mean((mean - fte) ** 2)))
     # BASELINE.json:10: the 2M config must complete via SLQ logdet + CG.
     # Run the iterative NLML on the FULL n=1.9M operator at the optimum and
-    # compare against the closed-form O(p³) NLML.
+    # compare against the closed-form O(p³) NLML.  Rank-100 deflation
+    # preconditions BOTH the CG and the SLQ (whitened operator — see
+    # models/gp_grief.py:log_likelihood_iterative); unpreconditioned SLQ at
+    # this σ²≈0.02 needs hundreds of Lanczos nodes for ~0.5% logdet accuracy
+    # (the k-sweep in RESULTS_r2.md §6).
     ll_closed = model.log_likelihood()
     t0 = time.perf_counter()
     ll_iter = model.log_likelihood_iterative(
-        num_probes=8, lanczos_iters=32, cg_tol=1e-5, cg_iters=300
+        num_probes=8, lanczos_iters=48, cg_tol=1e-5, cg_iters=300,
+        precond_rank=300,
     )
     t_iter = time.perf_counter() - t0
     _emit(

@@ -242,6 +242,7 @@ class GPGriefModel(BaseModel):
         lanczos_iters: int = 64,
         cg_tol: float = 1e-8,
         cg_iters: int = 1000,
+        precond_rank: int = 0,
     ) -> float:
         """NLML via CG (quadratic term) + SLQ (log-det) on the n×n operator.
 
@@ -249,15 +250,26 @@ class GPGriefModel(BaseModel):
         Lanczos — SURVEY.md §3.2) driven by the O(n·p) GRIEF matvec.  The
         closed-form O(p³) ``log_likelihood`` is exact and preferred; this
         exists for parity and for very large ``p`` where O(p³) dominates.
+
+        ``precond_rank=r > 0`` enables rank-r deflation built from the top-r
+        eigenpairs of ``ΦWΦᵀ`` (obtained from the p×p eigendecomposition of
+        ``W^{1/2}ΦᵀΦW^{1/2}`` — O(p³), already cheap): CG runs with the
+        Woodbury ``M⁻¹`` hook, and the log-det becomes *preconditioned SLQ*
+        ``log|M| (exact) + log|M^{-1/2}ÃM^{-1/2}|`` (whitened spectrum
+        clustered at 1 → the quadrature converges in a handful of nodes).
+        Measured at n=1.9M/σ²=0.02: NLML gap 2.5% → ~1e-4 grade and CG off
+        its iteration cap (benchmarks/RESULTS_r2.md §6).
         """
         from gp_grief_tpu.kernels.grief import phi as _phi
         from gp_grief_tpu.ops.cg import cg_solve
         from gp_grief_tpu.ops.lanczos import slq_logdet
+        from gp_grief_tpu.ops.precond import lowrank_sqrt_ops
 
         if key is None:
             key = jax.random.PRNGKey(0)
         self._ensure_cache()
         n = self.x.shape[0]
+        r = int(min(precond_rank, self.n_eigs))
 
         @jax.jit
         def _nlml(params, key):
@@ -268,12 +280,38 @@ class GPGriefModel(BaseModel):
             def mv(vv):
                 return Phi @ (w[:, None] * (Phi.T @ vv)) + sigma2 * vv
 
-            alpha = cg_solve(mv, self.y, tol=cg_tol, max_iters=cg_iters)
-            quad = jnp.dot(self.y, alpha)
-            ld = slq_logdet(
-                mv, n, key=key, num_probes=num_probes,
-                lanczos_iters=lanczos_iters, dtype=self.y.dtype,
-            )
+            if r > 0:
+                # Top-r spectral factors of ΦWΦᵀ from the p×p system: with
+                # B = ΦW^{1/2}, BᵀB = W^{1/2}(ΦᵀΦ)W^{1/2} = VΛVᵀ and the
+                # orthonormal left factors are U_r = B V_r Λ_r^{-1/2}.
+                sw = jnp.sqrt(w)
+                C = Phi.T @ Phi  # (p, p) one O(n·p²) pass
+                lam_all, V = jnp.linalg.eigh(sw[:, None] * C * sw[None, :])
+                lam_r = lam_all[-r:]
+                lam_r = jnp.maximum(lam_r, jnp.finfo(lam_r.dtype).tiny)
+                Vr = V[:, -r:]
+                U = Phi @ (sw[:, None] * Vr / jnp.sqrt(lam_r)[None, :])  # (n, r)
+                M_inv, M_inv_sqrt, logdet_M = lowrank_sqrt_ops(U, lam_r, sigma2)
+
+                alpha = cg_solve(
+                    mv, self.y, tol=cg_tol, max_iters=cg_iters, M_inv=M_inv
+                )
+                quad = jnp.dot(self.y, alpha)
+
+                def mv_white(vv):
+                    return M_inv_sqrt(mv(M_inv_sqrt(vv)))
+
+                ld = logdet_M + slq_logdet(
+                    mv_white, n, key=key, num_probes=num_probes,
+                    lanczos_iters=lanczos_iters, dtype=self.y.dtype,
+                )
+            else:
+                alpha = cg_solve(mv, self.y, tol=cg_tol, max_iters=cg_iters)
+                quad = jnp.dot(self.y, alpha)
+                ld = slq_logdet(
+                    mv, n, key=key, num_probes=num_probes,
+                    lanczos_iters=lanczos_iters, dtype=self.y.dtype,
+                )
             return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
 
         return -float(_nlml(self.params, key))

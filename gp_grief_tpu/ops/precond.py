@@ -31,7 +31,11 @@ from jax import lax
 
 from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
 
-__all__ = ["kron_deflation_preconditioner", "lowrank_preconditioner"]
+__all__ = [
+    "kron_deflation_preconditioner",
+    "lowrank_preconditioner",
+    "lowrank_sqrt_ops",
+]
 
 
 def kron_deflation_preconditioner(
@@ -81,6 +85,39 @@ def kron_deflation_preconditioner(
         return out[:, 0] if squeeze else out
 
     return M_inv
+
+
+def lowrank_sqrt_ops(U: jax.Array, lam: jax.Array, sigma2):
+    """Closed-form operators of ``M = U diag(λ) Uᵀ + σ²I`` for ORTHONORMAL
+    skinny ``U (n, r)``: returns ``(M_inv, M_inv_sqrt, logdet_M)``.
+
+    Because ``U`` is orthonormal, every function of ``M`` acts spectrally:
+    ``f(M) = f(σ²)·I + U (f(λ+σ²) − f(σ²)) Uᵀ``.  ``M_inv_sqrt`` enables
+    *preconditioned SLQ*: ``log|A| = log|M| + log|M^{-1/2} A M^{-1/2}|``, and
+    the whitened operator's spectrum is clustered at 1, so the Lanczos
+    quadrature converges in a handful of nodes (the GPyTorch preconditioned-
+    logdet pattern, PAPERS.md; measured at n=1.9M in RESULTS_r2.md §6).
+    """
+    lam_shift = lam + sigma2
+
+    def _apply(diag_fun):
+        base = diag_fun(sigma2)
+        delta = diag_fun(lam_shift) - base  # (r,)
+
+        def op(v: jax.Array) -> jax.Array:
+            squeeze = v.ndim == 1
+            vv = v[:, None] if squeeze else v
+            t = U.T @ vv  # (r, B)
+            out = base * vv + U @ (delta[:, None] * t)
+            return out[:, 0] if squeeze else out
+
+        return op
+
+    M_inv = _apply(lambda s: 1.0 / s)
+    M_inv_sqrt = _apply(lambda s: 1.0 / jnp.sqrt(s))
+    n = U.shape[0]
+    logdet_M = jnp.sum(jnp.log(lam_shift)) + (n - lam.shape[0]) * jnp.log(sigma2)
+    return M_inv, M_inv_sqrt, logdet_M
 
 
 def lowrank_preconditioner(

@@ -75,3 +75,31 @@ def test_iterative_gradients_match_exact(rng):
     np.testing.assert_allclose(
         float(g_it[0].log_variance), float(g_ex[0].log_variance), rtol=0.15
     )
+
+
+def test_grief_iterative_preconditioned(rng):
+    """GRIEF iterative NLML with rank-r deflation (preconditioned CG +
+    preconditioned SLQ) must match the closed form far tighter than the
+    unpreconditioned estimator at the same probe/Lanczos budget."""
+    import gp_grief_tpu as gpx
+
+    n = 600
+    x = rng.uniform(0, 4, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.05 * rng.standard_normal(n)
+    grid = gpx.InducingGrid.build(x, mbar=12)
+    model = gpx.GPGriefModel(
+        x, y, [gpx.make_kernel("rbf", lengthscale=0.8) for _ in range(2)],
+        grid, n_eigs=60, noise_var=0.05,
+    )
+    model.optimize(max_iters=40)
+    ll_closed = model.log_likelihood()
+    budget = dict(num_probes=8, lanczos_iters=20, cg_tol=1e-10, cg_iters=400)
+    ll_plain = model.log_likelihood_iterative(**budget)
+    ll_prec = model.log_likelihood_iterative(precond_rank=50, **budget)
+    gap_plain = abs(ll_plain - ll_closed) / abs(ll_closed)
+    gap_prec = abs(ll_prec - ll_closed) / abs(ll_closed)
+    assert gap_prec < 1e-4
+    assert gap_prec < gap_plain
+    # full-rank deflation: whitened operator == I, SLQ contributes ~0 -> exact
+    ll_full = model.log_likelihood_iterative(precond_rank=60, **budget)
+    np.testing.assert_allclose(ll_full, ll_closed, rtol=1e-5)
