@@ -24,7 +24,13 @@ from gp_grief_tpu.kernels.grid import cov_grid
 from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
 from gp_grief_tpu.ops.cg import cg_solve
-from gp_grief_tpu.ops.interp import interp_matvec, interp_rmatvec, interp_weights
+from gp_grief_tpu.ops.interp import (
+    interp_matvec,
+    interp_matvec_bm,
+    interp_rmatvec,
+    interp_rmatvec_bm,
+    interp_weights,
+)
 from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
 from gp_grief_tpu.ops.lanczos import slq_logdet
 
@@ -93,6 +99,21 @@ class GPSKIRegression(BaseModel):
         kw = {} if precision is None else {"precision": precision}
 
         def mv(v):
+            if v.ndim == 2 and int(v.shape[1]) > 1:
+                # Batch-major lattice path: an (M, B) lattice intermediate
+                # with huge M lane-pads B→128 under the TPU T(8,128) tiling
+                # (a 1M-lattice CG+SLQ program OOMs on it — RESULTS_r2.md
+                # §7).  Keep batches LEADING on the lattice and fold B into
+                # the Kronecker structure as a leading identity factor
+                # (I_B ⊗ (⊗K_d) acting on the (B·M,) flat vector; the
+                # grouped-cyclic chain absorbs I_B into its first group at
+                # no extra pass).
+                B = int(v.shape[1])
+                u = interp_rmatvec_bm(self.iw, v.T)  # (B, M)
+                eyeB = jnp.eye(B, dtype=v.dtype)
+                u = kron_matvec_fast((eyeB, *factors), u.reshape(-1), **kw)
+                out = interp_matvec_bm(self.iw, u.reshape(B, -1))  # (B, n)
+                return out.T + sigma2 * v
             return (
                 interp_matvec(
                     self.iw, kron_matvec_fast(factors, interp_rmatvec(self.iw, v), **kw)

@@ -35,13 +35,15 @@ from gp_grief_tpu.ops.interp import (
     InterpWeights,
     interp_expand,
     interp_matvec,
+    interp_matvec_bm,
     interp_rmatvec,
+    interp_rmatvec_bm,
     interp_weights,
 )
 from gp_grief_tpu.ops.selection import select_rows, select_rows_t, selection_expand
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 from gp_grief_tpu.ops.cg import cg_solve_refined, CGInfo, cg_solve
-from gp_grief_tpu.ops.lanczos import LanczosResult, lanczos, slq_logdet
+from gp_grief_tpu.ops.lanczos import LanczosResult, lanczos, lanczos_batched, slq_logdet
 from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol, stable_cholesky
 
 __all__ = [
@@ -56,7 +58,9 @@ __all__ = [
     "InterpWeights",
     "interp_weights",
     "interp_matvec",
+    "interp_matvec_bm",
     "interp_rmatvec",
+    "interp_rmatvec_bm",
     "interp_expand",
     "kron_matvec",
     "kron_matmat",
@@ -83,6 +87,7 @@ __all__ = [
     "cg_solve_refined",
     "CGInfo",
     "lanczos",
+    "lanczos_batched",
     "slq_logdet",
     "LanczosResult",
     "solve_chol",

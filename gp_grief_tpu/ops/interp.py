@@ -24,7 +24,15 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["InterpWeights", "interp_weights", "interp_matvec", "interp_rmatvec", "interp_expand"]
+__all__ = [
+    "InterpWeights",
+    "interp_weights",
+    "interp_matvec",
+    "interp_rmatvec",
+    "interp_matvec_bm",
+    "interp_rmatvec_bm",
+    "interp_expand",
+]
 
 
 class InterpWeights(NamedTuple):
@@ -122,6 +130,44 @@ def interp_rmatvec(iw: InterpWeights, u: jax.Array) -> jax.Array:
             weight = wd if weight is None else weight * wd
         out = out.at[flat].add(weight[:, None] * uu)
     return out[:, 0] if squeeze else out
+
+
+def interp_matvec_bm(iw: InterpWeights, v_grid_bm: jax.Array) -> jax.Array:
+    """Batch-major ``W @ v``: ``v`` is ``(B, M)``, output ``(B, n)``.
+
+    TPU layout note: a ``(M, B)`` array with huge ``M`` and small ``B`` is
+    lane-padded ``B → 128`` by the default ``T(8,128)`` tiling (a (1M, 9)
+    lattice intermediate costs 14× its logical bytes — enough to OOM the
+    combined CG+SLQ NLML program, RESULTS_r2.md §7).  Batch-major keeps the
+    long axis on lanes, so padding is bounded by the sublane round-up of
+    ``B`` to 8."""
+    d = len(iw.shape)
+    out = None
+    for offsets in itertools.product((0, 1), repeat=d):
+        flat = _corner_flat_idx(iw, offsets)
+        weight = None
+        for dd, off in enumerate(offsets):
+            wd = iw.w[dd][:, off]
+            weight = wd if weight is None else weight * wd
+        contrib = weight[None, :] * v_grid_bm[:, flat]
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def interp_rmatvec_bm(iw: InterpWeights, u_bm: jax.Array) -> jax.Array:
+    """Batch-major ``Wᵀ @ u``: ``u`` is ``(B, n)``, output ``(B, M)`` —
+    see :func:`interp_matvec_bm` for why batch-major matters at large M."""
+    d = len(iw.shape)
+    M = math.prod(iw.shape)
+    out = jnp.zeros((u_bm.shape[0], M), dtype=u_bm.dtype)
+    for offsets in itertools.product((0, 1), repeat=d):
+        flat = _corner_flat_idx(iw, offsets)
+        weight = None
+        for dd, off in enumerate(offsets):
+            wd = iw.w[dd][:, off]
+            weight = wd if weight is None else weight * wd
+        out = out.at[:, flat].add(weight[None, :] * u_bm)
+    return out
 
 
 def interp_expand(iw: InterpWeights) -> jax.Array:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["lanczos", "slq_logdet", "LanczosResult"]
+__all__ = ["lanczos", "lanczos_batched", "slq_logdet", "LanczosResult"]
 
 
 class LanczosResult(NamedTuple):
@@ -118,6 +118,76 @@ def lanczos(
     )
 
 
+def lanczos_batched(
+    matvec: Callable[[jax.Array], jax.Array],
+    V0: jax.Array,
+    k: int,
+    *,
+    axis_name: Optional[str] = None,
+):
+    """``R`` independent Lanczos recurrences sharing each batched matvec.
+
+    ``V0``: ``(m, R)`` start vectors; ``matvec`` maps ``(m, R) → (m, R)``
+    column-wise (the same contract as :func:`gp_grief_tpu.ops.cg.cg_solve`).
+    Returns ``(alphas (k, R), betas (k-1, R), num_valid (R,))`` — the
+    per-column tridiagonals, zero-padded past each column's breakdown.
+
+    Exists for the SLQ probe loop: ``vmap``-ing the single-vector
+    :func:`lanczos` makes every operator-internal ``(m, 1)`` intermediate a
+    ``(R, m, 1)`` batch whose trailing unit dim lane-pads 128× under the TPU
+    ``T(8,128)`` tiling — at a 1M-point lattice that alone exceeds HBM
+    (measured; RESULTS_r2.md §7).  Batching probes as *columns* keeps one
+    ``(m, R)`` block and lets structured operators fold ``R`` into their
+    lattice (e.g. ``I_R ⊗ (⊗K_d)``).  No reorthogonalization (use
+    :func:`lanczos` with ``full_reorth`` for small-m high-accuracy checks).
+    """
+    m, R = V0.shape
+    dtype = V0.dtype
+    eps = jnp.finfo(dtype).eps
+
+    def _colsum(t):
+        s = jnp.sum(t, axis=0)
+        return lax.psum(s, axis_name) if axis_name is not None else s
+
+    def _colnorm(t):
+        return jnp.sqrt(_colsum(t * t))
+
+    q0 = V0 / _colnorm(V0)[None, :]
+
+    def step(carry, _):
+        q, q_prev, beta_prev, alive = carry
+        w = matvec(q)
+        alpha_i = _colsum(w * q)  # (R,)
+        w = w - alpha_i[None, :] * q - beta_prev[None, :] * q_prev
+        beta_i = _colnorm(w)
+        scale = jnp.abs(alpha_i) + beta_prev + jnp.asarray(1.0, dtype)
+        broke = beta_i <= 100 * eps * scale
+        q_next = jnp.where(
+            broke[None, :], jnp.zeros_like(w),
+            w / jnp.where(beta_i == 0, 1.0, beta_i)[None, :],
+        )
+        alpha_out = jnp.where(alive, alpha_i, 0.0)
+        beta_out = jnp.where(jnp.logical_and(alive, ~broke), beta_i, 0.0)
+        alive_next = jnp.logical_and(alive, ~broke)
+        return (q_next, q, beta_out, alive_next), (alpha_out, beta_out, alive)
+
+    init = (q0, jnp.zeros_like(q0), jnp.zeros((R,), dtype), jnp.ones((R,), bool))
+    _, (alphas, betas, alive_flags) = lax.scan(step, init, None, length=k)
+    return alphas, betas[:-1], jnp.sum(alive_flags.astype(jnp.int32), axis=0)
+
+
+def _slq_quadrature(alpha_col, beta_col, num_valid, k):
+    """Gauss-quadrature value ``Σ_j τ_j² log θ_j`` of one probe's tridiagonal."""
+    T = jnp.diag(alpha_col) + jnp.diag(beta_col, 1) + jnp.diag(beta_col, -1)
+    live = jnp.arange(k) < num_valid
+    T = jnp.where(live[:, None] & live[None, :], T, 0.0)
+    T = T + jnp.diag(jnp.where(live, 0.0, 1.0))
+    theta, V = jnp.linalg.eigh(T)
+    tau = V[0, :]
+    theta_safe = jnp.where(theta > 0, theta, 1.0)
+    return jnp.sum(tau * tau * jnp.log(theta_safe))
+
+
 def _slq_single_probe(matvec, z, k, full_reorth, axis_name=None):
     """SLQ contribution of one probe: ``‖z‖² · Σ_j τ_j² log θ_j``."""
     res = lanczos(
@@ -163,8 +233,26 @@ def slq_logdet(
         # Each shard draws its own slice of every probe: fold the device index
         # into the key so the global Rademacher vector is well defined.
         key = jax.random.fold_in(key, lax.axis_index(axis_name))
-    z = jax.random.rademacher(key, (num_probes, m), dtype=dtype)
+    if full_reorth:
+        # High-accuracy small-m path: per-probe recurrences under vmap.
+        z = jax.random.rademacher(key, (num_probes, m), dtype=dtype)
+        vals = jax.vmap(
+            lambda zz: _slq_single_probe(matvec, zz, lanczos_iters, full_reorth, axis_name)
+        )(z)
+        return jnp.mean(vals)
+    # Default: probes batched as COLUMNS through one (m, R) recurrence —
+    # every matvec is a single batched call, and no (R, m, 1) vmap
+    # intermediates appear (their trailing unit dim lane-pads 128× on TPU;
+    # see lanczos_batched).
+    Z = jax.random.rademacher(key, (m, num_probes), dtype=dtype)
+    alphas, betas, num_valid = lanczos_batched(
+        matvec, Z, lanczos_iters, axis_name=axis_name
+    )
+    znorm2 = jnp.sum(Z * Z, axis=0)
+    if axis_name is not None:
+        znorm2 = lax.psum(znorm2, axis_name)
     vals = jax.vmap(
-        lambda zz: _slq_single_probe(matvec, zz, lanczos_iters, full_reorth, axis_name)
-    )(z)
+        lambda a, b, nv, zn: zn * _slq_quadrature(a, b, nv, lanczos_iters),
+        in_axes=(1, 1, 0, 0),
+    )(alphas, betas, num_valid, znorm2)
     return jnp.mean(vals)

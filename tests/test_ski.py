@@ -111,3 +111,46 @@ def test_ski_predict_chunked_matches_unchunked(rng):
     np.testing.assert_allclose(var1, var2, rtol=1e-6, atol=1e-10)
     mean3 = m.predict(xs, compute_var=False, chunk=5)
     np.testing.assert_allclose(mean1, mean3, rtol=1e-8, atol=1e-10)
+
+
+def test_interp_bm_variants_match(rng):
+    """Batch-major interp ops == transposed column-major ops."""
+    from gp_grief_tpu.ops.interp import (
+        interp_matvec, interp_matvec_bm, interp_rmatvec, interp_rmatvec_bm,
+        interp_weights,
+    )
+
+    x = jnp.asarray(rng.uniform(0, 1, size=(40, 3)))
+    xg = [jnp.linspace(0, 1, m)[:, None] for m in (5, 6, 4)]
+    iw = interp_weights(x, xg)
+    M = 5 * 6 * 4
+    V = jnp.asarray(rng.standard_normal((M, 3)))
+    U = jnp.asarray(rng.standard_normal((40, 3)))
+    np.testing.assert_allclose(
+        np.asarray(interp_matvec_bm(iw, V.T)), np.asarray(interp_matvec(iw, V)).T,
+        rtol=1e-12, atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        np.asarray(interp_rmatvec_bm(iw, U.T)), np.asarray(interp_rmatvec(iw, U)).T,
+        rtol=1e-12, atol=1e-14,
+    )
+
+
+def test_ski_matvec_batched_matches_columns(rng):
+    """The batch-major (B>1) SKI matvec == per-column single matvecs."""
+    import gp_grief_tpu as gpx
+    from gp_grief_tpu.kernels.grid import cov_grid
+
+    x = rng.uniform(0, 1, size=(60, 2))
+    y = rng.standard_normal(60)
+    m = gpx.GPSKIRegression(
+        x, y, [gpx.make_kernel("rbf", lengthscale=0.5) for _ in range(2)],
+        mbar=7, noise_var=0.3,
+    )
+    factors = cov_grid(m.params["kernels"], m.xg, dim_noise_var=0.0)
+    mv = m._matvec(factors, 0.3)
+    V = jnp.asarray(rng.standard_normal((60, 4)))
+    batched = np.asarray(mv(V))
+    for j in range(4):
+        col = np.asarray(mv(V[:, j : j + 1]))[:, 0]
+        np.testing.assert_allclose(batched[:, j], col, rtol=1e-10, atol=1e-12)

@@ -313,3 +313,34 @@ def test_cg_solve_refined_info_and_single_rhs(rng):
     np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-6, atol=1e-8)
     assert int(info.iterations) % 25 == 0 and int(info.iterations) > 0
     assert float(info.residual_norm.max()) <= 1e-9 * np.linalg.norm(np.asarray(b)) * 1.01
+
+
+def test_lanczos_batched_matches_single(rng):
+    """Column-batched Lanczos == per-column single Lanczos (no reorth)."""
+    from gp_grief_tpu.ops.lanczos import lanczos, lanczos_batched
+
+    n, R, k = 80, 5, 25
+    A_np = _spd(rng, n)
+    A = jnp.asarray(A_np)
+    V0 = jnp.asarray(rng.standard_normal((n, R)))
+    al_b, be_b, nv_b = lanczos_batched(lambda V: A @ V, V0, k)
+    for j in range(R):
+        res = lanczos(
+            lambda v: A @ v, V0[:, j], k, full_reorth=False, store_basis=False
+        )
+        np.testing.assert_allclose(np.asarray(al_b[:, j]), np.asarray(res.alpha), rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(be_b[:, j]), np.asarray(res.beta), rtol=1e-9, atol=1e-11)
+        assert int(nv_b[j]) == int(res.num_valid)
+
+
+def test_slq_logdet_batched_default_accuracy(rng):
+    """slq_logdet's default (column-batched) path estimates log|A| correctly."""
+    n = 120
+    A_np = _spd(rng, n)
+    A = jnp.asarray(A_np)
+    ref = np.linalg.slogdet(A_np)[1]
+    est = slq_logdet(
+        lambda V: A @ V, n, key=jax.random.PRNGKey(0),
+        num_probes=64, lanczos_iters=40, dtype=jnp.float64,
+    )
+    np.testing.assert_allclose(float(est), ref, rtol=0.05)
