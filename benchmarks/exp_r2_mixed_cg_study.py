@@ -46,7 +46,7 @@ def ski_study():
         m = gpx.GPSKIRegression(
             x, y, [gpx.make_kernel("rbf", lengthscale=0.7) for _ in range(d)],
             mbar=32, noise_var=0.1, cg_precision=prec,
-            num_probes=8, cg_iters=400, cg_tol=1e-6,
+            num_probes=8, cg_iters=300, lanczos_iters=40, cg_tol=1e-6,
         )
         models[prec] = m
         ll, t = timed(lambda m=m: float(m.log_likelihood()))
@@ -77,7 +77,7 @@ def kron_study():
         m = gpx.GPKroneckerRegression(
             gs, y, [gpx.make_kernel("rbf", lengthscale=0.7) for _ in range(4)],
             noise_var=0.1, solver="cg", cg_precision=prec,
-            cg_iters=400, cg_tol=1e-6,
+            cg_iters=300, cg_tol=1e-6,
         )
         ll, t = timed(lambda m=m: float(m.log_likelihood()))
         res[prec] = {"nlml": ll, "t_nlml_s": round(t, 3)}

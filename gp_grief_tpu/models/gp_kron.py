@@ -175,9 +175,11 @@ class GPKroneckerRegression(BaseModel):
 
         mean = K_*U α (one ``kr_matvec``); var via structured solves against
         the ``(m, c)`` cross-covariance columns of one test *chunk* at a time
-        (``lax.map`` over chunks) — the variance path materializes only
-        ``m × chunk``, never ``m × n*`` (a 128³ grid × 10k test points would
-        be 8.6 TB dense; chunked it is ``m·c`` ≈ 0.5 GB at the auto chunk).
+        — the variance path materializes only ``m × chunk``, never ``m × n*``
+        (a 128³ grid × 10k test points would be 8.6 TB dense; chunked it is
+        ``m·c`` ≈ 0.5 GB at the auto chunk).  Chunks run as a HOST loop over
+        one compiled per-chunk program so a single device execution stays
+        bounded regardless of ``n*`` (RESULTS_r2.md §7 watchdog).
         ``chunk=0`` auto-sizes from ``m``; pass an explicit value to override.
         """
         x_new = jnp.asarray(x_new)
@@ -195,36 +197,44 @@ class GPKroneckerRegression(BaseModel):
             )
         else:
             x_pad = x_new
-        cache_key = (n_pad, chunk, bool(compute_var))
+        cache_key = (chunk, bool(compute_var))
         if getattr(self, "_predict_key", None) != cache_key:
             self._predict_key = cache_key
 
-            def _predict(params, xs):
+            def _prep(params):
                 kerns, log_noise = params["kernels"], params["log_noise"]
                 sigma2 = jnp.exp(log_noise)
                 factors = self._factors(kerns)
                 Qs, lams = kron_eigh(factors)
                 lams = _clamp_psd(lams)
                 alpha = kron_solve_schur(Qs, lams, self.y, sigma2)
+                return Qs, lams, alpha, sigma2
 
-                def one_chunk(xc):
-                    Kx = cross_cov_grid(kerns, xc, self.xg)  # (c, m_d) per dim
-                    mean = kr_matvec(list(Kx), alpha)
-                    if not compute_var:
-                        return mean, jnp.zeros_like(mean)
-                    prior_diag = cov_diag(kerns, xc)
-                    KUx = _kr_transpose_dense(Kx)  # (m, c)
-                    S = kron_solve_schur(Qs, lams, KUx, sigma2)
-                    var = prior_diag - jnp.sum(KUx * S, axis=0)
-                    return mean, jnp.maximum(var, 0.0)
+            def _chunk_prog(params, Qs, lams, alpha, xc):
+                kerns = params["kernels"]
+                sigma2 = jnp.exp(params["log_noise"])
+                Kx = cross_cov_grid(kerns, xc, self.xg)  # (c, m_d) per dim
+                mean = kr_matvec(list(Kx), alpha)
+                if not compute_var:
+                    return mean, jnp.zeros_like(mean)
+                prior_diag = cov_diag(kerns, xc)
+                KUx = _kr_transpose_dense(Kx)  # (m, c)
+                S = kron_solve_schur(Qs, lams, KUx, sigma2)
+                var = prior_diag - jnp.sum(KUx * S, axis=0)
+                return mean, jnp.maximum(var, 0.0)
 
-                xcs = xs.reshape(-1, chunk, xs.shape[1])
-                means, vars_ = jax.lax.map(one_chunk, xcs)
-                return means.reshape(-1), vars_.reshape(-1), sigma2
-
-            self._predict_jit = jax.jit(_predict)
-        mean, var, sigma2 = self._predict_jit(self.params, x_pad)
-        mean, var = mean[:n_star], var[:n_star]
+            self._prep_jit = jax.jit(_prep)
+            self._chunk_jit = jax.jit(_chunk_prog)
+        Qs, lams, alpha, sigma2 = self._prep_jit(self.params)
+        means, vars_ = [], []
+        for i in range(0, n_pad, chunk):
+            mc, vc = self._chunk_jit(self.params, Qs, lams, alpha, x_pad[i : i + chunk])
+            # Per-chunk fetch: keep the relay's async queue bounded
+            # (RESULTS_r2.md §7 — a fetch waiting >~60 s kills the worker).
+            means.append(np.asarray(mc))
+            vars_.append(np.asarray(vc))
+        mean = jnp.asarray(np.concatenate(means)[:n_star])
+        var = jnp.asarray(np.concatenate(vars_)[:n_star])
         if not compute_var:
             return np.asarray(mean)
         if include_noise:

@@ -180,14 +180,17 @@ class GPSKIRegression(BaseModel):
         chunk: int = 0,
     ):
         """The variance path CGs the ``(n, c)`` cross-covariance columns of
-        one test *chunk* at a time (``lax.map``), never materializing
-        ``(n, n*)`` — SKI at n=100k with 10k test points stays at ``n·c``.
-        ``chunk=0`` auto-sizes from ``n + m``; the prior diagonal is
-        factorized per dimension, O(n*·4d), never (n*, n*)."""
+        one test *chunk* at a time, never materializing ``(n, n*)`` — SKI at
+        n=100k with 10k test points stays at ``n·c``.  Chunks run as a HOST
+        loop over one compiled per-chunk program (not ``lax.map``): each
+        chunk's CG is a separate device execution, so arbitrarily many test
+        points never exceed a single program's runtime (the axon worker
+        kills executions over ~60 s — RESULTS_r2.md §7).  ``chunk=0``
+        auto-sizes from ``n + m``; the prior diagonal is factorized per
+        dimension, O(n*·4d), never (n*, n*)."""
         x_new = jnp.asarray(x_new, dtype=self.x.dtype)
         if x_new.ndim == 1:
             x_new = x_new[:, None]
-        o = self._opts
         n_star = int(x_new.shape[0])
         n = int(self.x.shape[0])
         m = int(np.prod([g.shape[0] for g in self.xg]))
@@ -201,54 +204,66 @@ class GPSKIRegression(BaseModel):
             )
         else:
             x_pad = x_new
-        cache_key = (n_pad, chunk, bool(compute_var))
+        cache_key = (chunk, bool(compute_var))
         if getattr(self, "_predict_key", None) != cache_key:
             self._predict_key = cache_key
 
-            def _predict(params, xs):
+            def _prep(params):
                 sigma2 = jnp.exp(params["log_noise"])
                 factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
-                mv = self._matvec(factors, sigma2)
                 alpha = self._solve(factors, sigma2, self.y)
                 Kw_alpha = kron_matvec_fast(factors, interp_rmatvec(self.iw, alpha))
+                return Kw_alpha, sigma2
 
-                def one_chunk(xc):
-                    iw_c = interp_weights(xc, self.xg)
-                    # k̂(x*, X) α = W* K (Wᵀ α)
-                    mean = interp_matvec(iw_c, Kw_alpha)
-                    if not compute_var:
-                        return mean, jnp.zeros_like(mean)
-                    # Prior diagonal factorizes over dims:
-                    #   k̂(x*,x*)_tt = Π_d Σ_{o,o'} w_d[t,o]·K_d[i+o,i+o']·w_d[t,o']
-                    prior_diag = None
-                    for d_, Kd in enumerate(factors):
-                        m_d = Kd.shape[0]
-                        i0 = iw_c.idx[d_]
-                        w2 = iw_c.w[d_]  # (c, 2)
-                        s = None
-                        for a in (0, 1):
-                            for b in (0, 1):
-                                ia = jnp.minimum(i0 + a, m_d - 1)
-                                ib = jnp.minimum(i0 + b, m_d - 1)
-                                term = w2[:, a] * Kd[ia, ib] * w2[:, b]
-                                s = term if s is None else s + term
-                        prior_diag = s if prior_diag is None else prior_diag * s
-                    # Cross terms: c_t = k̂(X, x*_t); var_t = k̂** − c_tᵀ Ã⁻¹ c_t.
-                    WsT = interp_rmatvec(iw_c, jnp.eye(xc.shape[0], dtype=self.x.dtype))
-                    C = interp_matvec(self.iw, kron_matvec_fast(factors, WsT))  # (n, c)
-                    Sol = self._solve(factors, sigma2, C)
-                    var = prior_diag - jnp.sum(C * Sol, axis=0)
-                    return mean, jnp.maximum(var, 0.0)
+            def _chunk_prog(params, Kw_alpha, xc):
+                sigma2 = jnp.exp(params["log_noise"])
+                factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
+                iw_c = interp_weights(xc, self.xg)
+                # k̂(x*, X) α = W* K (Wᵀ α)
+                mean = interp_matvec(iw_c, Kw_alpha)
+                if not compute_var:
+                    return mean, jnp.zeros_like(mean)
+                # Prior diagonal factorizes over dims:
+                #   k̂(x*,x*)_tt = Π_d Σ_{o,o'} w_d[t,o]·K_d[i+o,i+o']·w_d[t,o']
+                prior_diag = None
+                for d_, Kd in enumerate(factors):
+                    m_d = Kd.shape[0]
+                    i0 = iw_c.idx[d_]
+                    w2 = iw_c.w[d_]  # (c, 2)
+                    s = None
+                    for a in (0, 1):
+                        for b in (0, 1):
+                            ia = jnp.minimum(i0 + a, m_d - 1)
+                            ib = jnp.minimum(i0 + b, m_d - 1)
+                            term = w2[:, a] * Kd[ia, ib] * w2[:, b]
+                            s = term if s is None else s + term
+                    prior_diag = s if prior_diag is None else prior_diag * s
+                # Cross terms: c_t = k̂(X, x*_t); var_t = k̂** − c_tᵀ Ã⁻¹ c_t.
+                # Batch-major through the lattice (RESULTS_r2.md §7 hazard 2).
+                c = int(xc.shape[0])
+                Wst_bm = interp_rmatvec_bm(iw_c, jnp.eye(c, dtype=self.x.dtype))
+                eyeC = jnp.eye(c, dtype=self.x.dtype)
+                u = kron_matvec_fast((eyeC, *factors), Wst_bm.reshape(-1))
+                C = interp_matvec_bm(self.iw, u.reshape(c, -1)).T  # (n, c)
+                Sol = self._solve(factors, sigma2, C)
+                var = prior_diag - jnp.sum(C * Sol, axis=0)
+                return mean, jnp.maximum(var, 0.0)
 
-                xcs = xs.reshape(-1, chunk, xs.shape[1])
-                means, vars_ = lax.map(one_chunk, xcs)
-                return means.reshape(-1), vars_.reshape(-1), sigma2
-
-            self._predict_jit = jax.jit(_predict)
-        mean, var, sigma2 = self._predict_jit(self.params, x_pad)
-        mean, var = mean[:n_star], var[:n_star]
+            self._prep_jit = jax.jit(_prep)
+            self._chunk_jit = jax.jit(_chunk_prog)
+        Kw_alpha, sigma2 = self._prep_jit(self.params)
+        means, vars_ = [], []
+        for i in range(0, n_pad, chunk):
+            mc, vc = self._chunk_jit(self.params, Kw_alpha, x_pad[i : i + chunk])
+            # Fetch per chunk: the axon relay kills the worker when one fetch
+            # waits >~60 s for queued work, so never let the async queue grow
+            # past a chunk (RESULTS_r2.md §7).
+            means.append(np.asarray(mc))
+            vars_.append(np.asarray(vc))
+        mean = np.concatenate(means)[:n_star]
+        var = np.concatenate(vars_)[:n_star]
         if not compute_var:
-            return np.asarray(mean)
+            return mean
         if include_noise:
-            var = var + sigma2
-        return np.asarray(mean), np.asarray(var)
+            var = var + float(sigma2)
+        return mean, var
