@@ -277,8 +277,11 @@ class GPGriefModel(BaseModel):
             w = jnp.exp(params["log_w"])
             sigma2 = jnp.exp(params["log_noise"])
 
+            # Batch-major operator: vv (B, n) rows.  A column-layout (n, B)
+            # state at n=2M lane-pads B → 128 (1 GB per CG/Lanczos state
+            # array); rows keep the long axis on lanes (ops/cg.py:_reducers).
             def mv(vv):
-                return Phi @ (w[:, None] * (Phi.T @ vv)) + sigma2 * vv
+                return ((vv @ Phi) * w[None, :]) @ Phi.T + sigma2 * vv
 
             if r > 0:
                 # Top-r spectral factors of ΦWΦᵀ from the p×p system: with
@@ -291,10 +294,13 @@ class GPGriefModel(BaseModel):
                 lam_r = jnp.maximum(lam_r, jnp.finfo(lam_r.dtype).tiny)
                 Vr = V[:, -r:]
                 U = Phi @ (sw[:, None] * Vr / jnp.sqrt(lam_r)[None, :])  # (n, r)
-                M_inv, M_inv_sqrt, logdet_M = lowrank_sqrt_ops(U, lam_r, sigma2)
+                M_inv, M_inv_sqrt, logdet_M = lowrank_sqrt_ops(
+                    U, lam_r, sigma2, layout="bm"
+                )
 
                 alpha = cg_solve(
-                    mv, self.y, tol=cg_tol, max_iters=cg_iters, M_inv=M_inv
+                    mv, self.y, tol=cg_tol, max_iters=cg_iters, M_inv=M_inv,
+                    layout="bm",
                 )
                 quad = jnp.dot(self.y, alpha)
 
@@ -303,14 +309,16 @@ class GPGriefModel(BaseModel):
 
                 ld = logdet_M + slq_logdet(
                     mv_white, n, key=key, num_probes=num_probes,
-                    lanczos_iters=lanczos_iters, dtype=self.y.dtype,
+                    lanczos_iters=lanczos_iters, dtype=self.y.dtype, layout="bm",
                 )
             else:
-                alpha = cg_solve(mv, self.y, tol=cg_tol, max_iters=cg_iters)
+                alpha = cg_solve(
+                    mv, self.y, tol=cg_tol, max_iters=cg_iters, layout="bm"
+                )
                 quad = jnp.dot(self.y, alpha)
                 ld = slq_logdet(
                     mv, n, key=key, num_probes=num_probes,
-                    lanczos_iters=lanczos_iters, dtype=self.y.dtype,
+                    lanczos_iters=lanczos_iters, dtype=self.y.dtype, layout="bm",
                 )
             return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
 

@@ -218,9 +218,21 @@ class GPKroneckerRegression(BaseModel):
                 if not compute_var:
                     return mean, jnp.zeros_like(mean)
                 prior_diag = cov_diag(kerns, xc)
-                KUx = _kr_transpose_dense(Kx)  # (m, c)
-                S = kron_solve_schur(Qs, lams, KUx, sigma2)
-                var = prior_diag - jnp.sum(KUx * S, axis=0)
+                # Batch-major: a (m, c) column block lane-pads c → 128 under
+                # the T(8,128) tiling (17 GB at m=33.5M, c=16); keep the test
+                # chunk LEADING and fold it into the Kronecker structure as
+                # an identity factor — I_c ⊗ (⊗K_d) has eigensystem
+                # (I_c ⊗ Q, 1_c ⊗ λ), so the Schur solve runs unchanged on
+                # the (c·m,) flat vector.
+                c = int(xc.shape[0])
+                KUx_bm = _kr_rows_dense(Kx)  # (c, m): row i = ⊗_d Kx_d[i, :]
+                S_bm = kron_solve_schur(
+                    (jnp.eye(c, dtype=KUx_bm.dtype), *Qs),
+                    (jnp.ones((c,), dtype=KUx_bm.dtype), *lams),
+                    KUx_bm.reshape(-1),
+                    sigma2,
+                ).reshape(c, -1)
+                var = prior_diag - jnp.sum(KUx_bm * S_bm, axis=1)
                 return mean, jnp.maximum(var, 0.0)
 
             self._prep_jit = jax.jit(_prep)
@@ -242,10 +254,10 @@ class GPKroneckerRegression(BaseModel):
         return np.asarray(mean), np.asarray(var)
 
 
-def _kr_transpose_dense(A_list):
-    """Dense ``(Π m_d, n)`` matrix whose column ``i`` is ``⊗_d A_d[i, :]``."""
+def _kr_rows_dense(A_list):
+    """Dense ``(n, Π m_d)`` matrix whose row ``i`` is ``⊗_d A_d[i, :]``."""
     out = A_list[0]  # (n, m_1)
     for A in A_list[1:]:
         n = out.shape[0]
         out = (out[:, :, None] * A[:, None, :]).reshape(n, -1)
-    return out.T
+    return out

@@ -80,23 +80,25 @@ def gp_nlml_iterative(
     sigma2 = jnp.exp(log_noise)
     K = _cov_any(kernels, x)  # swap for a chunked matvec closure at 2M scale
 
+    # Batch-major operator (vv (B, n) rows; K symmetric): solver state keeps
+    # the long axis on TPU lanes — see ops/cg.py:_reducers.
     def mv(vv):
-        return K @ vv + sigma2 * vv
+        return vv @ K + sigma2 * vv
 
-    z = jax.random.rademacher(key, (n, num_probes), dtype=y.dtype)
-    rhs = jnp.concatenate([y[:, None], z], axis=1)
-    sol = cg_solve(mv, rhs, tol=cg_tol, max_iters=cg_iters)
-    alpha = lax.stop_gradient(sol[:, 0])
-    S = lax.stop_gradient(sol[:, 1:])
+    z = jax.random.rademacher(key, (num_probes, n), dtype=y.dtype)
+    rhs = jnp.concatenate([y[None, :], z], axis=0)
+    sol = cg_solve(mv, rhs, tol=cg_tol, max_iters=cg_iters, layout="bm")
+    alpha = lax.stop_gradient(sol[0])
+    S = lax.stop_gradient(sol[1:])
 
     # Quadratic term surrogate: value yᵀα, gradient −αᵀ(∂Ã)α.
-    quad = 2.0 * jnp.dot(y, alpha) - jnp.dot(alpha, mv(alpha[:, None])[:, 0])
+    quad = 2.0 * jnp.dot(y, alpha) - jnp.dot(alpha, mv(alpha[None, :])[0])
 
     # Log-det: SLQ value (stop-grad) + Hutchinson-gradient surrogate.
     ld_val = lax.stop_gradient(
         slq_logdet(
             mv, n, key=jax.random.fold_in(key, 1), num_probes=num_probes,
-            lanczos_iters=lanczos_iters, dtype=y.dtype,
+            lanczos_iters=lanczos_iters, dtype=y.dtype, layout="bm",
         )
     )
     g_sur = jnp.sum(S * mv(z)) / num_probes

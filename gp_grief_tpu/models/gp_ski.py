@@ -95,48 +95,64 @@ class GPSKIRegression(BaseModel):
 
     # -- structured operator ---------------------------------------------------
 
-    def _matvec(self, factors, sigma2, precision=None):
+    def _matvec_bm(self, factors, sigma2, precision=None):
+        """Batch-major ``(K̂ + σ²I)``: ``v (B, n) → (B, n)``.
+
+        The solver-facing form: CG/SLQ state and every lattice intermediate
+        keep the long axis on TPU lanes.  An ``(M, B)`` lattice intermediate
+        with huge ``M`` lane-pads ``B → 128`` under the ``T(8,128)`` tiling
+        (a 1M-lattice CG+SLQ program OOMs on it — RESULTS_r2.md §7), so the
+        batch is folded into the Kronecker structure as a leading identity
+        factor (``I_B ⊗ (⊗K_d)`` on the ``(B·M,)`` flat vector; the
+        grouped-cyclic chain absorbs ``I_B`` into its first group at no
+        extra pass)."""
         kw = {} if precision is None else {"precision": precision}
 
-        def mv(v):
-            if v.ndim == 2 and int(v.shape[1]) > 1:
-                # Batch-major lattice path: an (M, B) lattice intermediate
-                # with huge M lane-pads B→128 under the TPU T(8,128) tiling
-                # (a 1M-lattice CG+SLQ program OOMs on it — RESULTS_r2.md
-                # §7).  Keep batches LEADING on the lattice and fold B into
-                # the Kronecker structure as a leading identity factor
-                # (I_B ⊗ (⊗K_d) acting on the (B·M,) flat vector; the
-                # grouped-cyclic chain absorbs I_B into its first group at
-                # no extra pass).
-                B = int(v.shape[1])
-                u = interp_rmatvec_bm(self.iw, v.T)  # (B, M)
-                eyeB = jnp.eye(B, dtype=v.dtype)
-                u = kron_matvec_fast((eyeB, *factors), u.reshape(-1), **kw)
-                out = interp_matvec_bm(self.iw, u.reshape(B, -1))  # (B, n)
-                return out.T + sigma2 * v
-            return (
-                interp_matvec(
-                    self.iw, kron_matvec_fast(factors, interp_rmatvec(self.iw, v), **kw)
-                )
-                + sigma2 * v
-            )
+        def mv(v):  # (B, n)
+            B = int(v.shape[0])
+            u = interp_rmatvec_bm(self.iw, v)  # (B, M)
+            eyeB = jnp.eye(B, dtype=v.dtype)
+            u = kron_matvec_fast((eyeB, *factors), u.reshape(-1), **kw)
+            return interp_matvec_bm(self.iw, u.reshape(B, -1)) + sigma2 * v
 
         return mv
 
-    def _solve(self, factors, sigma2, rhs):
-        # CG solve honoring cg_precision ("exact" or iterative-refined "mixed").
+    def _matvec(self, factors, sigma2, precision=None):
+        """Column-layout public form (``(n,)`` / ``(n, B)``), delegating to
+        the batch-major core."""
+        mv_bm = self._matvec_bm(factors, sigma2, precision)
+
+        def mv(v):
+            if v.ndim == 1:
+                return mv_bm(v[None, :])[0]
+            return mv_bm(v.T).T
+
+        return mv
+
+    def _solve_bm(self, factors, sigma2, rhs_bm):
+        """Batch-major CG solve of ``(K̂+σ²I) X = rhs`` — ``rhs_bm (B, n)``,
+        honoring cg_precision ("exact" or iterative-refined "mixed")."""
         o = self._opts
-        mv = self._matvec(factors, sigma2)
+        mv = self._matvec_bm(factors, sigma2)
         if o["cg_precision"] == "mixed":
             from gp_grief_tpu.ops.cg import cg_solve_refined
 
-            mv_fast = self._matvec(factors, sigma2, precision=lax.Precision.DEFAULT)
+            mv_fast = self._matvec_bm(factors, sigma2, precision=lax.Precision.DEFAULT)
             return cg_solve_refined(
-                mv_fast, mv, rhs,
+                mv_fast, mv, rhs_bm,
                 tol=max(o["cg_tol"], 1e-7), inner_iters=50,
                 max_restarts=max(1, o["cg_iters"] // 50),
+                layout="bm",
             )
-        return cg_solve(mv, rhs, tol=o["cg_tol"], max_iters=o["cg_iters"])
+        return cg_solve(
+            mv, rhs_bm, tol=o["cg_tol"], max_iters=o["cg_iters"], layout="bm"
+        )
+
+    def _solve(self, factors, sigma2, rhs):
+        """Column-layout solve wrapper (``(n,)`` / ``(n, B)`` rhs)."""
+        if rhs.ndim == 1:
+            return self._solve_bm(factors, sigma2, rhs[None, :])[0]
+        return self._solve_bm(factors, sigma2, rhs.T).T
 
     def kernel_matvec(self, v):
         """``(K̂ + σ²I) v`` at the current parameters."""
@@ -146,24 +162,26 @@ class GPSKIRegression(BaseModel):
     # -- NLML (CG + SLQ with BBMM surrogate gradients) --------------------------
 
     def _loss(self, params):
+        # Fully batch-major: every CG/SLQ state block is (B, n) with the long
+        # axis on lanes (see _matvec_bm).
         n = self.x.shape[0]
         sigma2 = jnp.exp(params["log_noise"])
         factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
-        mv = self._matvec(factors, sigma2)
+        mv = self._matvec_bm(factors, sigma2)
         o = self._opts
 
-        z = jax.random.rademacher(self._key, (n, o["num_probes"]), dtype=self.y.dtype)
-        rhs = jnp.concatenate([self.y[:, None], z], axis=1)
-        sol = self._solve(factors, sigma2, rhs)
-        alpha = lax.stop_gradient(sol[:, 0])
-        S = lax.stop_gradient(sol[:, 1:])
+        z = jax.random.rademacher(self._key, (o["num_probes"], n), dtype=self.y.dtype)
+        rhs = jnp.concatenate([self.y[None, :], z], axis=0)
+        sol = self._solve_bm(factors, sigma2, rhs)
+        alpha = lax.stop_gradient(sol[0])
+        S = lax.stop_gradient(sol[1:])
 
-        quad = 2.0 * jnp.dot(self.y, alpha) - jnp.dot(alpha, mv(alpha[:, None])[:, 0])
+        quad = 2.0 * jnp.dot(self.y, alpha) - jnp.dot(alpha, mv(alpha[None, :])[0])
         ld_val = lax.stop_gradient(
             slq_logdet(
                 mv, n, key=jax.random.fold_in(self._key, 1),
                 num_probes=o["num_probes"], lanczos_iters=o["lanczos_iters"],
-                dtype=self.y.dtype,
+                dtype=self.y.dtype, layout="bm",
             )
         )
         g_sur = jnp.sum(S * mv(z)) / o["num_probes"]
@@ -244,9 +262,9 @@ class GPSKIRegression(BaseModel):
                 Wst_bm = interp_rmatvec_bm(iw_c, jnp.eye(c, dtype=self.x.dtype))
                 eyeC = jnp.eye(c, dtype=self.x.dtype)
                 u = kron_matvec_fast((eyeC, *factors), Wst_bm.reshape(-1))
-                C = interp_matvec_bm(self.iw, u.reshape(c, -1)).T  # (n, c)
-                Sol = self._solve(factors, sigma2, C)
-                var = prior_diag - jnp.sum(C * Sol, axis=0)
+                C_bm = interp_matvec_bm(self.iw, u.reshape(c, -1))  # (c, n)
+                Sol = self._solve_bm(factors, sigma2, C_bm)
+                var = prior_diag - jnp.sum(C_bm * Sol, axis=1)
                 return mean, jnp.maximum(var, 0.0)
 
             self._prep_jit = jax.jit(_prep)

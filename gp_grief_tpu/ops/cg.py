@@ -34,6 +34,33 @@ class CGInfo(NamedTuple):
     residual_norm: jax.Array  # (B,) final residual 2-norms
 
 
+def _reducers(layout: str, axis_name: Optional[str]):
+    """Per-system reduction + broadcast helpers for the two state layouts.
+
+    ``layout="col"``: state is ``(m, B)`` — systems are columns (classic).
+    ``layout="bm"``: state is ``(B, m)`` — systems are ROWS, the long solve
+    axis rides the TPU lane dimension.  Why this exists: a ``(m, B)`` array
+    with huge ``m`` and small ``B`` is lane-padded ``B → 128`` under the
+    default ``T(8, 128)`` tiling, so every CG state array and axpy pass moves
+    up to ``128/B×`` its logical bytes (a ``(2M, 1)`` solve carries 1 GB of
+    state per array; measured OOM/pathology notes in RESULTS_r2.md §7).
+    Batch-major bounds the waste at the sublane round-up of ``B`` to 8.
+    """
+    red_axis = 0 if layout == "col" else 1
+
+    def colsum(t):
+        s = jnp.sum(t, axis=red_axis)
+        return lax.psum(s, axis_name) if axis_name is not None else s
+
+    def colnorm(t):
+        return jnp.sqrt(colsum(t * t))
+
+    def bc(a):  # broadcast a (B,) per-system scalar against the state
+        return a[None, :] if red_axis == 0 else a[:, None]
+
+    return colsum, colnorm, bc
+
+
 def _cg_raw(
     matvec: Callable[[jax.Array], jax.Array],
     b: jax.Array,
@@ -42,20 +69,17 @@ def _cg_raw(
     max_iters: int,
     M_inv: Optional[Callable[[jax.Array], jax.Array]],
     axis_name: Optional[str] = None,
+    layout: str = "col",
 ):
-    """Preconditioned CG on a batched rhs ``b`` of shape ``(m, B)``.
+    """Preconditioned CG on a batched rhs ``b`` of shape ``(m, B)``
+    (``layout="col"``) or ``(B, m)`` (``layout="bm"`` — see :func:`_reducers`).
 
     With ``axis_name`` set (inside ``shard_map``), rows of the system are
     sharded over that mesh axis and every inner product is ``psum``-reduced —
     CG over ICI with no host round-trips (SURVEY.md §5 long-axis plan).
     """
 
-    def _colsum(t):
-        s = jnp.sum(t, axis=0)
-        return lax.psum(s, axis_name) if axis_name is not None else s
-
-    def _colnorm(t):
-        return jnp.sqrt(_colsum(t * t))
+    _colsum, _colnorm, _bc = _reducers(layout, axis_name)
 
     bnorm = _colnorm(b)  # (B,)
     # Clamp the relative tolerance at ~20·eps of the working dtype: f64-grade
@@ -85,13 +109,13 @@ def _cg_raw(
         # every column converges and the while_loop exits.
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         alpha = jnp.where(pAp == 0, 0.0, alpha)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * Ap
+        x = x + _bc(alpha) * p
+        r = r - _bc(alpha) * Ap
         z = precond(r)
         rz_new = _colsum(r * z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         beta = jnp.where(rz == 0, 0.0, beta)
-        p = z + beta[None, :] * p
+        p = z + _bc(beta) * p
         return x, r, z, p, k + 1, rz_new
 
     x, r, _, _, k, _ = lax.while_loop(cond, body, (x0, r0, z0, p0, 0, rz0))
@@ -105,15 +129,14 @@ def _cg_fixed(
     num_iters: int,
     M_inv: Optional[Callable[[jax.Array], jax.Array]],
     axis_name: Optional[str] = None,
+    layout: str = "col",
 ):
     """Fixed-iteration CG as a ``lax.scan`` — no convergence test, so each
     iteration skips the residual-norm pass and the loop carries no branch.
     Use when the iteration count is known/budgeted (batched solves, profiling,
     sharded contexts where the ``cond`` reduction costs a collective)."""
 
-    def _colsum(t):
-        s = jnp.sum(t, axis=0)
-        return lax.psum(s, axis_name) if axis_name is not None else s
+    _colsum, _, _bc = _reducers(layout, axis_name)
 
     precond = M_inv if M_inv is not None else (lambda r: r)
     r0 = b - matvec(x0)
@@ -126,13 +149,13 @@ def _cg_fixed(
         pAp = _colsum(p * Ap)
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         alpha = jnp.where(pAp == 0, 0.0, alpha)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * Ap
+        x = x + _bc(alpha) * p
+        r = r - _bc(alpha) * Ap
         z = precond(r)
         rz_new = _colsum(r * z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         beta = jnp.where(rz == 0, 0.0, beta)
-        p = z + beta[None, :] * p
+        p = z + _bc(beta) * p
         return (x, r, z, p, rz_new), None
 
     (x, r, _, _, _), _ = lax.scan(body, (x0, r0, z0, z0, rz0), None, length=num_iters)
@@ -153,19 +176,24 @@ def cg_solve(
     return_info: bool = False,
     axis_name: Optional[str] = None,
     fixed_iters: Optional[int] = None,
+    layout: str = "col",
 ):
     """Solve ``A x = b`` for symmetric positive-definite ``A`` given only a matvec.
 
     Args:
       matvec: closure computing ``A @ v`` for ``v`` of shape ``(m, B)``
-        (must also accept ``(m, 1)``; must be linear in ``v``).
-      b: ``(m,)`` or ``(m, B)`` right-hand side(s).
+        (must also accept ``(m, 1)``; must be linear in ``v``).  With
+        ``layout="bm"`` the contract flips: ``v`` is ``(B, m)`` — each ROW an
+        independent system.
+      b: ``(m,)`` or ``(m, B)`` right-hand side(s); ``(B, m)`` when
+        ``layout="bm"``.
       x0: optional initial guess (zeros by default; only used on the primal
         solve — the adjoint solve starts from zeros).
       tol: relative residual tolerance per column.
       max_iters: static iteration cap (the `while_loop` bound).
-      M_inv: optional preconditioner closure ``v ↦ M⁻¹ v``; affects convergence
-        only, so it is excluded from differentiation.
+      M_inv: optional preconditioner closure ``v ↦ M⁻¹ v`` (same layout as the
+        matvec); affects convergence only, so it is excluded from
+        differentiation.
       return_info: also return :class:`CGInfo` (iterations, residuals).
         The info path is not differentiable (use the default path under grad).
       axis_name: mesh axis the system rows are sharded over (``shard_map``
@@ -173,19 +201,35 @@ def cg_solve(
       fixed_iters: run exactly this many iterations as a branch-free
         ``lax.scan`` instead of the tolerance-tested ``while_loop`` (skips the
         per-iteration residual-norm pass; right for budgeted/profiled solves).
+      layout: ``"col"`` (state ``(m, B)``) or ``"bm"`` (state ``(B, m)`` —
+        keeps the long solve axis on TPU lanes so small batches don't pay the
+        ``B → 128`` lane padding; see :func:`_reducers`).
     """
+    if layout not in ("col", "bm"):
+        raise ValueError("layout must be 'col' or 'bm'")
     squeeze = b.ndim == 1
-    bb = b[:, None] if squeeze else b
-    x0b = jnp.zeros_like(bb) if x0 is None else (x0[:, None] if squeeze else x0)
+    if squeeze:
+        bb = b[:, None] if layout == "col" else b[None, :]
+    else:
+        bb = b
+    if x0 is None:
+        x0b = jnp.zeros_like(bb)
+    else:
+        x0b = (x0[:, None] if layout == "col" else x0[None, :]) if squeeze else x0
+
+    def _unsqueeze(x):
+        if not squeeze:
+            return x
+        return x[:, 0] if layout == "col" else x[0]
 
     def _raw(mv, rhs, start):
         if fixed_iters is not None:
-            return _cg_fixed(mv, rhs, start, fixed_iters, M_inv, axis_name)
-        return _cg_raw(mv, rhs, start, tol, max_iters, M_inv, axis_name)
+            return _cg_fixed(mv, rhs, start, fixed_iters, M_inv, axis_name, layout)
+        return _cg_raw(mv, rhs, start, tol, max_iters, M_inv, axis_name, layout)
 
     if return_info:
         x, info = _raw(matvec, bb, x0b)
-        return (x[:, 0] if squeeze else x), info
+        return _unsqueeze(x), info
 
     def _solve(mv, rhs):
         # x0 only applies to the primal solve; custom_linear_solve re-invokes
@@ -202,7 +246,7 @@ def cg_solve(
         )
     else:
         x = lax.custom_linear_solve(matvec, bb, solve=_solve, symmetric=True)
-    return x[:, 0] if squeeze else x
+    return _unsqueeze(x)
 
 
 def cg_solve_refined(
@@ -216,6 +260,7 @@ def cg_solve_refined(
     M_inv: Optional[Callable[[jax.Array], jax.Array]] = None,
     axis_name: Optional[str] = None,
     return_info: bool = False,
+    layout: str = "col",
 ):
     """Mixed-precision CG via iterative refinement (Carson–Higham pattern).
 
@@ -241,13 +286,24 @@ def cg_solve_refined(
     (parameters captured only by ``matvec_fast`` affect convergence, not the
     solution, and are correctly excluded).  The ``return_info`` path is not
     differentiable (as with :func:`cg_solve`).
-    """
-    squeeze = b.ndim == 1
-    bb = b[:, None] if squeeze else b
 
-    def _colnorm(t):
-        s = jnp.sum(t * t, axis=0)
-        return jnp.sqrt(lax.psum(s, axis_name) if axis_name is not None else s)
+    ``layout="bm"`` flips the state/matvec contract to ``(B, m)`` rows — see
+    :func:`cg_solve`.
+    """
+    if layout not in ("col", "bm"):
+        raise ValueError("layout must be 'col' or 'bm'")
+    squeeze = b.ndim == 1
+    if squeeze:
+        bb = b[:, None] if layout == "col" else b[None, :]
+    else:
+        bb = b
+
+    def _unsqueeze(x):
+        if not squeeze:
+            return x
+        return x[:, 0] if layout == "col" else x[0]
+
+    _, _colnorm, _ = _reducers(layout, axis_name)
 
     def _refined_raw(mv_exact, rhs):
         bnorm = _colnorm(rhs)
@@ -261,7 +317,8 @@ def cg_solve_refined(
             x, _, outer = state
             r = rhs - mv_exact(x)
             d, _ = _cg_fixed(
-                matvec_fast, r, jnp.zeros_like(r), inner_iters, M_inv, axis_name
+                matvec_fast, r, jnp.zeros_like(r), inner_iters, M_inv, axis_name,
+                layout,
             )
             x = x + d
             rnorm = _colnorm(rhs - mv_exact(x))
@@ -273,9 +330,9 @@ def cg_solve_refined(
     if return_info:
         x, rnorm, outer = _refined_raw(matvec_exact, bb)
         info = CGInfo(iterations=outer * inner_iters, residual_norm=rnorm)
-        return (x[:, 0] if squeeze else x), info
+        return _unsqueeze(x), info
 
     x = lax.custom_linear_solve(
         matvec_exact, bb, solve=lambda mv, rhs: _refined_raw(mv, rhs)[0], symmetric=True
     )
-    return x[:, 0] if squeeze else x
+    return _unsqueeze(x)

@@ -124,11 +124,16 @@ def lanczos_batched(
     k: int,
     *,
     axis_name: Optional[str] = None,
+    layout: str = "col",
 ):
     """``R`` independent Lanczos recurrences sharing each batched matvec.
 
     ``V0``: ``(m, R)`` start vectors; ``matvec`` maps ``(m, R) → (m, R)``
     column-wise (the same contract as :func:`gp_grief_tpu.ops.cg.cg_solve`).
+    With ``layout="bm"`` the contract flips to ``(R, m)`` — each ROW a
+    recurrence, the long axis on TPU lanes (see ``ops.cg._reducers``; a
+    ``(2M, 8)`` column block lane-pads 8 → 128 and carries 16× its logical
+    bytes through every recurrence update).
     Returns ``(alphas (k, R), betas (k-1, R), num_valid (R,))`` — the
     per-column tridiagonals, zero-padded past each column's breakdown.
 
@@ -141,30 +146,29 @@ def lanczos_batched(
     lattice (e.g. ``I_R ⊗ (⊗K_d)``).  No reorthogonalization (use
     :func:`lanczos` with ``full_reorth`` for small-m high-accuracy checks).
     """
-    m, R = V0.shape
+    from gp_grief_tpu.ops.cg import _reducers
+
+    if layout not in ("col", "bm"):
+        raise ValueError("layout must be 'col' or 'bm'")
+    R = V0.shape[1] if layout == "col" else V0.shape[0]
     dtype = V0.dtype
     eps = jnp.finfo(dtype).eps
 
-    def _colsum(t):
-        s = jnp.sum(t, axis=0)
-        return lax.psum(s, axis_name) if axis_name is not None else s
+    _colsum, _colnorm, _bc = _reducers(layout, axis_name)
 
-    def _colnorm(t):
-        return jnp.sqrt(_colsum(t * t))
-
-    q0 = V0 / _colnorm(V0)[None, :]
+    q0 = V0 / _bc(_colnorm(V0))
 
     def step(carry, _):
         q, q_prev, beta_prev, alive = carry
         w = matvec(q)
         alpha_i = _colsum(w * q)  # (R,)
-        w = w - alpha_i[None, :] * q - beta_prev[None, :] * q_prev
+        w = w - _bc(alpha_i) * q - _bc(beta_prev) * q_prev
         beta_i = _colnorm(w)
         scale = jnp.abs(alpha_i) + beta_prev + jnp.asarray(1.0, dtype)
         broke = beta_i <= 100 * eps * scale
         q_next = jnp.where(
-            broke[None, :], jnp.zeros_like(w),
-            w / jnp.where(beta_i == 0, 1.0, beta_i)[None, :],
+            _bc(broke), jnp.zeros_like(w),
+            w / _bc(jnp.where(beta_i == 0, 1.0, beta_i)),
         )
         alpha_out = jnp.where(alive, alpha_i, 0.0)
         beta_out = jnp.where(jnp.logical_and(alive, ~broke), beta_i, 0.0)
@@ -220,6 +224,7 @@ def slq_logdet(
     dtype=jnp.float32,
     full_reorth: bool = False,
     axis_name: Optional[str] = None,
+    layout: str = "col",
 ) -> jax.Array:
     """Estimate ``log|A|`` for symmetric PD ``A`` via stochastic Lanczos quadrature.
 
@@ -228,7 +233,14 @@ def slq_logdet(
     (Gauss quadrature on the spectral measure).  All probes run batched under
     ``vmap``; cost ``R · k`` matvecs, memory ``O(R·m)`` with the default
     ``full_reorth=False`` (use ``True`` for small-``m`` high-accuracy checks).
+
+    ``layout="bm"``: probes are ROWS of an ``(R, m)`` block and ``matvec``
+    maps ``(R, m) → (R, m)`` — the long axis stays on TPU lanes (no
+    ``R → 128`` lane padding; see :func:`lanczos_batched`).  Incompatible
+    with ``full_reorth``.
     """
+    if layout == "bm" and full_reorth:
+        raise ValueError("layout='bm' does not support full_reorth")
     if axis_name is not None:
         # Each shard draws its own slice of every probe: fold the device index
         # into the key so the global Rademacher vector is well defined.
@@ -243,12 +255,13 @@ def slq_logdet(
     # Default: probes batched as COLUMNS through one (m, R) recurrence —
     # every matvec is a single batched call, and no (R, m, 1) vmap
     # intermediates appear (their trailing unit dim lane-pads 128× on TPU;
-    # see lanczos_batched).
-    Z = jax.random.rademacher(key, (m, num_probes), dtype=dtype)
+    # see lanczos_batched).  "bm" runs the same recurrence on (R, m) rows.
+    shape = (m, num_probes) if layout == "col" else (num_probes, m)
+    Z = jax.random.rademacher(key, shape, dtype=dtype)
     alphas, betas, num_valid = lanczos_batched(
-        matvec, Z, lanczos_iters, axis_name=axis_name
+        matvec, Z, lanczos_iters, axis_name=axis_name, layout=layout
     )
-    znorm2 = jnp.sum(Z * Z, axis=0)
+    znorm2 = jnp.sum(Z * Z, axis=0 if layout == "col" else 1)
     if axis_name is not None:
         znorm2 = lax.psum(znorm2, axis_name)
     vals = jax.vmap(

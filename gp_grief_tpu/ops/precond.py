@@ -87,7 +87,7 @@ def kron_deflation_preconditioner(
     return M_inv
 
 
-def lowrank_sqrt_ops(U: jax.Array, lam: jax.Array, sigma2):
+def lowrank_sqrt_ops(U: jax.Array, lam: jax.Array, sigma2, *, layout: str = "col"):
     """Closed-form operators of ``M = U diag(λ) Uᵀ + σ²I`` for ORTHONORMAL
     skinny ``U (n, r)``: returns ``(M_inv, M_inv_sqrt, logdet_M)``.
 
@@ -97,7 +97,13 @@ def lowrank_sqrt_ops(U: jax.Array, lam: jax.Array, sigma2):
     the whitened operator's spectrum is clustered at 1, so the Lanczos
     quadrature converges in a handful of nodes (the GPyTorch preconditioned-
     logdet pattern, PAPERS.md; measured at n=1.9M in RESULTS_r2.md §6).
+
+    ``layout="bm"``: the returned operators map ``(B, n) → (B, n)`` rows
+    (the ``ops.cg`` batch-major contract) instead of ``(n,)``/``(n, B)``
+    columns.
     """
+    if layout not in ("col", "bm"):
+        raise ValueError("layout must be 'col' or 'bm'")
     lam_shift = lam + sigma2
 
     def _apply(diag_fun):
@@ -105,6 +111,9 @@ def lowrank_sqrt_ops(U: jax.Array, lam: jax.Array, sigma2):
         delta = diag_fun(lam_shift) - base  # (r,)
 
         def op(v: jax.Array) -> jax.Array:
+            if layout == "bm":
+                t = v @ U  # (B, r)
+                return base * v + (t * delta[None, :]) @ U.T
             squeeze = v.ndim == 1
             vv = v[:, None] if squeeze else v
             t = U.T @ vv  # (r, B)

@@ -344,3 +344,85 @@ def test_slq_logdet_batched_default_accuracy(rng):
         num_probes=64, lanczos_iters=40, dtype=jnp.float64,
     )
     np.testing.assert_allclose(float(est), ref, rtol=0.05)
+
+
+def test_cg_bm_layout_matches_col(rng):
+    """Batch-major (B, m) CG state gives the same solutions + gradients as
+    the column layout (the TPU lane-padding fix, RESULTS_r2.md §7)."""
+    n, B = 35, 3
+    A = jnp.asarray(_spd(rng, n))
+    rhs = jnp.asarray(rng.standard_normal((n, B)))
+    mv_col = lambda v: A @ v
+    mv_bm = lambda v: v @ A  # symmetric A
+    x_col = cg_solve(mv_col, rhs, tol=1e-12, max_iters=200)
+    x_bm = cg_solve(mv_bm, rhs.T, tol=1e-12, max_iters=200, layout="bm")
+    np.testing.assert_allclose(np.asarray(x_bm).T, np.asarray(x_col), rtol=1e-7, atol=1e-9)
+    # 1-D rhs round-trips through the row layout
+    x1 = cg_solve(mv_bm, rhs[:, 0], tol=1e-12, max_iters=200, layout="bm")
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x_col[:, 0]), rtol=1e-7, atol=1e-9)
+    # info path + fixed iters
+    x_f, info = cg_solve(
+        mv_bm, rhs.T, fixed_iters=60, layout="bm", return_info=True
+    )
+    assert info.residual_norm.shape == (B,)
+    np.testing.assert_allclose(np.asarray(x_f).T, np.asarray(x_col), rtol=1e-6, atol=1e-8)
+
+    # gradients agree between layouts (implicit adjoint through the solve)
+    def f_col(A_, b_):
+        return jnp.sum(cg_solve(lambda v: A_ @ v, b_, tol=1e-12, max_iters=200) ** 2)
+
+    def f_bm(A_, b_):
+        return jnp.sum(
+            cg_solve(lambda v: v @ A_, b_.T, tol=1e-12, max_iters=200, layout="bm") ** 2
+        )
+
+    gA1, gb1 = jax.grad(f_col, argnums=(0, 1))(A, rhs)
+    gA2, gb2 = jax.grad(f_bm, argnums=(0, 1))(A, rhs)
+    # v ↦ v @ A applies Aᵀ to columns, so ∂f/∂A transposes between layouts
+    # (identical values here only because A is symmetric-valued).
+    np.testing.assert_allclose(np.asarray(gA2), np.asarray(gA1).T, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gb2), np.asarray(gb1), rtol=1e-6, atol=1e-8)
+
+
+def test_cg_refined_bm_layout(rng):
+    n, B = 40, 2
+    A = jnp.asarray(_spd(rng, n, cond=100.0))
+    rhs = jnp.asarray(rng.standard_normal((n, B)))
+    from gp_grief_tpu.ops import cg_solve_refined
+
+    mv = lambda v: v @ A
+    x = cg_solve_refined(mv, mv, rhs.T, tol=1e-10, inner_iters=25, max_restarts=20, layout="bm")
+    xe = np.linalg.solve(np.asarray(A), np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(x).T, xe, rtol=1e-6, atol=1e-8)
+
+
+def test_slq_logdet_bm_layout(rng):
+    n = 50
+    A = jnp.asarray(_spd(rng, n, cond=50.0))
+    key = jax.random.PRNGKey(3)
+    ld_bm = slq_logdet(
+        lambda v: v @ A, n, key=key, num_probes=30, lanczos_iters=40, layout="bm",
+        dtype=A.dtype,
+    )
+    _, ld_true = np.linalg.slogdet(np.asarray(A))
+    assert abs(float(ld_bm) - ld_true) / abs(ld_true) < 0.05
+
+
+def test_lowrank_sqrt_ops_bm_layout(rng):
+    from gp_grief_tpu.ops.precond import lowrank_sqrt_ops
+
+    n, r, B = 30, 5, 4
+    U_full, _ = np.linalg.qr(rng.standard_normal((n, r)))
+    U = jnp.asarray(U_full)
+    lam = jnp.asarray(np.abs(rng.standard_normal(r)) + 1.0)
+    sigma2 = 0.3
+    M_inv_c, M_is_c, ld_c = lowrank_sqrt_ops(U, lam, sigma2)
+    M_inv_b, M_is_b, ld_b = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+    V = jnp.asarray(rng.standard_normal((n, B)))
+    np.testing.assert_allclose(
+        np.asarray(M_inv_b(V.T)).T, np.asarray(M_inv_c(V)), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(M_is_b(V.T)).T, np.asarray(M_is_c(V)), rtol=1e-6, atol=1e-8
+    )
+    assert float(ld_b) == float(ld_c)
