@@ -303,18 +303,31 @@ def cg_solve_refined(
             return x
         return x[:, 0] if layout == "col" else x[0]
 
-    _, _colnorm, _ = _reducers(layout, axis_name)
+    _, _colnorm, _bc = _reducers(layout, axis_name)
 
     def _refined_raw(mv_exact, rhs):
         bnorm = _colnorm(rhs)
         stop = tol * jnp.maximum(bnorm, jnp.finfo(rhs.dtype).tiny)
 
         def cond(state):
-            _, rnorm, outer = state
-            return jnp.logical_and(outer < max_restarts, jnp.any(rnorm > stop))
+            _, _, rnorm, rnorm_best, outer = state
+            # Divergence brake: mixed-precision refinement only converges when
+            # the low-precision inner solve makes progress (Carson–Higham);
+            # on severely ill-conditioned operators (κ ≳ 1/ε_fast) the
+            # corrections can GROW the residual without bound and the
+            # unguarded loop overflows to NaN (measured: κ~1e9 Kron lattice).
+            # Temporary growth is normal for restarted refinement, so steps
+            # are not rejected — but once the current residual exceeds 100×
+            # the best seen, further restarts are hopeless; stop and return
+            # the best iterate (info reports its true residual honestly).
+            diverged = jnp.all(rnorm > 100.0 * jnp.maximum(rnorm_best, stop))
+            return jnp.logical_and(
+                jnp.logical_and(outer < max_restarts, jnp.any(rnorm_best > stop)),
+                jnp.logical_not(diverged),
+            )
 
         def body(state):
-            x, _, outer = state
+            x, x_best, rnorm, rnorm_best, outer = state
             r = rhs - mv_exact(x)
             d, _ = _cg_fixed(
                 matvec_fast, r, jnp.zeros_like(r), inner_iters, M_inv, axis_name,
@@ -322,10 +335,44 @@ def cg_solve_refined(
             )
             x = x + d
             rnorm = _colnorm(rhs - mv_exact(x))
-            return x, rnorm, outer + 1
+            better = rnorm < rnorm_best
+            x_best = jnp.where(_bc(better), x, x_best)
+            rnorm_best = jnp.minimum(rnorm, rnorm_best)
+            return x, x_best, rnorm, rnorm_best, outer + 1
 
         x0 = jnp.zeros_like(rhs)
-        return lax.while_loop(cond, body, (x0, bnorm, jnp.asarray(0, jnp.int32)))
+        _, x_best, _, rnorm_best, outer = lax.while_loop(
+            cond, body, (x0, x0, bnorm, bnorm, jnp.asarray(0, jnp.int32))
+        )
+
+        # Graceful degradation: if refinement clearly failed (couldn't even
+        # cut the residual 10×), the operator is outside the mixed-precision
+        # convergence regime — finish with plain exact-matvec CG from the
+        # best iterate, so "mixed" is never *worse* than "exact" in result,
+        # only in (rare-failure-case) time.
+        failed = jnp.logical_and(
+            jnp.any(rnorm_best > stop),
+            jnp.all(rnorm_best > 0.1 * jnp.maximum(bnorm, jnp.finfo(rhs.dtype).tiny)),
+        )
+
+        def _fallback(xb):
+            x, info = _cg_raw(
+                mv_exact, rhs, xb, tol, inner_iters * max_restarts, M_inv,
+                axis_name, layout,
+            )
+            # f32 CG can itself wander post-stagnation on κ ≳ 1e6 systems —
+            # keep whichever iterate has the smaller true residual.
+            better = info.residual_norm < rnorm_best
+            return (
+                jnp.where(_bc(better), x, xb),
+                jnp.minimum(info.residual_norm, rnorm_best),
+            )
+
+        def _keep(xb):
+            return xb, rnorm_best
+
+        x_best, rnorm_best = lax.cond(failed, _fallback, _keep, x_best)
+        return x_best, rnorm_best, outer
 
     if return_info:
         x, rnorm, outer = _refined_raw(matvec_exact, bb)

@@ -141,7 +141,12 @@ def kron_matvec_fast(
                 if precision == lax.Precision.DEFAULT
                 else lax.Precision.HIGHEST
             )
-            out = kron_matvec_slab(factors, v, precision=slab_prec)
+            # At DEFAULT, store inter-pass intermediates bf16: the MXU rounds
+            # its inputs to bf16 at this precision anyway, so the halved
+            # write+read traffic is mathematically free on TPU (measured
+            # identical rel err, 498 → 595 GB/s eff — exp_r3_bf16_mid.py).
+            mid = jnp.bfloat16 if slab_prec == lax.Precision.DEFAULT else None
+            out = kron_matvec_slab(factors, v, precision=slab_prec, mid_dtype=mid)
             return out[:, 0] if squeeze else out
     B = int(v.shape[1])
     gf = group_factors(factors, target_width=target_width)

@@ -287,23 +287,34 @@ def _pick_BL(L: int, row_bytes_per_lane: int, budget: int = 24 * 1024 * 1024) ->
 
 
 def _mid_widened_pass(
-    x3: jax.Array, K: jax.Array, G: int, precision, interpret: bool
+    x3: jax.Array, K: jax.Array, G: int, precision, interpret: bool,
+    out_dtype=None,
 ) -> jax.Array:
     """(pre, mk*G, L) -> (pre, mk'*G, L): contract the middle axis with
     ``K (x) I_G`` (contraction width mk*G, typically 128) at Mosaic HIGHEST —
-    exact f32 and still DMA-bound at this width (see module notes)."""
+    exact f32 and still DMA-bound at this width (see module notes).
+
+    ``x3`` may be bf16 (a bf16-stored inter-pass intermediate); the weight is
+    cast to match.  ``out_dtype`` overrides the output storage dtype —
+    accumulation stays f32 (``preferred_element_type``) either way."""
     pre, mkG, L = x3.shape
     mk = mkG // G
     mko = int(K.shape[0])
-    W = jnp.kron(K, jnp.eye(G, dtype=K.dtype))  # (mko*G, mk*G)
-    itemsize = x3.dtype.itemsize
+    out_dtype = x3.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    if x3.dtype == jnp.bfloat16:
+        # bf16 operands carry no extra bits for HIGHEST's multi-pass
+        # emulation, and Mosaic rejects fp32 contract precision on bf16
+        # inputs ("Bad lhs type") — one bf16 MXU dot is the honest op.
+        precision = lax.Precision.DEFAULT
+    W = jnp.kron(K, jnp.eye(G, dtype=K.dtype)).astype(x3.dtype)  # (mko*G, mk*G)
+    itemsize = (x3.dtype.itemsize + jnp.dtype(out_dtype).itemsize) // 2
     BL = _pick_BL(L, (mkG + mko * G) * itemsize // 2)
 
     def kernel(x_ref, w_ref, o_ref):
         o_ref[0] = lax.dot_general(
             w_ref[:], x_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=x_ref.dtype, precision=precision,
-        )
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(o_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -315,7 +326,7 @@ def _mid_widened_pass(
         out_specs=pl.BlockSpec(
             (1, mko * G, BL), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((pre, mko * G, L), x3.dtype),
+        out_shape=jax.ShapeDtypeStruct((pre, mko * G, L), out_dtype),
         compiler_params=_SLAB_VMEM,
         interpret=interpret,
     )(x3, W)
@@ -336,6 +347,7 @@ def _fused_mid_pair_pass(
     S: int,
     precision,
     interpret: bool,
+    out_dtype=None,
 ) -> jax.Array:
     """P1: widened mid contraction for the leading factor (Mosaic HIGHEST)
     + the trailing (S-wide) lane-pair contraction with ``Wp`` in one VMEM
@@ -346,13 +358,17 @@ def _fused_mid_pair_pass(
     (``chunk @ Wpᵀ`` as ``dot_general(chunk, Wp, contract lanes/lanes)``):
     one bf16 dot at ``Precision.DEFAULT`` (~2.5e-3), else a 3-dot hi/lo
     split (~1e-5, X3-grade).
+
+    ``out_dtype``: storage dtype of the inter-pass intermediate (bf16 halves
+    the pass's write traffic; accumulation stays f32).
     """
     pre, m0G, L = x3.shape
     m0o = int(K0.shape[0])
+    out_dtype = x3.dtype if out_dtype is None else jnp.dtype(out_dtype)
     W0 = jnp.kron(K0, jnp.eye(G, dtype=K0.dtype))
     Wp_h, Wp_l = _split_bf16(Wp)
     x3_mode = precision != lax.Precision.DEFAULT
-    itemsize = x3.dtype.itemsize
+    itemsize = (x3.dtype.itemsize + jnp.dtype(out_dtype).itemsize) // 2
     if L % S:
         raise ValueError(
             f"trailing pair width {S} must divide the lane extent {L} "
@@ -399,7 +415,7 @@ def _fused_mid_pair_pass(
         out_specs=pl.BlockSpec(
             (1, m0o * G, BL), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((pre, m0o * G, L), x3.dtype),
+        out_shape=jax.ShapeDtypeStruct((pre, m0o * G, L), out_dtype),
         compiler_params=_SLAB_VMEM,
         interpret=interpret,
     )(x3, W0, Wp_h, Wp_l)
@@ -542,6 +558,7 @@ def kron_matvec_slab(
     *,
     precision=lax.Precision.HIGHEST,
     interpret: bool = False,
+    mid_dtype=None,
 ) -> jax.Array:
     """Rotation-free 3-pass Kron matvec (see module section above).
 
@@ -556,6 +573,11 @@ def kron_matvec_slab(
     (~1e-5, X3-grade).  The widened mid passes always run Mosaic ``HIGHEST``
     (exact, and still DMA-bound at 128-wide).  Forward-only Pallas; the
     custom VJP routes gradients through the XLA einsum chain.
+
+    ``mid_dtype=jnp.bfloat16`` stores the inter-pass intermediates in bf16:
+    each pass boundary's HBM write+read halves (every pass is DMA-bound —
+    RESULTS_r2.md §1), at a rounding cost on the same order as the DEFAULT
+    bf16 products.  Only meaningful with ``precision=DEFAULT``.
     """
     squeeze = v.ndim == 1
     if squeeze:
@@ -563,13 +585,14 @@ def kron_matvec_slab(
     out = _slab(
         precision if isinstance(precision, lax.Precision) else lax.Precision.HIGHEST,
         bool(interpret),
+        None if mid_dtype is None else jnp.dtype(mid_dtype),
         tuple(factors),
         v,
     )
     return out[:, 0] if squeeze else out
 
 
-def _slab_primal(precision, interpret, factors, v):
+def _slab_primal(precision, interpret, mid_dtype, factors, v):
     ms = [int(K.shape[0]) for K in factors]
     B = int(v.shape[1])
     m = math.prod(ms)
@@ -578,11 +601,36 @@ def _slab_primal(precision, interpret, factors, v):
     Wp = jnp.kron(factors[-2], factors[-1])
     if B > 1:
         Wp = jnp.kron(Wp, jnp.eye(B, dtype=Wp.dtype))
+    # Inter-pass intermediates may be stored bf16 (mid_dtype): halves the
+    # write+read traffic of every pass boundary — each pass's cost is its
+    # serialized DMA (RESULTS_r2.md §1), so at the d=5 headline this cuts
+    # total traffic 4·m → 3·m words.  Accumulation is always f32; only the
+    # HBM storage between passes rounds.
+    n_passes_left = 1  # passes after P1 (computed below)
+    i_probe = 1
+    while i_probe < d - 2:
+        pair_w = ms[i_probe] * ms[i_probe + 1] if i_probe + 1 < d - 2 else 0
+        post_i = math.prod(ms[i_probe + 1:]) * B
+        if (
+            precision == lax.Precision.DEFAULT
+            and 128 <= pair_w <= 2048
+            and post_i // ms[i_probe + 1] >= 128
+        ):
+            i_probe += 2
+        else:
+            i_probe += 1
+        n_passes_left += 1
+    n_passes_left -= 1  # P1 itself was counted
+
+    def _inter(dt_when_more):  # storage dtype for a non-final pass output
+        return mid_dtype if (mid_dtype is not None and dt_when_more) else None
+
     # P1: leading factor (widened mid) fused with the trailing pair.
     G0 = 128 // ms[0]
     x = _fused_mid_pair_pass(
         v.reshape(1, ms[0] * G0, (m // ms[0]) * B // G0),
         factors[0], G0, Wp, S, precision, interpret,
+        out_dtype=_inter(n_passes_left > 0),
     )
     # Remaining middle factors.  Every pass costs its DMA (~0.84 ms at the
     # headline shape) PLUS its MXU time — they serialize through this runtime
@@ -601,32 +649,36 @@ def _slab_primal(precision, interpret, factors, v):
             and 128 <= pair_w <= 2048
             and post_i // ms[i + 1] >= 128
         ):
+            n_passes_left -= 1
             W = jnp.kron(factors[i], factors[i + 1])
             x = _mid_widened_pass(
                 x.reshape(pre, pair_w, post_i // ms[i + 1]),
                 W, 1, lax.Precision.DEFAULT, interpret,
+                out_dtype=(v.dtype if n_passes_left == 0 else _inter(True)),
             )
             i += 2
         else:
+            n_passes_left -= 1
             G = 128 // ms[i]
             x = _mid_widened_pass(
                 x.reshape(pre, ms[i] * G, post_i // G),
                 factors[i], G, lax.Precision.HIGHEST, interpret,
+                out_dtype=(v.dtype if n_passes_left == 0 else _inter(True)),
             )
             i += 1
-    return x.reshape(m, B)
+    return x.reshape(m, B).astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _slab(precision, interpret, factors, v):
-    return _slab_primal(precision, interpret, factors, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _slab(precision, interpret, mid_dtype, factors, v):
+    return _slab_primal(precision, interpret, mid_dtype, factors, v)
 
 
-def _slab_fwd(precision, interpret, factors, v):
-    return _slab_primal(precision, interpret, factors, v), (factors, v)
+def _slab_fwd(precision, interpret, mid_dtype, factors, v):
+    return _slab_primal(precision, interpret, mid_dtype, factors, v), (factors, v)
 
 
-def _slab_bwd(precision, interpret, res, g):
+def _slab_bwd(precision, interpret, mid_dtype, res, g):
     factors, v = res
 
     def ref(fs, vv):

@@ -167,3 +167,31 @@ def test_kron_matvec_slab_interpret(rng, B):
     # DEFAULT precision: single-bf16 pair (~2.5e-3 of scale)
     got_def = kron_matvec_slab(fs, V, interpret=True, precision=jax.lax.Precision.DEFAULT)
     np.testing.assert_allclose(np.asarray(got_def), ref, rtol=2e-2, atol=5e-3 * scale)
+
+
+def test_kron_matvec_slab_bf16_mid_interpret(rng):
+    """bf16-stored inter-pass intermediates (the DEFAULT-dispatch operating
+    point on TPU) stay in the DEFAULT error class and return f32."""
+    import jax.numpy as jnp
+    from gp_grief_tpu.ops.kron import kron_matvec
+    from gp_grief_tpu.ops.pallas.kron_pallas import kron_matvec_slab
+
+    ms = [4, 16, 8, 16, 8]  # d=5: exercises the merged-pair DEFAULT pass
+    fs = tuple(
+        jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
+        for m in ms
+    )
+    v = jnp.asarray(rng.standard_normal(int(np.prod(ms))), jnp.float32)
+    ref = kron_matvec(fs, v)
+    got = kron_matvec_slab(
+        fs, v, interpret=True, precision=jax.lax.Precision.DEFAULT,
+        mid_dtype=jnp.bfloat16,
+    )
+    assert got.dtype == jnp.float32
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2  # bf16 product + bf16 storage class
+    # HIGHEST pair split must NOT be combined with bf16 mids (storage would
+    # dominate); the library only sets mid_dtype on the DEFAULT dispatch.
+    exact = kron_matvec_slab(fs, v, interpret=True, precision=jax.lax.Precision.HIGHEST)
+    rel_x3 = float(jnp.linalg.norm(exact - ref) / jnp.linalg.norm(ref))
+    assert rel_x3 < 5e-5
