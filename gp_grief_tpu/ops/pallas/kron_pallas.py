@@ -365,7 +365,13 @@ def _fused_mid_pair_pass(
     pre, m0G, L = x3.shape
     m0o = int(K0.shape[0])
     out_dtype = x3.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    bf16_in = x3.dtype == jnp.bfloat16
     W0 = jnp.kron(K0, jnp.eye(G, dtype=K0.dtype))
+    if bf16_in:
+        # bf16 input (a bf16 solver-state vector): the mid dot must run one
+        # bf16 MXU pass (Mosaic rejects fp32 contract precision on bf16
+        # operands); f32 accumulation is kept via preferred_element_type.
+        W0 = W0.astype(jnp.bfloat16)
     Wp_h, Wp_l = _split_bf16(Wp)
     x3_mode = precision != lax.Precision.DEFAULT
     itemsize = (x3.dtype.itemsize + jnp.dtype(out_dtype).itemsize) // 2
@@ -382,8 +388,11 @@ def _fused_mid_pair_pass(
     def kernel(x_ref, w0_ref, ph_ref, pl_ref, o_ref):
         t = lax.dot_general(
             w0_ref[:], x_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=x_ref.dtype, precision=lax.Precision.HIGHEST,
-        )  # (m0o*G, BL) f32, exact
+            preferred_element_type=jnp.float32,
+            precision=(
+                lax.Precision.DEFAULT if bf16_in else lax.Precision.HIGHEST
+            ),
+        )  # (m0o*G, BL) f32 accumulation (exact for f32 inputs)
         for c in range(n_chunks):
             tc = t[:, S * c:S * (c + 1)]  # (m0o*G, S)
             th = tc.astype(jnp.bfloat16)
