@@ -25,10 +25,14 @@ from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.interp import (
+    build_interp_plan,
     interp_matvec,
     interp_matvec_bm,
+    interp_matvec_bm_fast,
     interp_rmatvec,
     interp_rmatvec_bm,
+    interp_rmatvec_bm_exact,
+    interp_rmatvec_bm_fast,
     interp_weights,
 )
 from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
@@ -75,6 +79,13 @@ class GPSKIRegression(BaseModel):
             )
         self.x, self.y = x, y
         self.iw = interp_weights(x, self.xg)
+        # Scatter-free interpolation plan: the naive Wᵀ is 2^d TPU
+        # scatter-adds at ~100 ms per matvec (n=100k, m=1.05M) — 100× the
+        # Kron matvec it feeds.  The plan's ELL slot-gather form is EXACT
+        # (same short f32 sums, reordered; rel 3e-8) at 23.7 ms (4.3×) and
+        # serves every solve path incl. SLQ → NLML 46.5 s → 12.5 s at
+        # n=100k with no accuracy compromise (RESULTS_r3.md §1-2).
+        self._plan = build_interp_plan(self.iw)
         self.dim_noise_var = float(dim_noise_var)
         # "mixed": NLML/predict solves run iterative refinement — the CG hot
         # loop uses the bf16-MXU Kron matvec, exact-precision residual
@@ -95,7 +106,7 @@ class GPSKIRegression(BaseModel):
 
     # -- structured operator ---------------------------------------------------
 
-    def _matvec_bm(self, factors, sigma2, precision=None):
+    def _matvec_bm(self, factors, sigma2, precision=None, fast: bool = False):
         """Batch-major ``(K̂ + σ²I)``: ``v (B, n) → (B, n)``.
 
         The solver-facing form: CG/SLQ state and every lattice intermediate
@@ -105,15 +116,26 @@ class GPSKIRegression(BaseModel):
         batch is folded into the Kronecker structure as a leading identity
         factor (``I_B ⊗ (⊗K_d)`` on the ``(B·M,)`` flat vector; the
         grouped-cyclic chain absorbs ``I_B`` into its first group at no
-        extra pass)."""
+        extra pass).
+
+        Interpolation always runs scatter-free off the precomputed
+        :class:`~gp_grief_tpu.ops.interp.InterpPlan`: the EXACT ELL
+        slot-gather ``Wᵀ`` by default (4.3× over the scatter-add, rel 3e-8),
+        or with ``fast=True`` the cumsum stream form (5.7×, ~5e-5 rel —
+        refined-CG inner loop only).  The forward ``W`` is one fused exact
+        gather either way."""
         kw = {} if precision is None else {"precision": precision}
 
         def mv(v):  # (B, n)
             B = int(v.shape[0])
-            u = interp_rmatvec_bm(self.iw, v)  # (B, M)
+            if fast:
+                u = interp_rmatvec_bm_fast(self._plan, v)  # (B, M)
+            else:
+                u = interp_rmatvec_bm_exact(self._plan, v)
             eyeB = jnp.eye(B, dtype=v.dtype)
             u = kron_matvec_fast((eyeB, *factors), u.reshape(-1), **kw)
-            return interp_matvec_bm(self.iw, u.reshape(B, -1)) + sigma2 * v
+            u = u.reshape(B, -1)
+            return interp_matvec_bm_fast(self._plan, u) + sigma2 * v
 
         return mv
 
@@ -137,7 +159,18 @@ class GPSKIRegression(BaseModel):
         if o["cg_precision"] == "mixed":
             from gp_grief_tpu.ops.cg import cg_solve_refined
 
-            mv_fast = self._matvec_bm(factors, sigma2, precision=lax.Precision.DEFAULT)
+            # Inner loop: bf16-MXU Kron matvec + EXACT slot-gather interp.
+            # The cumsum interp form (fast=True) is 1.35× quicker per
+            # application but its ~5e-5 error is *biased* and survives
+            # refinement.  Note: with interp ~20× the Kron matvec inside the
+            # SKI operator, "mixed" saves ~nothing here and its restarted
+            # inner CG converges less per total iteration than straight
+            # exact CG — prefer cg_precision="exact" (the default) for SKI
+            # (RESULTS_r3.md §2).  Kept for API symmetry with the dense and
+            # GRIEF iterative paths, where the matvec IS the bf16 cost.
+            mv_fast = self._matvec_bm(
+                factors, sigma2, precision=lax.Precision.DEFAULT
+            )
             return cg_solve_refined(
                 mv_fast, mv, rhs_bm,
                 tol=max(o["cg_tol"], 1e-7), inner_iters=50,
@@ -177,6 +210,11 @@ class GPSKIRegression(BaseModel):
         S = lax.stop_gradient(sol[1:])
 
         quad = 2.0 * jnp.dot(self.y, alpha) - jnp.dot(alpha, mv(alpha[None, :])[0])
+        # SLQ must run on the EXACT operator (the plan's slot-gather form,
+        # rel 3e-8): a δA of even ~5e-5 (the cumsum interp's rounding)
+        # perturbs log|A| by tr(A⁻¹δA) — κ-amplified to a ~1% NLML error
+        # (measured, n=100k).  Unlike CG there is no outer refresh to erase
+        # inner-operator error.
         ld_val = lax.stop_gradient(
             slq_logdet(
                 mv, n, key=jax.random.fold_in(self._key, 1),
@@ -262,7 +300,7 @@ class GPSKIRegression(BaseModel):
                 Wst_bm = interp_rmatvec_bm(iw_c, jnp.eye(c, dtype=self.x.dtype))
                 eyeC = jnp.eye(c, dtype=self.x.dtype)
                 u = kron_matvec_fast((eyeC, *factors), Wst_bm.reshape(-1))
-                C_bm = interp_matvec_bm(self.iw, u.reshape(c, -1))  # (c, n)
+                C_bm = interp_matvec_bm_fast(self._plan, u.reshape(c, -1))  # (c, n)
                 Sol = self._solve_bm(factors, sigma2, C_bm)
                 var = prior_diag - jnp.sum(C_bm * Sol, axis=1)
                 return mean, jnp.maximum(var, 0.0)

@@ -32,12 +32,17 @@ from gp_grief_tpu.ops.kron_fast import group_factors, kron_matvec_fast
 from gp_grief_tpu.ops.precond import kron_deflation_preconditioner, lowrank_preconditioner
 from gp_grief_tpu.ops.compose import op_product, op_scale, op_shift, op_sum
 from gp_grief_tpu.ops.interp import (
+    InterpPlan,
     InterpWeights,
+    build_interp_plan,
     interp_expand,
     interp_matvec,
     interp_matvec_bm,
+    interp_matvec_bm_fast,
     interp_rmatvec,
     interp_rmatvec_bm,
+    interp_rmatvec_bm_exact,
+    interp_rmatvec_bm_fast,
     interp_weights,
 )
 from gp_grief_tpu.ops.selection import select_rows, select_rows_t, selection_expand
@@ -57,10 +62,15 @@ __all__ = [
     "op_shift",
     "InterpWeights",
     "interp_weights",
+    "build_interp_plan",
+    "InterpPlan",
     "interp_matvec",
     "interp_matvec_bm",
+    "interp_matvec_bm_fast",
     "interp_rmatvec",
     "interp_rmatvec_bm",
+    "interp_rmatvec_bm_exact",
+    "interp_rmatvec_bm_fast",
     "interp_expand",
     "kron_matvec",
     "kron_matmat",

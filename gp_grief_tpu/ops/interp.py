@@ -26,11 +26,16 @@ import jax.numpy as jnp
 
 __all__ = [
     "InterpWeights",
+    "InterpPlan",
     "interp_weights",
+    "build_interp_plan",
     "interp_matvec",
     "interp_rmatvec",
     "interp_matvec_bm",
     "interp_rmatvec_bm",
+    "interp_matvec_bm_fast",
+    "interp_rmatvec_bm_fast",
+    "interp_rmatvec_bm_exact",
     "interp_expand",
 ]
 
@@ -168,6 +173,160 @@ def interp_rmatvec_bm(iw: InterpWeights, u_bm: jax.Array) -> jax.Array:
             weight = wd if weight is None else weight * wd
         out = out.at[:, flat].add(weight[None, :] * u_bm)
     return out
+
+
+class InterpPlan(NamedTuple):
+    """Scatter-free interpolation plan (static per model; built once on host).
+
+    XLA's TPU scatter-add serializes colliding updates: the 2^d corner
+    scatters of :func:`interp_rmatvec_bm` measured **101 ms** at n=100k,
+    m=1.05M, B=9 — 100× the Kron matvec they feed (RESULTS_r3.md §1).  The
+    plan re-expresses ``Wᵀ u`` with gathers only, in two flavors:
+
+    **cumsum** (:func:`interp_rmatvec_bm_fast`): sort the ``2^d·n``
+    (corner, point) update stream by flat grid index ONCE (host, numpy),
+    then per application
+
+        vals = w_sorted ⊙ u[:, src_col]          (one gather)
+        cs0  = [0, cumsum(vals, axis=1)]
+        out  = cs0[:, end_ptr] − cs0[:, start_ptr]   (two dense gathers)
+
+    where ``start_ptr/end_ptr`` are per-grid-node segment pointers into the
+    sorted stream (empty nodes point at equal positions → exact 0).
+    Measured 17.7 ms — 5.7× — but the f32 running sum leaves ~5e-5 rel
+    error, which SLQ κ-amplifies to ~1% NLML error (unusable there).
+
+    **slots** (:func:`interp_rmatvec_bm_exact`): ELL-format layout — node
+    ``j`` gathers its ≤``K`` contributions from padded per-node slot tables
+    ``slot_src/slot_w (M, K)`` (w=0 pads) and sums them in registers; the
+    few nodes with >``K`` contributions route the excess through a tiny
+    residual scatter (``ov_*``).  EXACT: the same short f32 sums the
+    scatter-add does, just reordered.
+
+    ``W u`` (forward) becomes one fused gather + an in-register weighted sum
+    over the 2^d corners (``gather_flat/gather_w``) — exact, no per-corner
+    dispatch.
+
+    Fields: ``src_col (2^d·n,)`` point column per sorted update; ``w_sorted``
+    matching weights; ``start_ptr/end_ptr (M,)``; ``gather_flat (2^d, n)`` /
+    ``gather_w (2^d, n)``; ``slot_src/slot_w (M, K)``; ``ov_ids/ov_src/ov_w``
+    overflow streams (possibly length 0); ``shape``.
+    """
+
+    src_col: jax.Array
+    w_sorted: jax.Array
+    start_ptr: jax.Array
+    end_ptr: jax.Array
+    gather_flat: jax.Array
+    gather_w: jax.Array
+    slot_src: jax.Array
+    slot_w: jax.Array
+    ov_ids: jax.Array
+    ov_src: jax.Array
+    ov_w: jax.Array
+    shape: Tuple[int, ...]
+
+
+def build_interp_plan(iw: InterpWeights, max_slots: int = 8) -> InterpPlan:
+    """Host-side (numpy) preprocessing of an :class:`InterpWeights` into a
+    scatter-free :class:`InterpPlan`.  Not jittable (sorts data-dependent
+    indices); run once at model construction.
+
+    ``max_slots`` caps the ELL width ``K``; the actual ``K`` is the smallest
+    width covering every node, capped at ``max_slots`` (excess contributions
+    go to the overflow stream — exact either way)."""
+    import numpy as np
+
+    d = len(iw.shape)
+    M = math.prod(iw.shape)
+    n = int(iw.idx[0].shape[0])
+    # One device→host fetch per dim, then pure numpy: the corner loop would
+    # otherwise issue ~2^d·d eager device ops (minutes over a remote relay).
+    idx_h = [np.asarray(ix) for ix in iw.idx]
+    w_h = [np.asarray(w) for w in iw.w]
+    flats, weights = [], []
+    for offsets in itertools.product((0, 1), repeat=d):
+        flat = None
+        w = np.ones(n, dtype=w_h[0].dtype)
+        for dd, off in enumerate(offsets):
+            comp = np.minimum(idx_h[dd] + off, iw.shape[dd] - 1)
+            flat = comp if flat is None else flat * iw.shape[dd] + comp
+            w = w * w_h[dd][:, off]
+        flats.append(flat.astype(np.int64))
+        weights.append(w)
+    flat_all = np.concatenate(flats)
+    w_all = np.concatenate(weights)
+    perm = np.argsort(flat_all, kind="stable")
+    sorted_ids = flat_all[perm]
+    uniq_ids, seg_starts = np.unique(sorted_ids, return_index=True)
+    seg_ends = np.concatenate([seg_starts[1:], [len(sorted_ids)]])
+    node_start = np.zeros(M, dtype=np.int64)
+    node_end = np.zeros(M, dtype=np.int64)
+    node_start[uniq_ids] = seg_starts
+    node_end[uniq_ids] = seg_ends
+    src = np.concatenate([np.arange(n, dtype=np.int64)] * (2**d))[perm]
+    w_sorted = w_all[perm]
+
+    # ELL slots: rank of each stream entry within its node's segment.
+    seg_start_of = node_start[sorted_ids]
+    rank = np.arange(len(sorted_ids), dtype=np.int64) - seg_start_of
+    K = int(min(max(int(rank.max()) + 1 if len(rank) else 1, 1), max_slots))
+    in_slot = rank < K
+    slot_src = np.zeros((M, K), dtype=np.int64)
+    slot_w = np.zeros((M, K), dtype=w_all.dtype)
+    slot_src[sorted_ids[in_slot], rank[in_slot]] = src[in_slot]
+    slot_w[sorted_ids[in_slot], rank[in_slot]] = w_sorted[in_slot]
+    ov = ~in_slot
+
+    return InterpPlan(
+        src_col=jnp.asarray(src, jnp.int32),
+        w_sorted=jnp.asarray(w_sorted),
+        start_ptr=jnp.asarray(node_start, jnp.int32),
+        end_ptr=jnp.asarray(node_end, jnp.int32),
+        gather_flat=jnp.asarray(np.stack(flats), jnp.int32),
+        gather_w=jnp.asarray(np.stack(weights)),
+        slot_src=jnp.asarray(slot_src, jnp.int32),
+        slot_w=jnp.asarray(slot_w),
+        ov_ids=jnp.asarray(sorted_ids[ov], jnp.int32),
+        ov_src=jnp.asarray(src[ov], jnp.int32),
+        ov_w=jnp.asarray(w_sorted[ov]),
+        shape=tuple(iw.shape),
+    )
+
+
+def interp_rmatvec_bm_fast(plan: InterpPlan, u_bm: jax.Array) -> jax.Array:
+    """Scatter-free batch-major ``Wᵀ @ u``: ``(B, n) → (B, M)`` — see
+    :class:`InterpPlan` (f32-cumsum accuracy ~5e-5 rel; inner-loop use)."""
+    B = u_bm.shape[0]
+    vals = plan.w_sorted[None, :] * u_bm[:, plan.src_col]
+    cs0 = jnp.concatenate(
+        [jnp.zeros((B, 1), u_bm.dtype), jnp.cumsum(vals, axis=1)], axis=1
+    )
+    return cs0[:, plan.end_ptr] - cs0[:, plan.start_ptr]
+
+
+def interp_rmatvec_bm_exact(plan: InterpPlan, u_bm: jax.Array) -> jax.Array:
+    """EXACT scatter-free batch-major ``Wᵀ @ u``: ``(B, n) → (B, M)`` via the
+    ELL slot layout — see :class:`InterpPlan`.  Same f32 sums as the
+    scatter-add form (short per-node reductions, no cumsum), so it is valid
+    for the exact CG path and SLQ probes."""
+    # Elementwise multiply + sum (VPU) — NOT an einsum/dot: a K-contraction
+    # dot could be routed to the MXU and bf16-rounded at DEFAULT precision;
+    # this form is exact f32 regardless of the precision config.
+    out = jnp.sum(plan.slot_w[None, :, :] * u_bm[:, plan.slot_src], axis=-1)
+    if int(plan.ov_ids.shape[0]) > 0:
+        out = out.at[:, plan.ov_ids].add(
+            plan.ov_w[None, :] * u_bm[:, plan.ov_src]
+        )
+    return out
+
+
+def interp_matvec_bm_fast(plan: InterpPlan, v_grid_bm: jax.Array) -> jax.Array:
+    """Batch-major ``W @ v`` via one fused gather over all ``2^d`` corners:
+    ``(B, M) → (B, n)``.  Exact (same sums as :func:`interp_matvec_bm`, just
+    one gather kernel instead of ``2^d``)."""
+    g = v_grid_bm[:, plan.gather_flat]  # (B, 2^d, n)
+    return jnp.sum(plan.gather_w[None, :, :] * g, axis=1)
 
 
 def interp_expand(iw: InterpWeights) -> jax.Array:

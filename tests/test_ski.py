@@ -154,3 +154,95 @@ def test_ski_matvec_batched_matches_columns(rng):
     for j in range(4):
         col = np.asarray(mv(V[:, j : j + 1]))[:, 0]
         np.testing.assert_allclose(batched[:, j], col, rtol=1e-10, atol=1e-12)
+
+
+def test_interp_plan_fast_matches_exact(rng):
+    """Scatter-free InterpPlan Wᵀ/W == exact scatter/gather forms (f64)."""
+    from gp_grief_tpu.ops.interp import (
+        build_interp_plan,
+        interp_matvec_bm,
+        interp_matvec_bm_fast,
+        interp_rmatvec_bm,
+        interp_rmatvec_bm_fast,
+        interp_weights,
+    )
+
+    n, d, B = 400, 3, 5
+    x = jnp.asarray(rng.uniform(0, 3, size=(n, d)))
+    xg = tuple(jnp.asarray(np.linspace(0, 3, m))[:, None] for m in (7, 5, 6))
+    iw = interp_weights(x, xg)
+    plan = build_interp_plan(iw)
+    M = 7 * 5 * 6
+
+    v = jnp.asarray(rng.standard_normal((B, n)))
+    got = interp_rmatvec_bm_fast(plan, v)
+    ref = interp_rmatvec_bm(iw, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-12)
+
+    u = jnp.asarray(rng.standard_normal((B, M)))
+    got2 = interp_matvec_bm_fast(plan, u)
+    ref2 = interp_matvec_bm(iw, u)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=1e-10, atol=1e-12)
+
+    from gp_grief_tpu.ops.interp import interp_rmatvec_bm_exact
+
+    got3 = interp_rmatvec_bm_exact(plan, v)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref), rtol=1e-12, atol=1e-14)
+
+
+def test_interp_plan_exact_overflow(rng):
+    """ELL slot overflow path: max_slots=1 forces most entries through the
+    residual scatter — result must still be exact."""
+    from gp_grief_tpu.ops.interp import (
+        build_interp_plan,
+        interp_rmatvec_bm,
+        interp_rmatvec_bm_exact,
+        interp_weights,
+    )
+
+    n, d, B = 200, 2, 3
+    x = jnp.asarray(rng.uniform(0, 1, size=(n, d)))  # dense occupancy on 4x4
+    xg = tuple(jnp.asarray(np.linspace(0, 1, 4))[:, None] for _ in range(d))
+    iw = interp_weights(x, xg)
+    plan = build_interp_plan(iw, max_slots=1)
+    assert int(plan.ov_ids.shape[0]) > 0  # overflow exercised
+    v = jnp.asarray(rng.standard_normal((B, n)))
+    np.testing.assert_allclose(
+        np.asarray(interp_rmatvec_bm_exact(plan, v)),
+        np.asarray(interp_rmatvec_bm(iw, v)),
+        rtol=1e-12, atol=1e-13,
+    )
+
+
+def test_interp_plan_degenerate_dim(rng):
+    """Plan handles m_d = 1 (constant feature) and duplicate points."""
+    from gp_grief_tpu.ops.interp import (
+        build_interp_plan,
+        interp_rmatvec_bm,
+        interp_rmatvec_bm_fast,
+        interp_weights,
+    )
+
+    x = jnp.asarray(np.concatenate([rng.uniform(0, 1, size=(30, 2))] * 2))  # dups
+    x = x.at[:, 1].set(0.5)  # second dim constant
+    xg = (jnp.asarray(np.linspace(0, 1, 6))[:, None], jnp.asarray([[0.5]]))
+    iw = interp_weights(x, xg)
+    plan = build_interp_plan(iw)
+    v = jnp.asarray(rng.standard_normal((2, x.shape[0])))
+    np.testing.assert_allclose(
+        np.asarray(interp_rmatvec_bm_fast(plan, v)),
+        np.asarray(interp_rmatvec_bm(iw, v)),
+        rtol=1e-9, atol=1e-12,
+    )
+
+
+def test_gp_ski_mixed_matches_exact_nlml(rng):
+    """cg_precision='mixed' (fast-interp inner loop + SLQ) ≈ 'exact' NLML."""
+    n = 300
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + 0.05 * rng.standard_normal(n)
+    kw = dict(mbar=8, noise_var=0.2, num_probes=64, lanczos_iters=30, cg_iters=200)
+    me = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.8), **kw, cg_precision="exact")
+    mm = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.8), **kw, cg_precision="mixed")
+    le, lm = me.log_likelihood(), mm.log_likelihood()
+    assert abs(lm - le) / abs(le) < 1e-4
