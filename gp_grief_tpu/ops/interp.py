@@ -232,9 +232,10 @@ def build_interp_plan(iw: InterpWeights, max_slots: int = 8) -> InterpPlan:
     scatter-free :class:`InterpPlan`.  Not jittable (sorts data-dependent
     indices); run once at model construction.
 
-    ``max_slots`` caps the ELL width ``K``; the actual ``K`` is the smallest
-    width covering every node, capped at ``max_slots`` (excess contributions
-    go to the overflow stream — exact either way)."""
+    ``max_slots`` caps the ELL width ``K``; the actual ``K`` is chosen by a
+    measured gather-vs-scatter break-even rule (grow while the overflow
+    stream exceeds ~M/22 entries), capped at ``max_slots`` — excess
+    contributions go to the overflow scatter stream, exact either way."""
     import numpy as np
 
     d = len(iw.shape)
@@ -256,6 +257,12 @@ def build_interp_plan(iw: InterpWeights, max_slots: int = 8) -> InterpPlan:
         weights.append(w)
     flat_all = np.concatenate(flats)
     w_all = np.concatenate(weights)
+    src_all = np.tile(np.arange(n, dtype=np.int64), 2**d)
+    # Prune exact-zero weights (points on grid lines, clamped boundary
+    # corners, degenerate dims): they contribute nothing but would occupy
+    # ELL slots and gather bandwidth.
+    nz = w_all != 0
+    flat_all, w_all, src_all = flat_all[nz], w_all[nz], src_all[nz]
     perm = np.argsort(flat_all, kind="stable")
     sorted_ids = flat_all[perm]
     uniq_ids, seg_starts = np.unique(sorted_ids, return_index=True)
@@ -264,13 +271,20 @@ def build_interp_plan(iw: InterpWeights, max_slots: int = 8) -> InterpPlan:
     node_end = np.zeros(M, dtype=np.int64)
     node_start[uniq_ids] = seg_starts
     node_end[uniq_ids] = seg_ends
-    src = np.concatenate([np.arange(n, dtype=np.int64)] * (2**d))[perm]
+    src = src_all[perm]
     w_sorted = w_all[perm]
 
     # ELL slots: rank of each stream entry within its node's segment.
     seg_start_of = node_start[sorted_ids]
     rank = np.arange(len(sorted_ids), dtype=np.int64) - seg_start_of
-    K = int(min(max(int(rank.max()) + 1 if len(rank) else 1, 1), max_slots))
+    # Adaptive width: measured on v5e, a slot column gathers B·M elements at
+    # ~3.2G elem/s while an overflow entry scatters B elements at
+    # ~143M elem/s — one more column pays for itself only while the overflow
+    # stream holds > M·(143/3200) ≈ M/22 entries (RESULTS_r3.md §3).
+    max_rank = int(rank.max()) + 1 if len(rank) else 1
+    K = 1
+    while K < min(max_rank, max_slots) and int(np.sum(rank >= K)) > M // 22:
+        K += 1
     in_slot = rank < K
     slot_src = np.zeros((M, K), dtype=np.int64)
     slot_w = np.zeros((M, K), dtype=w_all.dtype)
