@@ -94,31 +94,40 @@ def _cg_raw(
     z0 = precond(r0)
     p0 = z0
     rz0 = _colsum(r0 * z0)  # (B,)
+    dead0 = jnp.zeros(rz0.shape, bool)
 
     def cond(state):
-        _, r, _, _, k, _ = state
+        _, r, _, _, k, _, dead = state
         rn = _colnorm(r)
-        return jnp.logical_and(k < max_iters, jnp.any(rn > stop))
+        return jnp.logical_and(k < max_iters, jnp.any((rn > stop) & ~dead))
 
     def body(state):
-        x, r, z, p, k, rz = state
+        x, r, z, p, k, rz, dead = state
         Ap = matvec(p)
         pAp = _colsum(p * Ap)
-        # Safe divide: only exact-breakdown columns (pAp == 0) freeze; columns
-        # that merely passed the tolerance keep taking (benign) steps until
-        # every column converges and the while_loop exits.
-        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
-        alpha = jnp.where(pAp == 0, 0.0, alpha)
+        # Breakdown guard: a column whose curvature pAp is non-positive
+        # (exact breakdown, or PD lost to f32 rounding on κ ≳ 1/eps
+        # operators — stepping on it walks AWAY from the solution and
+        # overflows to NaN within tens of iterations) or whose recurrence
+        # went non-finite is frozen PERMANENTLY at its current iterate;
+        # live columns keep taking (benign) steps until every live column
+        # converges and the while_loop exits.
+        ok = (pAp > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz) & ~dead
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = x + _bc(alpha) * p
         r = r - _bc(alpha) * Ap
         z = precond(r)
         rz_new = _colsum(r * z)
-        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        beta = jnp.where(rz == 0, 0.0, beta)
+        dead = dead | ~ok | ~jnp.isfinite(rz_new)
+        beta = jnp.where(
+            dead | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz)
+        )
         p = z + _bc(beta) * p
-        return x, r, z, p, k + 1, rz_new
+        return x, r, z, p, k + 1, rz_new, dead
 
-    x, r, _, _, k, _ = lax.while_loop(cond, body, (x0, r0, z0, p0, 0, rz0))
+    x, r, _, _, k, _, _ = lax.while_loop(
+        cond, body, (x0, r0, z0, p0, 0, rz0, dead0)
+    )
     return x, CGInfo(iterations=k, residual_norm=_colnorm(r))
 
 
@@ -142,23 +151,30 @@ def _cg_fixed(
     r0 = b - matvec(x0)
     z0 = precond(r0)
     rz0 = _colsum(r0 * z0)
+    dead0 = jnp.zeros(rz0.shape, bool)
 
     def body(state, _):
-        x, r, z, p, rz = state
+        x, r, z, p, rz, dead = state
         Ap = matvec(p)
         pAp = _colsum(p * Ap)
-        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
-        alpha = jnp.where(pAp == 0, 0.0, alpha)
+        # Same non-positive-curvature / non-finite permanent freeze as
+        # :func:`_cg_raw` — see the comment there.
+        ok = (pAp > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz) & ~dead
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = x + _bc(alpha) * p
         r = r - _bc(alpha) * Ap
         z = precond(r)
         rz_new = _colsum(r * z)
-        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        beta = jnp.where(rz == 0, 0.0, beta)
+        dead = dead | ~ok | ~jnp.isfinite(rz_new)
+        beta = jnp.where(
+            dead | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz)
+        )
         p = z + _bc(beta) * p
-        return (x, r, z, p, rz_new), None
+        return (x, r, z, p, rz_new, dead), None
 
-    (x, r, _, _, _), _ = lax.scan(body, (x0, r0, z0, z0, rz0), None, length=num_iters)
+    (x, r, _, _, _, _), _ = lax.scan(
+        body, (x0, r0, z0, z0, rz0, dead0), None, length=num_iters
+    )
     return x, CGInfo(
         iterations=jnp.asarray(num_iters, jnp.int32),
         residual_norm=jnp.sqrt(_colsum(r * r)),

@@ -426,3 +426,36 @@ def test_lowrank_sqrt_ops_bm_layout(rng):
         np.asarray(M_is_b(V.T)).T, np.asarray(M_is_c(V)), rtol=1e-6, atol=1e-8
     )
     assert float(ld_b) == float(ld_c)
+
+
+def test_cg_breakdown_guard_indefinite(rng):
+    """Non-positive curvature freezes the column instead of overflowing.
+
+    On a (numerically) indefinite operator, classic CG's alpha = rz/pAp steps
+    away from the solution once pAp goes negative and overflows to NaN within
+    tens of iterations — observed at f32 on kappa ~ 1e9 SKI lattices
+    (RESULTS_r3.md §4).  The guard must return FINITE iterates with honest
+    residuals, in both the while_loop and fixed-iteration forms.
+    """
+    import jax.numpy as jnp
+
+    from gp_grief_tpu.ops.cg import cg_solve
+
+    n = 64
+    evals = np.linspace(1.0, 2.0, n)
+    evals[-1] = -1e-3  # slightly indefinite
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = (q * evals) @ q.T
+    A = jnp.asarray(0.5 * (A + A.T), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    mv = lambda v: A @ v
+    x, info = cg_solve(mv, b, tol=1e-7, max_iters=500, return_info=True)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert bool(jnp.all(jnp.isfinite(info.residual_norm)))
+
+    x2, info2 = cg_solve(
+        mv, b, tol=1e-7, max_iters=200, fixed_iters=200, return_info=True
+    )
+    assert bool(jnp.all(jnp.isfinite(x2)))
+    assert bool(jnp.all(jnp.isfinite(info2.residual_norm)))
