@@ -300,7 +300,7 @@ class GPGriefModel(BaseModel):
 
                 alpha = cg_solve(
                     mv, self.y, tol=cg_tol, max_iters=cg_iters, M_inv=M_inv,
-                    layout="bm",
+                    layout="bm", implicit_diff=False,
                 )
                 quad = jnp.dot(self.y, alpha)
 
@@ -313,7 +313,8 @@ class GPGriefModel(BaseModel):
                 )
             else:
                 alpha = cg_solve(
-                    mv, self.y, tol=cg_tol, max_iters=cg_iters, layout="bm"
+                    mv, self.y, tol=cg_tol, max_iters=cg_iters, layout="bm",
+                    implicit_diff=False,
                 )
                 quad = jnp.dot(self.y, alpha)
                 ld = slq_logdet(

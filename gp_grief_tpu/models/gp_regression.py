@@ -87,7 +87,10 @@ def gp_nlml_iterative(
 
     z = jax.random.rademacher(key, (num_probes, n), dtype=y.dtype)
     rhs = jnp.concatenate([y[None, :], z], axis=0)
-    sol = cg_solve(mv, rhs, tol=cg_tol, max_iters=cg_iters, layout="bm")
+    # Value-only solve (solutions are stop-gradiented below; gradients flow
+    # through the BBMM surrogates) — skip the custom_linear_solve wrapper.
+    sol = cg_solve(mv, rhs, tol=cg_tol, max_iters=cg_iters, layout="bm",
+                   implicit_diff=False)
     alpha = lax.stop_gradient(sol[0])
     S = lax.stop_gradient(sol[1:])
 

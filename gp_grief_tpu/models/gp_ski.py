@@ -177,8 +177,14 @@ class GPSKIRegression(BaseModel):
                 max_restarts=max(1, o["cg_iters"] // 50),
                 layout="bm",
             )
+        # implicit_diff=False: the NLML stop-gradients these solutions and
+        # differentiates through BBMM surrogates, and predict never
+        # differentiates — the raw path also sidesteps a TPU/XLA miscompile
+        # of custom_linear_solve over this gather-heavy matvec
+        # (RESULTS_r3.md §5: the compiled solve returned all-zeros).
         return cg_solve(
-            mv, rhs_bm, tol=o["cg_tol"], max_iters=o["cg_iters"], layout="bm"
+            mv, rhs_bm, tol=o["cg_tol"], max_iters=o["cg_iters"], layout="bm",
+            implicit_diff=False,
         )
 
     def _solve(self, factors, sigma2, rhs):
@@ -228,30 +234,70 @@ class GPSKIRegression(BaseModel):
 
     # -- prediction --------------------------------------------------------------
 
+    @staticmethod
+    def _prior_diag(factors, iw_c):
+        """Diagonal of the SKI prior at test points — factorizes over dims:
+        ``k̂(x*,x*)_tt = Π_d Σ_{o,o'} w_d[t,o]·K_d[i+o,i+o']·w_d[t,o']``;
+        O(n*·4d), never (n*, n*)."""
+        prior = None
+        for d_, Kd in enumerate(factors):
+            m_d = Kd.shape[0]
+            i0 = iw_c.idx[d_]
+            w2 = iw_c.w[d_]  # (c, 2)
+            s = None
+            for a in (0, 1):
+                for b in (0, 1):
+                    ia = jnp.minimum(i0 + a, m_d - 1)
+                    ib = jnp.minimum(i0 + b, m_d - 1)
+                    term = w2[:, a] * Kd[ia, ib] * w2[:, b]
+                    s = term if s is None else s + term
+            prior = s if prior is None else prior * s
+        return prior
+
     def predict(
         self,
         x_new,
         compute_var: bool = True,
         include_noise: bool = False,
         chunk: int = 0,
+        variance: str = "exact",
+        var_rank: int = 100,
     ):
-        """The variance path CGs the ``(n, c)`` cross-covariance columns of
+        """Predictive mean and variance.
+
+        ``variance="exact"``: CGs the ``(n, c)`` cross-covariance columns of
         one test *chunk* at a time, never materializing ``(n, n*)`` — SKI at
         n=100k with 10k test points stays at ``n·c``.  Chunks run as a HOST
         loop over one compiled per-chunk program (not ``lax.map``): each
         chunk's CG is a separate device execution, so arbitrarily many test
         points never exceed a single program's runtime (the axon worker
         kills executions over ~60 s — RESULTS_r2.md §7).  ``chunk=0``
-        auto-sizes from ``n + m``; the prior diagonal is factorized per
-        dimension, O(n*·4d), never (n*, n*)."""
+        auto-sizes from ``n + m``.  Cost: one c-rhs CG per chunk — exact but
+        expensive at large n.
+
+        ``variance="lanczos"``: LOVE-style fast variances (Pleiss et al.
+        2018, adapted to the SKI lattice).  ONE ``var_rank``-step
+        full-reorthogonalized Lanczos run on ``Ã = K̂+σ²I`` from ``v₀ = y``
+        gives ``Ã⁻¹ ≈ Q T⁻¹ Qᵀ`` on the Krylov space; the per-chunk work
+        collapses to interpolating the precomputed ``S = (QᵀW K) (r, M)``
+        lattice rows at the test points — no CG per chunk, O(c·r·2^d).
+        Approximate from below (variances are over-estimated by the
+        truncation, never negative-biased), converging in ``var_rank``;
+        the mean is unaffected."""
+        if variance not in ("exact", "lanczos"):
+            raise ValueError("variance must be 'exact' or 'lanczos'")
         x_new = jnp.asarray(x_new, dtype=self.x.dtype)
         if x_new.ndim == 1:
             x_new = x_new[:, None]
         n_star = int(x_new.shape[0])
         n = int(self.x.shape[0])
         m = int(np.prod([g.shape[0] for g in self.xg]))
+        var_rank = int(min(var_rank, n))
         if chunk <= 0:
-            chunk = int(max(1, min(n_star, max(8, (1 << 26) // max(n + m, 1)))))
+            if variance == "lanczos" and compute_var:
+                chunk = int(max(1, min(n_star, 4096)))
+            else:
+                chunk = int(max(1, min(n_star, max(8, (1 << 26) // max(n + m, 1)))))
         chunk = min(chunk, n_star)
         n_pad = -(-n_star // chunk) * chunk
         if n_pad != n_star:
@@ -260,7 +306,7 @@ class GPSKIRegression(BaseModel):
             )
         else:
             x_pad = x_new
-        cache_key = (chunk, bool(compute_var))
+        cache_key = (chunk, bool(compute_var), variance, var_rank)
         if getattr(self, "_predict_key", None) != cache_key:
             self._predict_key = cache_key
 
@@ -269,9 +315,34 @@ class GPSKIRegression(BaseModel):
                 factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
                 alpha = self._solve(factors, sigma2, self.y)
                 Kw_alpha = kron_matvec_fast(factors, interp_rmatvec(self.iw, alpha))
-                return Kw_alpha, sigma2
+                if variance != "lanczos" or not compute_var:
+                    return Kw_alpha, sigma2, None, None
+                # LOVE precompute: Lanczos basis of Ã from v0 = y, then the
+                # projected lattice rows S = (Qᵀ W) K  (r, M).
+                from gp_grief_tpu.ops.lanczos import lanczos
 
-            def _chunk_prog(params, Kw_alpha, xc):
+                mv = self._matvec(factors, sigma2)
+                res = lanczos(
+                    mv, self.y, var_rank, full_reorth=True, store_basis=True
+                )
+                QW = interp_rmatvec_bm_exact(self._plan, res.Q.T)  # (r, M)
+                eyeR = jnp.eye(var_rank, dtype=self.y.dtype)
+                S = kron_matvec_fast((eyeR, *factors), QW.reshape(-1)).reshape(
+                    var_rank, -1
+                )
+                # Dense T; identity rows past breakdown (their Q columns are
+                # exactly zero, so the identity block never contributes).
+                valid = jnp.arange(var_rank) < res.num_valid
+                diag = jnp.where(valid, res.alpha, 1.0)
+                T = (
+                    jnp.diag(diag)
+                    + jnp.diag(res.beta, 1)
+                    + jnp.diag(res.beta, -1)
+                )
+                Tchol = jnp.linalg.cholesky(T)
+                return Kw_alpha, sigma2, S, Tchol
+
+            def _chunk_prog(params, Kw_alpha, S, Tchol, xc):
                 sigma2 = jnp.exp(params["log_noise"])
                 factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
                 iw_c = interp_weights(xc, self.xg)
@@ -279,22 +350,16 @@ class GPSKIRegression(BaseModel):
                 mean = interp_matvec(iw_c, Kw_alpha)
                 if not compute_var:
                     return mean, jnp.zeros_like(mean)
-                # Prior diagonal factorizes over dims:
-                #   k̂(x*,x*)_tt = Π_d Σ_{o,o'} w_d[t,o]·K_d[i+o,i+o']·w_d[t,o']
-                prior_diag = None
-                for d_, Kd in enumerate(factors):
-                    m_d = Kd.shape[0]
-                    i0 = iw_c.idx[d_]
-                    w2 = iw_c.w[d_]  # (c, 2)
-                    s = None
-                    for a in (0, 1):
-                        for b in (0, 1):
-                            ia = jnp.minimum(i0 + a, m_d - 1)
-                            ib = jnp.minimum(i0 + b, m_d - 1)
-                            term = w2[:, a] * Kd[ia, ib] * w2[:, b]
-                            s = term if s is None else s + term
-                    prior_diag = s if prior_diag is None else prior_diag * s
-                # Cross terms: c_t = k̂(X, x*_t); var_t = k̂** − c_tᵀ Ã⁻¹ c_t.
+                prior_diag = self._prior_diag(factors, iw_c)
+                if variance == "lanczos":
+                    # g_t = Qᵀ c_t = S w*_t ; var = prior − g_tᵀ T⁻¹ g_t
+                    G = interp_matvec_bm(iw_c, S)  # (r, c)
+                    Z = jax.scipy.linalg.solve_triangular(
+                        Tchol, G, lower=True
+                    )
+                    var = prior_diag - jnp.sum(Z * Z, axis=0)
+                    return mean, jnp.maximum(var, 0.0)
+                # Exact: c_t = k̂(X, x*_t); var_t = k̂** − c_tᵀ Ã⁻¹ c_t.
                 # Batch-major through the lattice (RESULTS_r2.md §7 hazard 2).
                 c = int(xc.shape[0])
                 Wst_bm = interp_rmatvec_bm(iw_c, jnp.eye(c, dtype=self.x.dtype))
@@ -307,10 +372,12 @@ class GPSKIRegression(BaseModel):
 
             self._prep_jit = jax.jit(_prep)
             self._chunk_jit = jax.jit(_chunk_prog)
-        Kw_alpha, sigma2 = self._prep_jit(self.params)
+        Kw_alpha, sigma2, S, Tchol = self._prep_jit(self.params)
         means, vars_ = [], []
         for i in range(0, n_pad, chunk):
-            mc, vc = self._chunk_jit(self.params, Kw_alpha, x_pad[i : i + chunk])
+            mc, vc = self._chunk_jit(
+                self.params, Kw_alpha, S, Tchol, x_pad[i : i + chunk]
+            )
             # Fetch per chunk: the axon relay kills the worker when one fetch
             # waits >~60 s for queued work, so never let the async queue grow
             # past a chunk (RESULTS_r2.md §7).

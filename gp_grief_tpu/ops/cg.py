@@ -193,6 +193,7 @@ def cg_solve(
     axis_name: Optional[str] = None,
     fixed_iters: Optional[int] = None,
     layout: str = "col",
+    implicit_diff: bool = True,
 ):
     """Solve ``A x = b`` for symmetric positive-definite ``A`` given only a matvec.
 
@@ -220,6 +221,14 @@ def cg_solve(
       layout: ``"col"`` (state ``(m, B)``) or ``"bm"`` (state ``(B, m)`` —
         keeps the long solve axis on TPU lanes so small batches don't pay the
         ``B → 128`` lane padding; see :func:`_reducers`).
+      implicit_diff: wrap the solve in ``lax.custom_linear_solve`` so
+        ``jax.grad`` through the solution uses the implicit adjoint solve.
+        Pass ``False`` for value-only solves (e.g. BBMM-style NLML paths
+        that ``stop_gradient`` the solution and differentiate through
+        surrogates): it skips a second trace of the matvec, and works
+        around a TPU/XLA miscompile observed with large-gather-constant
+        matvecs under ``custom_linear_solve`` where the compiled solve
+        returned all-zeros (RESULTS_r3.md §5).
     """
     if layout not in ("col", "bm"):
         raise ValueError("layout must be 'col' or 'bm'")
@@ -246,6 +255,10 @@ def cg_solve(
     if return_info:
         x, info = _raw(matvec, bb, x0b)
         return _unsqueeze(x), info
+
+    if not implicit_diff:
+        x, _ = _raw(matvec, bb, x0b)
+        return _unsqueeze(x)
 
     def _solve(mv, rhs):
         # x0 only applies to the primal solve; custom_linear_solve re-invokes

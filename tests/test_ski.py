@@ -246,3 +246,30 @@ def test_gp_ski_mixed_matches_exact_nlml(rng):
     mm = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.8), **kw, cg_precision="mixed")
     le, lm = me.log_likelihood(), mm.log_likelihood()
     assert abs(lm - le) / abs(le) < 1e-4
+
+
+def test_ski_lanczos_variance_close_to_exact(rng):
+    """LOVE-style variance (variance='lanczos') vs the exact CG variance.
+
+    Full-rank Lanczos spans the whole Krylov space -> matches exact; the
+    truncated estimate must over-estimate (Galerkin projection of the
+    inverse is dominated by the inverse) and converge with rank.
+    """
+    n = 300
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + 0.05 * rng.standard_normal(n)
+    m = GPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.8),
+        mbar=8, noise_var=0.2, num_probes=16, lanczos_iters=30, cg_iters=400,
+    )
+    xs = rng.uniform(0.2, 2.8, size=(40, 2))
+    mu_e, var_e = m.predict(xs, variance="exact")
+    mu_l, var_l = m.predict(xs, variance="lanczos", var_rank=n)
+    np.testing.assert_allclose(mu_l, mu_e, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(var_l, var_e, rtol=5e-3, atol=1e-6)
+
+    _, var_40 = m.predict(xs, variance="lanczos", var_rank=40)
+    assert np.all(var_40 >= var_e - 1e-6)          # over-estimates
+    assert np.all(np.isfinite(var_40)) and np.all(var_40 >= 0)
+    # rank-40 already captures most of the posterior reduction here
+    assert np.mean(np.abs(var_40 - var_e)) < 0.3 * np.mean(var_e) + 1e-6
