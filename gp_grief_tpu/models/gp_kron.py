@@ -103,8 +103,11 @@ class GPKroneckerRegression(BaseModel):
         # hot loop runs the bf16-MXU matvec (~2.5x the bandwidth on v5e, see
         # CLAUDE.md precision curve) while exact-precision residual refreshes
         # keep the final solution at `cg_tol` in exact arithmetic.
-        if cg_precision not in ("exact", "mixed"):
-            raise ValueError("cg_precision must be 'exact' or 'mixed'")
+        # "mixed16": additionally stores the inner-CG state (r/p) in bf16 —
+        # the state axpy traffic halves and the slab matvec reads a bf16
+        # vector (ops/cg.py:_cg_fixed state_dtype); same exact refreshes.
+        if cg_precision not in ("exact", "mixed", "mixed16"):
+            raise ValueError("cg_precision must be 'exact', 'mixed' or 'mixed16'")
         self.cg_precision = cg_precision
         kerns = (
             list(kern_list)
@@ -137,7 +140,7 @@ class GPKroneckerRegression(BaseModel):
 
                 _, idx = top_p_kron_eigs(lams, self.precond_rank)
                 M_inv = kron_deflation_preconditioner(Qs, lams, idx, sigma2)
-            if self.cg_precision == "mixed":
+            if self.cg_precision in ("mixed", "mixed16"):
                 from gp_grief_tpu.ops.cg import cg_solve_refined
 
                 alpha = cg_solve_refined(
@@ -151,6 +154,9 @@ class GPKroneckerRegression(BaseModel):
                     inner_iters=50,
                     max_restarts=max(1, self.cg_iters // 50),
                     M_inv=M_inv,
+                    state_dtype=(
+                        jnp.bfloat16 if self.cg_precision == "mixed16" else None
+                    ),
                 )
             else:
                 alpha = cg_solve(

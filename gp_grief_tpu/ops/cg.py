@@ -139,45 +139,70 @@ def _cg_fixed(
     M_inv: Optional[Callable[[jax.Array], jax.Array]],
     axis_name: Optional[str] = None,
     layout: str = "col",
+    state_dtype=None,
 ):
     """Fixed-iteration CG as a ``lax.scan`` — no convergence test, so each
     iteration skips the residual-norm pass and the loop carries no branch.
     Use when the iteration count is known/budgeted (batched solves, profiling,
-    sharded contexts where the ``cond`` reduction costs a collective)."""
+    sharded contexts where the ``cond`` reduction costs a collective).
+
+    ``state_dtype`` (e.g. ``jnp.bfloat16``) stores the carried ``r``/``p``
+    vectors — and hands the matvec its input — in that dtype, halving the
+    loop's state HBM traffic at lattice scale; the ``x`` accumulator, all
+    reductions, and the axpy arithmetic stay in ``b.dtype`` (casts fuse into
+    the updates).  The stagnation floor rises to ~``state_dtype`` epsilon, so
+    this is for *inner* solves whose accuracy an outer refinement loop
+    restores (:func:`cg_solve_refined`); measured 14% faster per iteration at
+    the d=5×32 lattice (benchmarks/exp_r3_bf16_state.py)."""
 
     _colsum, _, _bc = _reducers(layout, axis_name)
 
-    precond = M_inv if M_inv is not None else (lambda r: r)
-    r0 = b - matvec(x0)
-    z0 = precond(r0)
+    wd = b.dtype
+    sd = None if state_dtype is None or jnp.dtype(state_dtype) == wd else jnp.dtype(state_dtype)
+    _st = (lambda a: a.astype(sd)) if sd is not None else (lambda a: a)
+    has_pre = M_inv is not None
+
+    if x0 is None:  # known-zero start: r0 = b, skip one full matvec
+        x0 = jnp.zeros(b.shape, wd)
+        r0 = b
+    else:
+        r0 = b - matvec(x0)
+    z0 = M_inv(r0) if has_pre else r0
     rz0 = _colsum(r0 * z0)
     dead0 = jnp.zeros(rz0.shape, bool)
 
     def body(state, _):
         x, r, z, p, rz, dead = state
         Ap = matvec(p)
-        pAp = _colsum(p * Ap)
+        p32 = p.astype(wd)
+        Ap32 = Ap.astype(wd)
+        pAp = _colsum(p32 * Ap32)
         # Same non-positive-curvature / non-finite permanent freeze as
         # :func:`_cg_raw` — see the comment there.
         ok = (pAp > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz) & ~dead
         alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
-        x = x + _bc(alpha) * p
-        r = r - _bc(alpha) * Ap
-        z = precond(r)
-        rz_new = _colsum(r * z)
+        x = x + _bc(alpha) * p32
+        r32 = r.astype(wd) - _bc(alpha) * Ap32
+        z32 = M_inv(r32) if has_pre else r32
+        rz_new = _colsum(r32 * z32)
         dead = dead | ~ok | ~jnp.isfinite(rz_new)
         beta = jnp.where(
             dead | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz)
         )
-        p = z + _bc(beta) * p
-        return (x, r, z, p, rz_new, dead), None
+        p_new = _st(z32 + _bc(beta) * p32)
+        z_new = _st(z32) if has_pre else None
+        return (x, _st(r32), z_new, p_new, rz_new, dead), None
 
     (x, r, _, _, _, _), _ = lax.scan(
-        body, (x0, r0, z0, z0, rz0, dead0), None, length=num_iters
+        body,
+        (x0, _st(r0), _st(z0) if has_pre else None, _st(z0), rz0, dead0),
+        None,
+        length=num_iters,
     )
+    r32 = r.astype(wd)
     return x, CGInfo(
         iterations=jnp.asarray(num_iters, jnp.int32),
-        residual_norm=jnp.sqrt(_colsum(r * r)),
+        residual_norm=jnp.sqrt(_colsum(r32 * r32)),
     )
 
 
@@ -290,6 +315,7 @@ def cg_solve_refined(
     axis_name: Optional[str] = None,
     return_info: bool = False,
     layout: str = "col",
+    state_dtype=None,
 ):
     """Mixed-precision CG via iterative refinement (Carson–Higham pattern).
 
@@ -318,6 +344,14 @@ def cg_solve_refined(
 
     ``layout="bm"`` flips the state/matvec contract to ``(B, m)`` rows — see
     :func:`cg_solve`.
+
+    ``state_dtype`` (e.g. ``jnp.bfloat16``) stores the INNER loop's carried
+    vectors — and hands ``matvec_fast`` its input — in that dtype (see
+    :func:`_cg_fixed`): the inner state traffic halves and a slab-dispatched
+    ``matvec_fast`` reads a bf16 vector natively.  The outer exact residual
+    refreshes still govern final accuracy; expect a few more restarts on
+    hard systems.  ``matvec_fast`` must accept a ``state_dtype`` input (the
+    Pallas slab and all XLA formulations do).
     """
     if layout not in ("col", "bm"):
         raise ValueError("layout must be 'col' or 'bm'")
@@ -360,7 +394,7 @@ def cg_solve_refined(
             r = rhs - mv_exact(x)
             d, _ = _cg_fixed(
                 matvec_fast, r, jnp.zeros_like(r), inner_iters, M_inv, axis_name,
-                layout,
+                layout, state_dtype,
             )
             x = x + d
             rnorm = _colnorm(rhs - mv_exact(x))

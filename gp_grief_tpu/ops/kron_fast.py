@@ -167,8 +167,12 @@ def kron_matvec_fast(
         # headroom to run them at HIGHEST for free, so the requested (fast)
         # precision only ever applies to the wide compute-bound groups.
         pass_prec = precision if mk >= 128 else lax.Precision.HIGHEST
+        # lax.dot_general is dtype-strict: a low-precision input vector (e.g.
+        # a bf16 solver state, ops/cg.py state_dtype) meets f32 factors here —
+        # cast the factor to the vector dtype (a bf16 input already implies
+        # the fast operating point; an x64 input keeps full precision).
         x = lax.dot_general(
-            X, K, (((0,), (1,)), ((), ())), precision=pass_prec
+            X, K.astype(X.dtype), (((0,), (1,)), ((), ())), precision=pass_prec
         )  # (rest·B, mk')
     out = x.reshape(B, rows)
     if squeeze:

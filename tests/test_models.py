@@ -373,3 +373,23 @@ def test_checkgrad_catches_bug_under_large_objective():
     # and a correct gradient at the same |f| passes
     ok2, _ = checkgrad(lambda p: jnp.sum(p**2) + 1.0e6, params)
     assert ok2
+
+
+def test_gp_kronecker_mixed16_matches_schur(rng):
+    """cg_precision='mixed16' (bf16 inner-CG state + bf16 fast matvec) must
+    reach the same NLML as the schur closed form — accuracy comes from the
+    exact residual refreshes, not the inner state dtype."""
+    g0 = np.linspace(0, 1, 8)
+    g1 = np.linspace(0, 1, 6)
+    y = rng.standard_normal(48)
+    kerns = [make_kernel("rbf", lengthscale=0.5), make_kernel("rbf", lengthscale=0.5)]
+    kw = dict(noise_var=0.2, cg_iters=600)
+    schur = GPKroneckerRegression([g0[:, None], g1[:, None]], y, kerns, noise_var=0.2, solver="schur")
+    m16 = GPKroneckerRegression(
+        [g0[:, None], g1[:, None]], y, kerns, solver="cg", cg_precision="mixed16", **kw
+    )
+    np.testing.assert_allclose(m16.log_likelihood(), schur.log_likelihood(), rtol=1e-6)
+    with pytest.raises(ValueError):
+        GPKroneckerRegression(
+            [g0[:, None]], y[:8], kerns[:1], solver="cg", cg_precision="bogus"
+        )

@@ -459,3 +459,52 @@ def test_cg_breakdown_guard_indefinite(rng):
     )
     assert bool(jnp.all(jnp.isfinite(x2)))
     assert bool(jnp.all(jnp.isfinite(info2.residual_norm)))
+
+
+def test_cg_solve_refined_bf16_state_matches_f32(rng):
+    """state_dtype=bf16 stores the inner CG state in bf16; the outer exact
+    refreshes must still drive the solution to the same tolerance as the
+    f32-state solver (possibly in more restarts)."""
+    from gp_grief_tpu.ops.cg import cg_solve_refined
+
+    n = 120
+    A = rng.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    Aj = jnp.asarray(A, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+
+    kw = dict(tol=1e-6, inner_iters=25, max_restarts=40, return_info=True)
+    x32, i32 = cg_solve_refined(lambda v: Aj @ v, lambda v: Aj @ v, b, **kw)
+    x16, i16 = cg_solve_refined(
+        lambda v: Aj @ v, lambda v: Aj @ v, b, state_dtype=jnp.bfloat16, **kw
+    )
+    ref = np.linalg.solve(A.astype(np.float64), np.asarray(b, np.float64))
+    for x, info in ((x32, i32), (x16, i16)):
+        rel = np.abs(np.asarray(x, np.float64) - ref).max() / np.abs(ref).max()
+        assert rel < 1e-4, rel
+        bn = np.linalg.norm(np.asarray(b), axis=0)
+        assert float(info.residual_norm.max()) <= 1e-6 * bn.max() * 1.05
+
+
+def test_cg_fixed_bf16_state_layout_bm_and_precond(rng):
+    """bf16 state composes with layout='bm' and a preconditioner."""
+    from gp_grief_tpu.ops.cg import _cg_fixed
+
+    n, B = 96, 4
+    A = rng.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    Aj = jnp.asarray(A, jnp.float32)
+    d_inv = jnp.asarray(1.0 / np.diag(A), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+
+    x, info = _cg_fixed(
+        lambda v: v.astype(jnp.float32) @ Aj.T,
+        rhs, None, 80,
+        lambda r: r * d_inv[None, :],
+        layout="bm", state_dtype=jnp.bfloat16,
+    )
+    ref = np.linalg.solve(A, np.asarray(rhs).T).T
+    rel = np.abs(np.asarray(x) - ref).max() / np.abs(ref).max()
+    # bf16 inner state stagnates around ~1e-3 relative — that's its contract
+    assert rel < 5e-3, rel
+    assert np.all(np.isfinite(np.asarray(info.residual_norm)))
