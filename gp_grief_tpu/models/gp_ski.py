@@ -26,6 +26,7 @@ from gp_grief_tpu.models.base import BaseModel
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.interp import (
     build_interp_plan,
+    build_onehot_plan,
     interp_matvec,
     interp_matvec_bm,
     interp_matvec_bm_fast,
@@ -34,9 +35,14 @@ from gp_grief_tpu.ops.interp import (
     interp_rmatvec_bm_exact,
     interp_rmatvec_bm_fast,
     interp_weights,
+    make_onehot_rmatvec,
 )
+from gp_grief_tpu.ops.kron import kron_eigh
 from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
 from gp_grief_tpu.ops.lanczos import slq_logdet
+from gp_grief_tpu.ops.precond import lowrank_sqrt_ops
+from gp_grief_tpu.ops.solve import stable_cholesky
+from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
 __all__ = ["GPSKIRegression"]
 
@@ -45,6 +51,16 @@ class GPSKIRegression(BaseModel):
     """``GPSKIRegression(x, y, kern_list, grid, noise_var, ...)``.
 
     ``grid`` may be an :class:`InducingGrid` or per-dim point arrays.
+
+    ``precond_rank`` (default 256, capped at the lattice size): rank-r
+    Kronecker-eigen deflation preconditioner for every CG solve, plus
+    whitened SLQ for the log-det (:meth:`_build_precond`).  ON BY DEFAULT
+    because smooth-kernel SKI operators are routinely κ ≳ 1/ε_f32, where
+    unpreconditioned f32 CG does not converge at all — at the n=100k /
+    m=32⁴ benchmark shape it turns a non-converging solve (relative
+    quadratic-form error ~10⁶ after 300 iterations) into 69-iteration
+    convergence to 1e-6 and cuts warm NLML wall time 12.5 s → 2.0 s
+    (RESULTS_r4.md §6).  Set 0 to disable.
     """
 
     def __init__(
@@ -62,6 +78,7 @@ class GPSKIRegression(BaseModel):
         cg_tol: float = 1e-8,
         cg_iters: int = 500,
         cg_precision: str = "exact",
+        precond_rank: int = 256,
         key=None,
     ):
         x = jnp.asarray(x)
@@ -86,6 +103,17 @@ class GPSKIRegression(BaseModel):
         # serves every solve path incl. SLQ → NLML 46.5 s → 12.5 s at
         # n=100k with no accuracy compromise (RESULTS_r3.md §1-2).
         self._plan = build_interp_plan(self.iw)
+        # Tile-CSR one-hot Pallas kernel for Wᵀ: re-expresses the ELL gather
+        # as VPU one-hot builds + an MXU dot — 3.9 ms vs 17 ms at the n=100k
+        # shape, exact to 1.4e-7 (RESULTS_r4.md §5).  build_onehot_plan
+        # returns None when the layout can't win (pathological clustering);
+        # we then stay on the slot-gather form.
+        self._oplan = build_onehot_plan(self.iw)
+        self._wt_onehot = (
+            make_onehot_rmatvec(self._plan, self._oplan)
+            if self._oplan is not None
+            else None
+        )
         self.dim_noise_var = float(dim_noise_var)
         # "mixed": NLML/predict solves run iterative refinement — the CG hot
         # loop uses the bf16-MXU Kron matvec, exact-precision residual
@@ -95,6 +123,7 @@ class GPSKIRegression(BaseModel):
         self._opts = dict(
             num_probes=num_probes, lanczos_iters=lanczos_iters,
             cg_tol=cg_tol, cg_iters=cg_iters, cg_precision=cg_precision,
+            precond_rank=int(precond_rank),
         )
         self._key = jax.random.PRNGKey(0) if key is None else key
         kerns = (
@@ -105,6 +134,17 @@ class GPSKIRegression(BaseModel):
         self.params = {"kernels": kerns, "log_noise": inverse_positive(noise_var).astype(x.dtype)}
 
     # -- structured operator ---------------------------------------------------
+
+    def _rmatvec_bm(self, u_bm, fast: bool = False):
+        """Batch-major ``Wᵀ u`` dispatch: the one-hot Pallas kernel when the
+        plan supports it (exact, fastest), else the ELL slot-gather (exact)
+        or, with ``fast=True`` and no one-hot plan, the cumsum stream form
+        (~5e-5 rel — refined-CG inner loops only)."""
+        if self._wt_onehot is not None:
+            return self._wt_onehot(u_bm)
+        if fast:
+            return interp_rmatvec_bm_fast(self._plan, u_bm)
+        return interp_rmatvec_bm_exact(self._plan, u_bm)
 
     def _matvec_bm(self, factors, sigma2, precision=None, fast: bool = False):
         """Batch-major ``(K̂ + σ²I)``: ``v (B, n) → (B, n)``.
@@ -118,20 +158,15 @@ class GPSKIRegression(BaseModel):
         grouped-cyclic chain absorbs ``I_B`` into its first group at no
         extra pass).
 
-        Interpolation always runs scatter-free off the precomputed
-        :class:`~gp_grief_tpu.ops.interp.InterpPlan`: the EXACT ELL
-        slot-gather ``Wᵀ`` by default (4.3× over the scatter-add, rel 3e-8),
-        or with ``fast=True`` the cumsum stream form (5.7×, ~5e-5 rel —
-        refined-CG inner loop only).  The forward ``W`` is one fused exact
-        gather either way."""
+        Interpolation always runs scatter-free off precomputed plans — see
+        :meth:`_rmatvec_bm` for the ``Wᵀ`` dispatch (one-hot Pallas kernel →
+        ELL slot-gather → cumsum).  The forward ``W`` is one fused exact
+        gather in every mode."""
         kw = {} if precision is None else {"precision": precision}
 
         def mv(v):  # (B, n)
             B = int(v.shape[0])
-            if fast:
-                u = interp_rmatvec_bm_fast(self._plan, v)  # (B, M)
-            else:
-                u = interp_rmatvec_bm_exact(self._plan, v)
+            u = self._rmatvec_bm(v, fast=fast)  # (B, M)
             eyeB = jnp.eye(B, dtype=v.dtype)
             u = kron_matvec_fast((eyeB, *factors), u.reshape(-1), **kw)
             u = u.reshape(B, -1)
@@ -151,10 +186,83 @@ class GPSKIRegression(BaseModel):
 
         return mv
 
-    def _solve_bm(self, factors, sigma2, rhs_bm):
+    def _build_precond(self, factors, sigma2):
+        """Rank-r deflation of ``A = W K Wᵀ + σ²I`` from the top-r Kronecker
+        eigenpairs of the lattice Gram, projected to the data points.
+
+        The unpreconditioned operator at the BASELINE config-2 shape
+        (n=100k, RBF ls=0.8 on 32⁴, σ²=0.1) has κ ≳ 1/ε_f32: 300 CG
+        iterations leave a quadratic-form estimate off by ~10⁶ and the
+        "converged" NLML moves by that much under any rounding change
+        (RESULTS_r4.md §6) — the answer is garbage, not just slow.  With
+        ``K = (⊗Q_d) Λ (⊗Q_d)ᵀ``, the top-r eigenpairs give
+        ``A ≈ B₀B₀ᵀ + σ²I`` with ``B₀ = W Q_r Λ_r^{1/2}`` — a Khatri-Rao
+        column gather: ``B₀[:, j] = λ_j^{1/2} Π_d (W_d Q_d)[:, idx_jd]``,
+        built from d skinny ``(n, m_d)`` per-dim projections.  An r×r eigh
+        of ``B₀ᵀB₀`` orthonormalizes it for :func:`lowrank_sqrt_ops`, whose
+        ``M^{-1/2}`` also whitens SLQ (log|A| = log|M| + log|M⁻½AM⁻½|).
+
+        Returns ``(M_inv, M_inv_sqrt, logdet_M)`` or ``None`` (rank 0).
+        """
+        r = self._opts["precond_rank"]
+        if r <= 0:
+            return None
+        m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
+        r = min(r, m_total, int(self.x.shape[0]))
+        # The whole build runs under HIGHEST matmul precision: TPU eigh /
+        # cholesky / triangular_solve are blocked algorithms whose inner
+        # dots follow the *default* matmul precision (bf16) — a ~1e-3
+        # basis is not SPD-consistent and preconditioned CG diverges.
+        with jax.default_matmul_precision("highest"):
+            return self._build_precond_hi(factors, sigma2, r)
+
+    def _build_precond_hi(self, factors, sigma2, r):
+        Qs, lams = kron_eigh(factors)
+        log_lam, idx = top_p_kron_eigs(lams, r)
+        lam_r = jnp.exp(log_lam)  # (r,) descending
+        U0 = None
+        for d_, Qd in enumerate(Qs):
+            m_d = Qd.shape[0]
+            i0 = self.iw.idx[d_]
+            i1 = jnp.minimum(i0 + 1, m_d - 1)
+            w2 = self.iw.w[d_]
+            Pd = w2[:, 0:1] * Qd[i0, :] + w2[:, 1:2] * Qd[i1, :]  # W_d Q_d
+            col = Pd[:, idx[:, d_]]  # (n, r)
+            U0 = col if U0 is None else U0 * col
+        # Orthonormalize U0 BEFORE touching Λ.  A one-shot eigh of the
+        # λ-scaled Gram (B₀ᵀB₀, κ ~ λ₁/λ_r · κ(U0)² ≳ 1e8) is garbage in
+        # f32 — the resulting basis is so far from orthonormal that M_inv
+        # loses positive-definiteness and CG *diverges* (measured: rel
+        # resid 3.0 after 300 iters at the n=100k config).  U0's own Gram
+        # is well-conditioned (lattice eigvecs stay near-orthogonal under
+        # W when the points cover the grid), so CholeskyQR — twice, the
+        # CholeskyQR2 pattern, to push orthonormality to working eps —
+        # is stable; the λ weighting then enters through the congruence
+        # LᵀΛL whose r×r eigh only needs ABSOLUTE eps·λ₁ accuracy.
+        hi = lax.Precision.HIGHEST  # bf16-DEFAULT Grams wreck orthonormality
+        Ut = U0
+        Rts = []
+        for _ in range(2):
+            G = jnp.matmul(Ut.T, Ut, precision=hi)
+            L, _ = stable_cholesky(G)
+            Ut = jax.scipy.linalg.solve_triangular(L, Ut.T, lower=True).T
+            Rts.append(L)
+        # U0 = Ut · (L2ᵀ L1ᵀ) ⇒ U0 Λ U0ᵀ = Ut (L2ᵀL1ᵀ Λ L1L2) Utᵀ.
+        Wmid = jnp.matmul(Rts[1].T, Rts[0].T, precision=hi) * jnp.sqrt(lam_r)[None, :]
+        s, V = jnp.linalg.eigh(jnp.matmul(Wmid, Wmid.T, precision=hi))
+        lam = jnp.maximum(s, 0.0)
+        U = jnp.matmul(Ut, V, precision=hi)
+        return lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+
+    def _solve_bm(self, factors, sigma2, rhs_bm, pre=None):
         """Batch-major CG solve of ``(K̂+σ²I) X = rhs`` — ``rhs_bm (B, n)``,
-        honoring cg_precision ("exact" or iterative-refined "mixed")."""
+        honoring cg_precision ("exact" or iterative-refined "mixed") and the
+        rank-r deflation preconditioner when ``precond_rank > 0`` (``pre``
+        lets callers share one built preconditioner across solve + SLQ)."""
         o = self._opts
+        if pre is None:
+            pre = self._build_precond(factors, sigma2)
+        M_inv = pre[0] if pre is not None else None
         mv = self._matvec_bm(factors, sigma2)
         if o["cg_precision"] == "mixed":
             from gp_grief_tpu.ops.cg import cg_solve_refined
@@ -175,7 +283,7 @@ class GPSKIRegression(BaseModel):
                 mv_fast, mv, rhs_bm,
                 tol=max(o["cg_tol"], 1e-7), inner_iters=50,
                 max_restarts=max(1, o["cg_iters"] // 50),
-                layout="bm",
+                M_inv=M_inv, layout="bm",
             )
         # implicit_diff=False: the NLML stop-gradients these solutions and
         # differentiates through BBMM surrogates, and predict never
@@ -183,8 +291,8 @@ class GPSKIRegression(BaseModel):
         # of custom_linear_solve over this gather-heavy matvec
         # (RESULTS_r3.md §5: the compiled solve returned all-zeros).
         return cg_solve(
-            mv, rhs_bm, tol=o["cg_tol"], max_iters=o["cg_iters"], layout="bm",
-            implicit_diff=False,
+            mv, rhs_bm, tol=o["cg_tol"], max_iters=o["cg_iters"], M_inv=M_inv,
+            layout="bm", implicit_diff=False,
         )
 
     def _solve(self, factors, sigma2, rhs):
@@ -209,21 +317,33 @@ class GPSKIRegression(BaseModel):
         mv = self._matvec_bm(factors, sigma2)
         o = self._opts
 
+        pre = self._build_precond(factors, sigma2)
         z = jax.random.rademacher(self._key, (o["num_probes"], n), dtype=self.y.dtype)
         rhs = jnp.concatenate([self.y[None, :], z], axis=0)
-        sol = self._solve_bm(factors, sigma2, rhs)
+        sol = self._solve_bm(factors, sigma2, rhs, pre=pre)
         alpha = lax.stop_gradient(sol[0])
         S = lax.stop_gradient(sol[1:])
 
         quad = 2.0 * jnp.dot(self.y, alpha) - jnp.dot(alpha, mv(alpha[None, :])[0])
-        # SLQ must run on the EXACT operator (the plan's slot-gather form,
-        # rel 3e-8): a δA of even ~5e-5 (the cumsum interp's rounding)
-        # perturbs log|A| by tr(A⁻¹δA) — κ-amplified to a ~1% NLML error
-        # (measured, n=100k).  Unlike CG there is no outer refresh to erase
-        # inner-operator error.
+        # SLQ must run on the EXACT operator (the plan's slot-gather or
+        # one-hot form, rel ≤ 1.4e-7): a δA of even ~5e-5 (the cumsum
+        # interp's rounding) perturbs log|A| by tr(A⁻¹δA) — κ-amplified to a
+        # ~1% NLML error (measured, n=100k).  Unlike CG there is no outer
+        # refresh to erase inner-operator error.  With the deflation
+        # preconditioner, SLQ runs *whitened*:
+        # log|A| = log|M| + log|M⁻½AM⁻½| — the whitened spectrum clusters at
+        # 1, so the quadrature converges in a handful of nodes (same pattern
+        # as GPGriefModel.log_likelihood_iterative).
+        if pre is not None:
+            M_inv_sqrt, logdet_M = pre[1], pre[2]
+            slq_mv = lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))  # noqa: E731
+            ld_off = logdet_M
+        else:
+            slq_mv, ld_off = mv, 0.0
         ld_val = lax.stop_gradient(
-            slq_logdet(
-                mv, n, key=jax.random.fold_in(self._key, 1),
+            ld_off
+            + slq_logdet(
+                slq_mv, n, key=jax.random.fold_in(self._key, 1),
                 num_probes=o["num_probes"], lanczos_iters=o["lanczos_iters"],
                 dtype=self.y.dtype, layout="bm",
             )
@@ -325,7 +445,7 @@ class GPSKIRegression(BaseModel):
                 res = lanczos(
                     mv, self.y, var_rank, full_reorth=True, store_basis=True
                 )
-                QW = interp_rmatvec_bm_exact(self._plan, res.Q.T)  # (r, M)
+                QW = self._rmatvec_bm(res.Q.T)  # (r, M)
                 eyeR = jnp.eye(var_rank, dtype=self.y.dtype)
                 S = kron_matvec_fast((eyeR, *factors), QW.reshape(-1)).reshape(
                     var_rank, -1

@@ -34,8 +34,11 @@ from gp_grief_tpu.ops.compose import op_product, op_scale, op_shift, op_sum
 from gp_grief_tpu.ops.interp import (
     InterpPlan,
     InterpWeights,
+    OneHotPlan,
     build_interp_plan,
+    build_onehot_plan,
     interp_expand,
+    make_onehot_rmatvec,
     interp_matvec,
     interp_matvec_bm,
     interp_matvec_bm_fast,
@@ -63,7 +66,10 @@ __all__ = [
     "InterpWeights",
     "interp_weights",
     "build_interp_plan",
+    "build_onehot_plan",
+    "make_onehot_rmatvec",
     "InterpPlan",
+    "OneHotPlan",
     "interp_matvec",
     "interp_matvec_bm",
     "interp_matvec_bm_fast",

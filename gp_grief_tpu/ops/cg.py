@@ -108,11 +108,14 @@ def _cg_raw(
         # Breakdown guard: a column whose curvature pAp is non-positive
         # (exact breakdown, or PD lost to f32 rounding on κ ≳ 1/eps
         # operators — stepping on it walks AWAY from the solution and
-        # overflows to NaN within tens of iterations) or whose recurrence
-        # went non-finite is frozen PERMANENTLY at its current iterate;
-        # live columns keep taking (benign) steps until every live column
-        # converges and the while_loop exits.
-        ok = (pAp > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz) & ~dead
+        # overflows to NaN within tens of iterations), whose preconditioned
+        # product rz = rᵀM⁻¹r is non-positive (M⁻¹ lost SPD to rounding —
+        # rz also hits 0 exactly when a column fully converges, where
+        # freezing is the correct act), or whose recurrence went non-finite
+        # is frozen PERMANENTLY at its current iterate; live columns keep
+        # taking (benign) steps until every live column converges and the
+        # while_loop exits.
+        ok = (pAp > 0) & (rz > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz) & ~dead
         alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = x + _bc(alpha) * p
         r = r - _bc(alpha) * Ap
@@ -177,9 +180,9 @@ def _cg_fixed(
         p32 = p.astype(wd)
         Ap32 = Ap.astype(wd)
         pAp = _colsum(p32 * Ap32)
-        # Same non-positive-curvature / non-finite permanent freeze as
-        # :func:`_cg_raw` — see the comment there.
-        ok = (pAp > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz) & ~dead
+        # Same non-positive-curvature / non-positive-rz / non-finite
+        # permanent freeze as :func:`_cg_raw` — see the comment there.
+        ok = (pAp > 0) & (rz > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz) & ~dead
         alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = x + _bc(alpha) * p32
         r32 = r.astype(wd) - _bc(alpha) * Ap32

@@ -27,8 +27,11 @@ import jax.numpy as jnp
 __all__ = [
     "InterpWeights",
     "InterpPlan",
+    "OneHotPlan",
     "interp_weights",
     "build_interp_plan",
+    "build_onehot_plan",
+    "make_onehot_rmatvec",
     "interp_matvec",
     "interp_rmatvec",
     "interp_matvec_bm",
@@ -333,6 +336,219 @@ def interp_rmatvec_bm_exact(plan: InterpPlan, u_bm: jax.Array) -> jax.Array:
             plan.ov_w[None, :] * u_bm[:, plan.ov_src]
         )
     return out
+
+
+class OneHotPlan(NamedTuple):
+    """Tile-CSR layout for the one-hot-matmul Pallas ``Wᵀ`` kernel.
+
+    The ELL slot-gather form (:func:`interp_rmatvec_bm_exact`) is bound by
+    the XLA gather's ~3.2 G elem/s: it gathers ``B·M·K`` elements per
+    application (17 ms at n=100k, m=32⁴, B=9 — RESULTS_r3.md §3), and
+    Mosaic's ``dynamic_gather`` is single-vreg, so no VMEM-table gather
+    kernel exists.  This plan re-expresses the gather as a *matmul*: tile
+    the lattice into ``T`` tiles of ``C`` cells; the points contributing to
+    one tile form a small set (``R ≈ 2^d·n·C/M`` before padding).  Per tile
+
+        u_win (B, R) — the tile's contributing point values (ONE XLA gather
+                       of ``T·R`` ≈ ``4n`` elements, ~8× fewer than B·M·K)
+        SW (R, C)    — sparse weight matrix, built IN VMEM from the
+                       ``(K, C)`` loc/weight tables by K one-hot compares
+        out (B, C)   = u_win @ SW      (exact f32 MXU dot, HIGHEST)
+
+    so the gather becomes VPU compares + an MXU dot, both memory-bound.
+    Exactness: every output cell sums its ≤K weighted contributions in f32
+    — the same short sums the scatter-add form does, reordered (measured
+    rel 1.4e-7; SLQ-safe, unlike the cumsum form).  Measured 3.9 ms vs
+    17 ms for the slot-gather at the n=100k SKI shape (RESULTS_r4.md §5).
+
+    Fields: ``win_src (T·R,)`` point index per window slot (``n`` = zero
+    pad); ``slot_loc/slot_w (T, K, C)`` per-cell window-local source index
+    (``R`` = empty) and weight; overflow stream ``ov_ids/ov_src/ov_w`` for
+    cells with >K contributions; static sizes ``T/C/R/K/M/M_pad/n``.
+    """
+
+    win_src: jax.Array
+    slot_loc: jax.Array
+    slot_w: jax.Array
+    ov_ids: jax.Array
+    ov_src: jax.Array
+    ov_w: jax.Array
+    T: int
+    C: int
+    R: int
+    K: int
+    M: int
+    M_pad: int
+    n: int
+
+
+def build_onehot_plan(
+    iw: InterpWeights,
+    tile_cells: int = 1024,
+    max_slots: int = 8,
+    r_limit: int = 4096,
+):
+    """Host-side (numpy) tile-CSR preprocessing for :class:`OneHotPlan`.
+
+    Returns ``None`` when the layout cannot win: a tile whose point window
+    exceeds ``r_limit`` (pathologically clustered data would blow the VMEM
+    ``(R, C)`` one-hot scratch), or a window gather no smaller than the ELL
+    slot gather it replaces.  Callers fall back to
+    :func:`interp_rmatvec_bm_exact`.
+
+    ``K`` grows until the overflow stream is tiny (≤ ~1k entries): unlike
+    the ELL form — where each slot column is a ``B·M``-element gather — a
+    slot layer here costs only a VPU compare pass, while each overflow
+    entry is a serialized scatter-add (~63 ns·B on v5e).
+    """
+    import numpy as np
+
+    d = len(iw.shape)
+    M = math.prod(iw.shape)
+    n = int(iw.idx[0].shape[0])
+    C = int(tile_cells)
+    T = -(-M // C)
+    M_pad = T * C
+    idx_h = [np.asarray(ix) for ix in iw.idx]
+    w_h = [np.asarray(w) for w in iw.w]
+    flats, weights = [], []
+    for offsets in itertools.product((0, 1), repeat=d):
+        flat = None
+        w = np.ones(n, dtype=w_h[0].dtype)
+        for dd, off in enumerate(offsets):
+            comp = np.minimum(idx_h[dd] + off, iw.shape[dd] - 1)
+            flat = comp if flat is None else flat * iw.shape[dd] + comp
+            w = w * w_h[dd][:, off]
+        flats.append(flat.astype(np.int64))
+        weights.append(w)
+    flat_all = np.concatenate(flats)
+    w_all = np.concatenate(weights)
+    src_all = np.tile(np.arange(n, dtype=np.int64), 2**d)
+    nz = w_all != 0  # zero-weight pruning, as in build_interp_plan
+    flat_all, w_all, src_all = flat_all[nz], w_all[nz], src_all[nz]
+
+    perm = np.argsort(flat_all, kind="stable")
+    flat_s, w_s, src_s = flat_all[perm], w_all[perm], src_all[perm]
+    uniq, seg_start = np.unique(flat_s, return_index=True)
+    starts = np.zeros(M, np.int64)
+    starts[uniq] = seg_start
+    rank = np.arange(len(flat_s)) - starts[flat_s]
+    max_rank = int(rank.max()) + 1 if len(rank) else 1
+    K = 1
+    while K < min(max_rank, max_slots) and int(np.sum(rank >= K)) > 1000:
+        K += 1
+    in_slot = rank < K
+
+    tile = flat_s // C
+    cell_local = flat_s - tile * C
+    # Unique (tile, point) pairs among slot entries → per-tile point windows.
+    key = tile[in_slot] * (n + 1) + src_s[in_slot]
+    uniq_key = np.unique(key)
+    tile_of_key = uniq_key // (n + 1)
+    src_of_key = uniq_key % (n + 1)
+    tile_start = np.searchsorted(tile_of_key, np.arange(T + 1))
+    counts = np.diff(tile_start)
+    R_max = int(counts.max()) if len(counts) else 1
+    R = max(128, -(-R_max // 128) * 128)
+    if R > r_limit:
+        return None
+    if T * R >= 2 * M * max(K - 1, 1):  # window gather would not beat ELL
+        return None
+    win_src = np.full((T, R), n, np.int64)
+    pos = np.arange(len(uniq_key)) - tile_start[tile_of_key]
+    win_src[tile_of_key, pos] = src_of_key
+    # Each stream entry's window-local source index.
+    eidx = np.searchsorted(uniq_key, key)
+    local_r = eidx - tile_start[tile_of_key[eidx]]
+    slot_loc = np.full((T, K, C), R, np.int64)  # R = "empty" (out of iota range)
+    slot_w = np.zeros((T, K, C), w_all.dtype)
+    slot_loc[tile[in_slot], rank[in_slot], cell_local[in_slot]] = local_r
+    slot_w[tile[in_slot], rank[in_slot], cell_local[in_slot]] = w_s[in_slot]
+    ov = ~in_slot
+    return OneHotPlan(
+        win_src=jnp.asarray(win_src.reshape(-1), jnp.int32),
+        slot_loc=jnp.asarray(slot_loc, jnp.int32),
+        slot_w=jnp.asarray(slot_w),
+        ov_ids=jnp.asarray(flat_s[ov], jnp.int32),
+        ov_src=jnp.asarray(src_s[ov], jnp.int32),
+        ov_w=jnp.asarray(w_s[ov]),
+        T=T, C=C, R=R, K=K, M=M, M_pad=M_pad, n=n,
+    )
+
+
+def make_onehot_rmatvec(plan: InterpPlan, oplan: OneHotPlan, interpret=None):
+    """Build the Pallas one-hot ``Wᵀ`` application ``(B, n) → (B, M)``.
+
+    Returns a differentiable callable (``jax.custom_vjp``: the adjoint of
+    ``Wᵀ`` is ``W``, served by the existing fused-gather
+    :func:`interp_matvec_bm_fast` on the cotangent).  ``interpret`` defaults
+    to True off-TPU so the same code path runs (and is tested) on CPU.
+
+    Call once per model and cache the result — the returned closure's
+    identity keys jit caches.
+    """
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    T, C, R, K = oplan.T, oplan.C, oplan.R, oplan.K
+    M, M_pad, n = oplan.M, oplan.M_pad, oplan.n
+    have_ov = int(oplan.ov_ids.shape[0]) > 0
+    dtype = oplan.slot_w.dtype
+
+    def kernel(u_ref, loc_ref, w_ref, o_ref):
+        u = u_ref[...]  # (B, R)
+        iota = lax.broadcasted_iota(jnp.int32, (R, C), 0)
+        SW = jnp.zeros((R, C), dtype)
+        for k in range(K):  # K ≤ max_slots: unrolled VPU compare passes
+            lk = loc_ref[0, k, :][None, :]  # (1, C)
+            wk = w_ref[0, k, :][None, :]
+            SW = SW + jnp.where(lk == iota, wk, jnp.zeros((), dtype))
+        o_ref[...] = lax.dot_general(
+            u, SW, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,  # exact f32 (x6 emulation)
+            preferred_element_type=dtype,
+        )
+
+    def _apply(u_bm):
+        B = u_bm.shape[0]
+        u_pad = jnp.concatenate([u_bm, jnp.zeros((B, 1), u_bm.dtype)], axis=1)
+        u_win = u_pad[:, oplan.win_src]  # (B, T·R) — the one gather
+        out = pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((B, R), lambda t: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, C), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, C), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, C), lambda t: (0, t), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, M_pad), dtype),
+            interpret=interpret,
+        )(u_win.astype(dtype), oplan.slot_loc, oplan.slot_w)
+        out = out[:, :M]
+        if have_ov:
+            out = out.at[:, oplan.ov_ids].add(
+                oplan.ov_w[None, :] * u_pad[:, oplan.ov_src].astype(dtype)
+            )
+        return out
+
+    @jax.custom_vjp
+    def rmatvec(u_bm):
+        return _apply(u_bm)
+
+    def fwd(u_bm):
+        # Residual: a dtype-carrying empty array (residuals must be arrays).
+        return _apply(u_bm), jnp.zeros((0,), u_bm.dtype)
+
+    def bwd(res, ct):
+        # (Wᵀ)ᵀ = W: fused corner gather on the cotangent.
+        return (interp_matvec_bm_fast(plan, ct).astype(res.dtype),)
+
+    rmatvec.defvjp(fwd, bwd)
+    return rmatvec
 
 
 def interp_matvec_bm_fast(plan: InterpPlan, v_grid_bm: jax.Array) -> jax.Array:

@@ -87,7 +87,14 @@ def kron_deflation_preconditioner(
     return M_inv
 
 
-def lowrank_sqrt_ops(U: jax.Array, lam: jax.Array, sigma2, *, layout: str = "col"):
+def lowrank_sqrt_ops(
+    U: jax.Array,
+    lam: jax.Array,
+    sigma2,
+    *,
+    layout: str = "col",
+    precision=lax.Precision.HIGHEST,
+):
     """Closed-form operators of ``M = U diag(λ) Uᵀ + σ²I`` for ORTHONORMAL
     skinny ``U (n, r)``: returns ``(M_inv, M_inv_sqrt, logdet_M)``.
 
@@ -111,13 +118,22 @@ def lowrank_sqrt_ops(U: jax.Array, lam: jax.Array, sigma2, *, layout: str = "col
         delta = diag_fun(lam_shift) - base  # (r,)
 
         def op(v: jax.Array) -> jax.Array:
+            # HIGHEST precision: on TPU the DEFAULT matmul is bf16 — a
+            # ~1e-3-rounded M⁻¹ is no longer SPD-symmetric to the CG
+            # recurrence and rᵀM⁻¹r can go negative (breakdown guard then
+            # freezes the column mid-solve); exact-f32 products keep the
+            # preconditioner an honest SPD operator.
             if layout == "bm":
-                t = v @ U  # (B, r)
-                return base * v + (t * delta[None, :]) @ U.T
+                t = jnp.matmul(v, U, precision=precision)  # (B, r)
+                return base * v + jnp.matmul(
+                    t * delta[None, :], U.T, precision=precision
+                )
             squeeze = v.ndim == 1
             vv = v[:, None] if squeeze else v
-            t = U.T @ vv  # (r, B)
-            out = base * vv + U @ (delta[:, None] * t)
+            t = jnp.matmul(U.T, vv, precision=precision)  # (r, B)
+            out = base * vv + jnp.matmul(
+                U, delta[:, None] * t, precision=precision
+            )
             return out[:, 0] if squeeze else out
 
         return op
@@ -133,21 +149,25 @@ def lowrank_preconditioner(
     U: jax.Array,
     lam: jax.Array,
     sigma2,
+    *,
+    precision=lax.Precision.HIGHEST,
 ) -> Callable[[jax.Array], jax.Array]:
     """Woodbury inverse of ``M = U diag(λ) Uᵀ + σ²I`` for skinny ``U (n, k)``.
 
     ``M⁻¹ v = (v − U C⁻¹ Uᵀ v)/σ²`` with ``C = σ² diag(1/λ) + UᵀU`` (k×k).
-    ``λ`` must be positive (SPD preconditioner).
+    ``λ`` must be positive (SPD preconditioner).  ``precision`` defaults to
+    HIGHEST — see :func:`lowrank_sqrt_ops` for why bf16-DEFAULT products
+    break preconditioned CG.
     """
-    C = sigma2 * jnp.diag(1.0 / lam) + U.T @ U
+    C = sigma2 * jnp.diag(1.0 / lam) + jnp.matmul(U.T, U, precision=precision)
     L = jnp.linalg.cholesky(C)
 
     def M_inv(v: jax.Array) -> jax.Array:
         squeeze = v.ndim == 1
         vv = v[:, None] if squeeze else v
-        t = U.T @ vv
+        t = jnp.matmul(U.T, vv, precision=precision)
         t = jax.scipy.linalg.cho_solve((L, True), t)
-        out = (vv - U @ t) / sigma2
+        out = (vv - jnp.matmul(U, t, precision=precision)) / sigma2
         return out[:, 0] if squeeze else out
 
     return M_inv

@@ -236,6 +236,93 @@ def test_interp_plan_degenerate_dim(rng):
     )
 
 
+def test_interp_onehot_matches_exact(rng):
+    """Tile-CSR one-hot Pallas Wᵀ (interpret mode on CPU) == scatter oracle,
+    overflow path exercised, and the custom VJP equals the W gather."""
+    from gp_grief_tpu.ops.interp import (
+        build_interp_plan,
+        build_onehot_plan,
+        interp_rmatvec_bm,
+        interp_weights,
+        make_onehot_rmatvec,
+    )
+
+    n, d, B = 400, 3, 5
+    x = rng.uniform(0, 3, size=(n, d))
+    x[:40, 0] = np.linspace(0, 3, 7)[3]  # points on a grid line (w=0 pruning)
+    x = jnp.asarray(x)
+    xg = tuple(jnp.asarray(np.linspace(0, 3, m))[:, None] for m in (7, 5, 6))
+    iw = interp_weights(x, xg)
+    plan = build_interp_plan(iw)
+    oplan = build_onehot_plan(iw)
+    assert oplan is not None
+    assert int(oplan.ov_ids.shape[0]) > 0  # overflow path exercised
+    fn = make_onehot_rmatvec(plan, oplan)
+    v = jnp.asarray(rng.standard_normal((B, n)))
+    ref = interp_rmatvec_bm(iw, v)
+    np.testing.assert_allclose(np.asarray(fn(v)), np.asarray(ref), rtol=1e-11, atol=1e-13)
+
+    # VJP: d/dv <Wᵀv, c> = W c, same as differentiating the scatter form.
+    c = jnp.asarray(rng.standard_normal(ref.shape))
+    g_onehot = jax.grad(lambda u: jnp.sum(fn(u) * c))(v)
+    g_ref = jax.grad(lambda u: jnp.sum(interp_rmatvec_bm(iw, u) * c))(v)
+    np.testing.assert_allclose(
+        np.asarray(g_onehot), np.asarray(g_ref), rtol=1e-11, atol=1e-13
+    )
+
+
+def test_gp_ski_onehot_model_nlml(rng):
+    """A model whose grid admits the one-hot plan gives the same NLML as the
+    slot-gather fallback (kernel vs non-kernel paths agree end-to-end)."""
+    n = 200
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)
+    kw = dict(mbar=16, noise_var=0.2, num_probes=32, lanczos_iters=25, cg_iters=200)
+    m1 = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.8), **kw)
+    assert m1._wt_onehot is not None  # the one-hot plan is active here
+    m2 = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.8), **kw)
+    m2._wt_onehot = None  # force the slot-gather fallback
+    l1, l2 = m1.log_likelihood(), m2.log_likelihood()
+    assert abs(l1 - l2) / abs(l2) < 1e-7
+
+
+def test_gp_ski_precond_nlml_matches_dense(rng):
+    """precond_rank>0: deflated CG + whitened SLQ NLML ≈ the dense-operator
+    NLML oracle, and the preconditioned quadratic term matches the dense
+    solve (the solution is unchanged by preconditioning, only convergence)."""
+    from gp_grief_tpu.kernels.grid import cov_grid
+    from gp_grief_tpu.ops import kron_expand
+    from gp_grief_tpu.ops.interp import interp_expand
+
+    n = 150
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    sigma2 = 0.2
+    m = GPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.6), xg,
+        noise_var=sigma2, num_probes=128, lanczos_iters=40, cg_iters=400,
+        precond_rank=24,
+    )
+    factors = cov_grid(m.params["kernels"], m.xg, dim_noise_var=0.0)
+    W = np.asarray(interp_expand(m.iw))
+    K = np.asarray(kron_expand(factors))
+    A = W @ K @ W.T + sigma2 * np.eye(n)
+    alpha_d = np.linalg.solve(A, np.asarray(y))
+    sign, logdet = np.linalg.slogdet(A)
+    assert sign > 0
+    nlml_dense = 0.5 * (
+        float(np.dot(np.asarray(y), alpha_d)) + logdet + n * np.log(2 * np.pi)
+    )
+
+    # Preconditioned CG reaches the dense solution.
+    alpha = np.asarray(m._solve(factors, jnp.asarray(sigma2), jnp.asarray(y)))
+    np.testing.assert_allclose(alpha, alpha_d, rtol=1e-6, atol=1e-8)
+    # Whitened-SLQ NLML close to dense oracle (stochastic logdet residual).
+    nlml = -m.log_likelihood()
+    assert abs(nlml - nlml_dense) / abs(nlml_dense) < 2e-3
+
+
 def test_gp_ski_mixed_matches_exact_nlml(rng):
     """cg_precision='mixed' (fast-interp inner loop + SLQ) ≈ 'exact' NLML."""
     n = 300
