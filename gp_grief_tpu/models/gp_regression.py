@@ -27,6 +27,7 @@ from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.lanczos import slq_logdet
+from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor, pivoted_cholesky
 from gp_grief_tpu.ops.solve import logdet_from_chol
 
 __all__ = ["GPRegression"]
@@ -63,8 +64,19 @@ def gp_nlml_iterative(
     lanczos_iters: int = 64,
     cg_tol: float = 1e-8,
     cg_iters: int = 1000,
+    precond_rank: int = 0,
 ) -> jax.Array:
     """Large-n NLML: CG quadratic form + SLQ log-det, BBMM-style gradients.
+
+    ``precond_rank=r > 0`` enables the GPyTorch-style pivoted-Cholesky
+    preconditioner (PAPERS.md): ``K ≈ L Lᵀ`` with ``L (n, r)`` greedy on the
+    largest remaining diagonal, ``M = LLᵀ + σ²I``.  CG runs with the spectral
+    ``M⁻¹`` hook and the log-det becomes *whitened SLQ*
+    ``log|M| (exact) + log|M⁻½ÃM⁻½|`` — smooth-kernel Grams are routinely
+    κ ≳ 1/ε_f32 at large n, where unpreconditioned f32 CG/SLQ silently fail
+    (the SKI analysis in RESULTS_r4.md §6 applies verbatim to the dense
+    operator).  The preconditioner is value-only (built under
+    ``stop_gradient``); gradients flow through the BBMM surrogates as before.
 
     Gradients do NOT flow through the Lanczos recurrence (noisy/biased).
     Instead the value carries stop-gradient surrogates whose autodiff yields
@@ -85,12 +97,23 @@ def gp_nlml_iterative(
     def mv(vv):
         return vv @ K + sigma2 * vv
 
+    pre = None
+    if precond_rank > 0:
+        # Value-only: stop_gradient(K) removes the (unused) eigh/cholesky
+        # backward graph entirely — its VJP can emit NaN·0 on degenerate
+        # spectra even under zero cotangents.
+        Lpc = pivoted_cholesky(lax.stop_gradient(K), min(int(precond_rank), n))
+        pre = lowrank_sqrt_ops_from_factor(
+            Lpc, lax.stop_gradient(sigma2), layout="bm"
+        )
+
     z = jax.random.rademacher(key, (num_probes, n), dtype=y.dtype)
     rhs = jnp.concatenate([y[None, :], z], axis=0)
     # Value-only solve (solutions are stop-gradiented below; gradients flow
     # through the BBMM surrogates) — skip the custom_linear_solve wrapper.
     sol = cg_solve(mv, rhs, tol=cg_tol, max_iters=cg_iters, layout="bm",
-                   implicit_diff=False)
+                   implicit_diff=False,
+                   M_inv=pre[0] if pre is not None else None)
     alpha = lax.stop_gradient(sol[0])
     S = lax.stop_gradient(sol[1:])
 
@@ -98,9 +121,17 @@ def gp_nlml_iterative(
     quad = 2.0 * jnp.dot(y, alpha) - jnp.dot(alpha, mv(alpha[None, :])[0])
 
     # Log-det: SLQ value (stop-grad) + Hutchinson-gradient surrogate.
+    # With a preconditioner, SLQ runs whitened: the clustered spectrum of
+    # M⁻½ÃM⁻½ converges in a handful of quadrature nodes.
+    if pre is not None:
+        M_inv_sqrt, ld_off = pre[1], pre[2]
+        slq_mv = lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))  # noqa: E731
+    else:
+        slq_mv, ld_off = mv, 0.0
     ld_val = lax.stop_gradient(
-        slq_logdet(
-            mv, n, key=jax.random.fold_in(key, 1), num_probes=num_probes,
+        ld_off
+        + slq_logdet(
+            slq_mv, n, key=jax.random.fold_in(key, 1), num_probes=num_probes,
             lanczos_iters=lanczos_iters, dtype=y.dtype, layout="bm",
         )
     )
@@ -125,10 +156,13 @@ class GPRegression(BaseModel):
         lanczos_iters: int = 64,
         cg_tol: float = 1e-8,
         cg_iters: int = 1000,
+        precond_rank: int = 0,
         key=None,
     ):
         """``solver``: ``"cholesky"`` (exact, O(n³)) or ``"iterative"``
         (CG + SLQ — the reference's large-n path, SURVEY.md §3.2).
+        ``precond_rank``: rank of the pivoted-Cholesky preconditioner for the
+        iterative path (0 = off); see :func:`gp_nlml_iterative`.
 
         The iterative objective holds its probe set fixed across optimizer
         steps (sample-average approximation): the optimized surface is
@@ -145,7 +179,7 @@ class GPRegression(BaseModel):
         self.solver = solver
         self._iter_opts = dict(
             num_probes=num_probes, lanczos_iters=lanczos_iters,
-            cg_tol=cg_tol, cg_iters=cg_iters,
+            cg_tol=cg_tol, cg_iters=cg_iters, precond_rank=precond_rank,
         )
         self._key = jax.random.PRNGKey(0) if key is None else key
         self.params = {

@@ -40,8 +40,7 @@ from gp_grief_tpu.ops.interp import (
 from gp_grief_tpu.ops.kron import kron_eigh
 from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
 from gp_grief_tpu.ops.lanczos import slq_logdet
-from gp_grief_tpu.ops.precond import lowrank_sqrt_ops
-from gp_grief_tpu.ops.solve import stable_cholesky
+from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
 __all__ = ["GPSKIRegression"]
@@ -199,7 +198,7 @@ class GPSKIRegression(BaseModel):
         ``A ≈ B₀B₀ᵀ + σ²I`` with ``B₀ = W Q_r Λ_r^{1/2}`` — a Khatri-Rao
         column gather: ``B₀[:, j] = λ_j^{1/2} Π_d (W_d Q_d)[:, idx_jd]``,
         built from d skinny ``(n, m_d)`` per-dim projections.  An r×r eigh
-        of ``B₀ᵀB₀`` orthonormalizes it for :func:`lowrank_sqrt_ops`, whose
+        of ``B₀ᵀB₀`` orthonormalizes it (:func:`lowrank_sqrt_ops_from_factor`), whose
         ``M^{-1/2}`` also whitens SLQ (log|A| = log|M| + log|M⁻½AM⁻½|).
 
         Returns ``(M_inv, M_inv_sqrt, logdet_M)`` or ``None`` (rank 0).
@@ -229,30 +228,13 @@ class GPSKIRegression(BaseModel):
             Pd = w2[:, 0:1] * Qd[i0, :] + w2[:, 1:2] * Qd[i1, :]  # W_d Q_d
             col = Pd[:, idx[:, d_]]  # (n, r)
             U0 = col if U0 is None else U0 * col
-        # Orthonormalize U0 BEFORE touching Λ.  A one-shot eigh of the
-        # λ-scaled Gram (B₀ᵀB₀, κ ~ λ₁/λ_r · κ(U0)² ≳ 1e8) is garbage in
-        # f32 — the resulting basis is so far from orthonormal that M_inv
-        # loses positive-definiteness and CG *diverges* (measured: rel
-        # resid 3.0 after 300 iters at the n=100k config).  U0's own Gram
-        # is well-conditioned (lattice eigvecs stay near-orthogonal under
-        # W when the points cover the grid), so CholeskyQR — twice, the
-        # CholeskyQR2 pattern, to push orthonormality to working eps —
-        # is stable; the λ weighting then enters through the congruence
-        # LᵀΛL whose r×r eigh only needs ABSOLUTE eps·λ₁ accuracy.
-        hi = lax.Precision.HIGHEST  # bf16-DEFAULT Grams wreck orthonormality
-        Ut = U0
-        Rts = []
-        for _ in range(2):
-            G = jnp.matmul(Ut.T, Ut, precision=hi)
-            L, _ = stable_cholesky(G)
-            Ut = jax.scipy.linalg.solve_triangular(L, Ut.T, lower=True).T
-            Rts.append(L)
-        # U0 = Ut · (L2ᵀ L1ᵀ) ⇒ U0 Λ U0ᵀ = Ut (L2ᵀL1ᵀ Λ L1L2) Utᵀ.
-        Wmid = jnp.matmul(Rts[1].T, Rts[0].T, precision=hi) * jnp.sqrt(lam_r)[None, :]
-        s, V = jnp.linalg.eigh(jnp.matmul(Wmid, Wmid.T, precision=hi))
-        lam = jnp.maximum(s, 0.0)
-        U = jnp.matmul(Ut, V, precision=hi)
-        return lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+        # f32-robust spectral form: orthonormalize U0 BEFORE touching Λ
+        # (CholeskyQR2 + r×r congruence eigh) — a one-shot eigh of the
+        # λ-scaled Gram diverges CG; see lowrank_sqrt_ops_from_factor for
+        # the measured failure mode.
+        return lowrank_sqrt_ops_from_factor(
+            U0, sigma2, weights=lam_r, layout="bm"
+        )
 
     def _solve_bm(self, factors, sigma2, rhs_bm, pre=None):
         """Batch-major CG solve of ``(K̂+σ²I) X = rhs`` — ``rhs_bm (B, n)``,

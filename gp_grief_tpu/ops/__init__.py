@@ -29,7 +29,13 @@ from gp_grief_tpu.ops.khatri_rao import (
     rowcol_kr_rmatvec,
 )
 from gp_grief_tpu.ops.kron_fast import group_factors, kron_matvec_fast
-from gp_grief_tpu.ops.precond import kron_deflation_preconditioner, lowrank_preconditioner
+from gp_grief_tpu.ops.precond import (
+    kron_deflation_preconditioner,
+    lowrank_preconditioner,
+    lowrank_sqrt_ops,
+    lowrank_sqrt_ops_from_factor,
+    pivoted_cholesky,
+)
 from gp_grief_tpu.ops.compose import op_product, op_scale, op_shift, op_sum
 from gp_grief_tpu.ops.interp import (
     InterpPlan,
@@ -58,6 +64,9 @@ __all__ = [
     "kron_matvec_fast",
     "kron_deflation_preconditioner",
     "lowrank_preconditioner",
+    "lowrank_sqrt_ops",
+    "lowrank_sqrt_ops_from_factor",
+    "pivoted_cholesky",
     "group_factors",
     "op_product",
     "op_sum",

@@ -35,6 +35,8 @@ __all__ = [
     "kron_deflation_preconditioner",
     "lowrank_preconditioner",
     "lowrank_sqrt_ops",
+    "lowrank_sqrt_ops_from_factor",
+    "pivoted_cholesky",
 ]
 
 
@@ -171,3 +173,89 @@ def lowrank_preconditioner(
         return out[:, 0] if squeeze else out
 
     return M_inv
+
+
+def lowrank_sqrt_ops_from_factor(
+    F: jax.Array,
+    sigma2,
+    *,
+    weights: jax.Array | None = None,
+    layout: str = "col",
+):
+    """f32-robust spectral form of ``M = F diag(w) Fᵀ + σ²I`` from a RAW
+    (non-orthonormal) skinny factor ``F (n, r)``.
+
+    Returns :func:`lowrank_sqrt_ops`'s ``(M_inv, M_inv_sqrt, logdet_M)``.
+    Why this exists (measured at the n=100k SKI config, RESULTS_r4.md §6):
+
+    * a one-shot eigh of the weighted Gram ``(F√w)ᵀ(F√w)`` — condition
+      ~ w₁/w_r · κ(F)² — returns a basis so far from orthonormal in f32
+      that ``M⁻¹`` loses positive-definiteness and preconditioned CG
+      *diverges*.  Instead, orthonormalize ``F`` FIRST (CholeskyQR, twice —
+      the CholeskyQR2 pattern pushes orthonormality to working eps), then
+      eigendecompose the r×r congruence ``LᵀWL`` which only needs absolute
+      ``eps·λ₁`` accuracy;
+    * TPU eigh / cholesky / triangular_solve are blocked algorithms whose
+      inner dots follow the *default* matmul precision (bf16) — the whole
+      build runs under ``jax.default_matmul_precision("highest")``.
+    """
+    from gp_grief_tpu.ops.solve import stable_cholesky
+
+    with jax.default_matmul_precision("highest"):
+        hi = lax.Precision.HIGHEST
+        Ut = F
+        Ls = []
+        for _ in range(2):
+            G = jnp.matmul(Ut.T, Ut, precision=hi)
+            L, _ = stable_cholesky(G)
+            Ut = jax.scipy.linalg.solve_triangular(L, Ut.T, lower=True).T
+            Ls.append(L)
+        # F = Ut·(L2ᵀL1ᵀ)  ⇒  F W Fᵀ = Ut (L2ᵀL1ᵀ W L1L2) Utᵀ.
+        mid = jnp.matmul(Ls[1].T, Ls[0].T, precision=hi)
+        if weights is not None:
+            mid = mid * jnp.sqrt(weights)[None, :]
+        s, V = jnp.linalg.eigh(jnp.matmul(mid, mid.T, precision=hi))
+        lam = jnp.maximum(s, 0.0)
+        U = jnp.matmul(Ut, V, precision=hi)
+    return lowrank_sqrt_ops(U, lam, sigma2, layout=layout)
+
+
+def pivoted_cholesky(K: jax.Array, rank: int) -> jax.Array:
+    """Partial pivoted Cholesky of a dense SPD Gram: ``K ≈ L Lᵀ`` with
+    ``L (n, rank)`` built greedily on the largest remaining diagonal.
+
+    The GPyTorch-preconditioner pattern (PAPERS.md): ``M = LLᵀ + σ²I``
+    captures the dominant spectrum of smooth kernels in a few columns.
+    Jittable: a ``lax.scan`` of ``rank`` steps, each one argmax + one row
+    gather + a rank-1 diagonal update (O(n·rank) total).  Exhausted
+    diagonals (rank ≥ numerical rank of ``K``) yield zero columns, which
+    downstream spectral ops treat as inert.  Gather/update products run at
+    HIGHEST precision for the same SPD-consistency reasons as
+    :func:`lowrank_sqrt_ops`.
+    """
+    n = K.shape[0]
+    rank = int(min(rank, n))
+    hi = lax.Precision.HIGHEST
+
+    # The scan threads the growing L as a fixed (rank, n) buffer (rows are
+    # built columns of Lᵀ); step j writes row j via a one-hot outer product
+    # (branch-free — dynamic_update_slice on a traced index would also work
+    # but the one-hot form keeps the whole step a fused VPU pipeline).
+    def step(carry, j):
+        d, Lrows = carry
+        piv = jnp.argmax(d)
+        # Schur-complement column at the pivot: K[:, piv] − L L[piv,:]ᵀ.
+        col = K[:, piv] - jnp.matmul(Lrows.T, Lrows[:, piv], precision=hi)
+        dpiv = d[piv]
+        # Exhausted diagonal ⇒ inert zero column (scan is branch-free).
+        scale = jnp.where(dpiv > 0, lax.rsqrt(jnp.where(dpiv > 0, dpiv, 1.0)), 0.0)
+        lj = col * scale
+        d_new = jnp.maximum(d - lj * lj, 0.0)
+        onehot = (jnp.arange(rank) == j).astype(K.dtype)
+        Lrows = Lrows + onehot[:, None] * lj[None, :]
+        return (d_new, Lrows), None
+
+    d0 = jnp.diagonal(K)
+    Lrows0 = jnp.zeros((rank, n), K.dtype)
+    (_, Lrows), _ = lax.scan(step, (d0, Lrows0), jnp.arange(rank))
+    return Lrows.T  # (n, rank)

@@ -103,3 +103,31 @@ def test_grief_iterative_preconditioned(rng):
     # full-rank deflation: whitened operator == I, SLQ contributes ~0 -> exact
     ll_full = model.log_likelihood_iterative(precond_rank=60, **budget)
     np.testing.assert_allclose(ll_full, ll_closed, rtol=1e-5)
+
+
+def test_gp_regression_iterative_preconditioned(rng):
+    """Dense iterative NLML with the pivoted-Cholesky preconditioner
+    (preconditioned CG + whitened SLQ) must beat the unpreconditioned
+    estimator at the same small probe/Lanczos budget, and approach the
+    Cholesky NLML when the rank captures the kernel's numerical rank."""
+    n = 300
+    x = jnp.asarray(rng.uniform(0, 3, size=(n, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.05 * rng.standard_normal(n))
+    kern = make_kernel("rbf", lengthscale=0.9)
+    log_noise = jnp.log(1e-3)  # small noise -> large kappa: SLQ needs help
+
+    exact = float(gp_nlml(kern, log_noise, x, y))
+    budget = dict(key=jax.random.PRNGKey(2), num_probes=8, lanczos_iters=15,
+                  cg_tol=1e-10, cg_iters=600)
+    plain = float(gp_nlml_iterative(kern, log_noise, x, y, **budget))
+    prec = float(gp_nlml_iterative(
+        kern, log_noise, x, y, precond_rank=120, **budget))
+    assert abs(prec - exact) < abs(plain - exact), (plain, prec, exact)
+    assert abs(prec - exact) / abs(exact) < 1e-3, (prec, exact)
+
+    # gradients still flow (BBMM surrogates; preconditioner is value-only)
+    g = jax.grad(
+        lambda ln: gp_nlml_iterative(
+            kern, ln, x, y, precond_rank=60, **budget)
+    )(log_noise)
+    assert np.isfinite(float(g))

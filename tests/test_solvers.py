@@ -508,3 +508,71 @@ def test_cg_fixed_bf16_state_layout_bm_and_precond(rng):
     # bf16 inner state stagnates around ~1e-3 relative — that's its contract
     assert rel < 5e-3, rel
     assert np.all(np.isfinite(np.asarray(info.residual_norm)))
+
+
+def test_pivoted_cholesky_oracle(rng):
+    """Full-rank pivoted Cholesky reconstructs K exactly; truncation error is
+    bounded by the trace of the discarded Schur complement (greedy-diagonal
+    contract), and exhausted diagonals yield inert zero columns."""
+    from gp_grief_tpu.ops import pivoted_cholesky
+
+    n = 40
+    x = np.sort(rng.uniform(0, 4, n))
+    K = np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2 / 0.5**2)
+    Kj = jnp.asarray(K)
+
+    L_full = np.asarray(pivoted_cholesky(Kj, n))
+    np.testing.assert_allclose(L_full @ L_full.T, K, rtol=0, atol=1e-8)
+
+    # Low rank: fast-decaying RBF spectrum -> tiny residual at r=15.
+    L = np.asarray(pivoted_cholesky(Kj, 15))
+    assert np.abs(K - L @ L.T).max() < 1e-4
+
+    # rank > numerical rank: the extra columns must be exactly zero, not NaN.
+    K1 = np.ones((8, 8))  # rank 1
+    L1 = np.asarray(pivoted_cholesky(jnp.asarray(K1), 5))
+    assert np.all(np.isfinite(L1))
+    np.testing.assert_allclose(L1 @ L1.T, K1, atol=1e-12)
+    assert np.allclose(L1[:, 1:], 0.0)
+
+
+def test_lowrank_sqrt_ops_from_factor_oracle(rng):
+    """Spectral ops from a RAW factor match dense linalg: M⁻¹, M^{-1/2}
+    (squares to M⁻¹), and log|M| — with and without weights, both layouts."""
+    from gp_grief_tpu.ops import lowrank_sqrt_ops_from_factor
+
+    n, r, sigma2 = 36, 6, 0.17
+    F = rng.standard_normal((n, r)) * np.logspace(0, -3, r)[None, :]
+    w = rng.uniform(0.5, 3.0, r)
+    for weights in (None, w):
+        ww = np.ones(r) if weights is None else weights
+        M = F @ np.diag(ww) @ F.T + sigma2 * np.eye(n)
+        M_inv, M_inv_sqrt, logdet_M = lowrank_sqrt_ops_from_factor(
+            jnp.asarray(F), sigma2,
+            weights=None if weights is None else jnp.asarray(weights),
+        )
+        v = rng.standard_normal((n, 3))
+        np.testing.assert_allclose(
+            np.asarray(M_inv(jnp.asarray(v))), np.linalg.solve(M, v),
+            rtol=1e-7, atol=1e-9,
+        )
+        half = M_inv_sqrt(M_inv_sqrt(jnp.asarray(v)))
+        np.testing.assert_allclose(
+            np.asarray(half), np.linalg.solve(M, v), rtol=1e-7, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            float(logdet_M), np.linalg.slogdet(M)[1], rtol=1e-9,
+        )
+    # batch-major layout agrees with column layout
+    M_inv_bm, _, _ = lowrank_sqrt_ops_from_factor(
+        jnp.asarray(F), sigma2, weights=jnp.asarray(w), layout="bm"
+    )
+    M_inv_col, _, _ = lowrank_sqrt_ops_from_factor(
+        jnp.asarray(F), sigma2, weights=jnp.asarray(w)
+    )
+    v = rng.standard_normal((4, n))
+    np.testing.assert_allclose(
+        np.asarray(M_inv_bm(jnp.asarray(v))),
+        np.asarray(M_inv_col(jnp.asarray(v.T))).T,
+        rtol=1e-10, atol=1e-12,
+    )
