@@ -23,7 +23,7 @@ from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.grid import cov_grid
 from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
-from gp_grief_tpu.ops.cg import cg_solve
+from gp_grief_tpu.ops.cg import cg_solve, cg_solve_segmented
 from gp_grief_tpu.ops.interp import (
     build_interp_plan,
     build_onehot_plan,
@@ -39,8 +39,8 @@ from gp_grief_tpu.ops.interp import (
 )
 from gp_grief_tpu.ops.kron import kron_eigh
 from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
-from gp_grief_tpu.ops.lanczos import slq_logdet
-from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor
+from gp_grief_tpu.ops.lanczos import slq_logdet, slq_logdet_segmented
+from gp_grief_tpu.ops.precond import lowrank_spectral_factor, lowrank_sqrt_ops
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
 __all__ = ["GPSKIRegression"]
@@ -203,38 +203,48 @@ class GPSKIRegression(BaseModel):
 
         Returns ``(M_inv, M_inv_sqrt, logdet_M)`` or ``None`` (rank 0).
         """
-        r = self._opts["precond_rank"]
+        r = self._precond_rank()
         if r <= 0:
             return None
+        U, lam = self._precond_spectral(factors, r)
+        return lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+
+    def _precond_rank(self) -> int:
+        """Effective deflation rank: ``precond_rank`` capped at lattice/data size."""
+        r = self._opts["precond_rank"]
+        if r <= 0:
+            return 0
         m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
-        r = min(r, m_total, int(self.x.shape[0]))
+        return min(r, m_total, int(self.x.shape[0]))
+
+    def _precond_spectral(self, factors, r):
+        """Concrete spectral arrays ``(U (n,r) orthonormal, lam (r,))`` of the
+        deflation basis — separated from :meth:`_build_precond` so a
+        host-segmented NLML can compute them ONCE in one jitted program and
+        share them (as device arrays) across segment programs
+        (:meth:`log_likelihood_segmented`)."""
         # The whole build runs under HIGHEST matmul precision: TPU eigh /
         # cholesky / triangular_solve are blocked algorithms whose inner
         # dots follow the *default* matmul precision (bf16) — a ~1e-3
         # basis is not SPD-consistent and preconditioned CG diverges.
         with jax.default_matmul_precision("highest"):
-            return self._build_precond_hi(factors, sigma2, r)
-
-    def _build_precond_hi(self, factors, sigma2, r):
-        Qs, lams = kron_eigh(factors)
-        log_lam, idx = top_p_kron_eigs(lams, r)
-        lam_r = jnp.exp(log_lam)  # (r,) descending
-        U0 = None
-        for d_, Qd in enumerate(Qs):
-            m_d = Qd.shape[0]
-            i0 = self.iw.idx[d_]
-            i1 = jnp.minimum(i0 + 1, m_d - 1)
-            w2 = self.iw.w[d_]
-            Pd = w2[:, 0:1] * Qd[i0, :] + w2[:, 1:2] * Qd[i1, :]  # W_d Q_d
-            col = Pd[:, idx[:, d_]]  # (n, r)
-            U0 = col if U0 is None else U0 * col
-        # f32-robust spectral form: orthonormalize U0 BEFORE touching Λ
-        # (CholeskyQR2 + r×r congruence eigh) — a one-shot eigh of the
-        # λ-scaled Gram diverges CG; see lowrank_sqrt_ops_from_factor for
-        # the measured failure mode.
-        return lowrank_sqrt_ops_from_factor(
-            U0, sigma2, weights=lam_r, layout="bm"
-        )
+            Qs, lams = kron_eigh(factors)
+            log_lam, idx = top_p_kron_eigs(lams, r)
+            lam_r = jnp.exp(log_lam)  # (r,) descending
+            U0 = None
+            for d_, Qd in enumerate(Qs):
+                m_d = Qd.shape[0]
+                i0 = self.iw.idx[d_]
+                i1 = jnp.minimum(i0 + 1, m_d - 1)
+                w2 = self.iw.w[d_]
+                Pd = w2[:, 0:1] * Qd[i0, :] + w2[:, 1:2] * Qd[i1, :]  # W_d Q_d
+                col = Pd[:, idx[:, d_]]  # (n, r)
+                U0 = col if U0 is None else U0 * col
+            # f32-robust spectral form: orthonormalize U0 BEFORE touching Λ
+            # (CholeskyQR2 + r×r congruence eigh) — a one-shot eigh of the
+            # λ-scaled Gram diverges CG; see lowrank_spectral_factor for
+            # the measured failure mode.
+            return lowrank_spectral_factor(U0, weights=lam_r)
 
     def _solve_bm(self, factors, sigma2, rhs_bm, pre=None):
         """Batch-major CG solve of ``(K̂+σ²I) X = rhs`` — ``rhs_bm (B, n)``,
@@ -333,6 +343,83 @@ class GPSKIRegression(BaseModel):
         g_sur = jnp.sum(S * mv(z)) / o["num_probes"]
         ld = ld_val + g_sur - lax.stop_gradient(g_sur)
         return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
+
+    def log_likelihood_segmented(
+        self,
+        *,
+        cg_segment_iters: int = 60,
+        probe_chunk: int = 8,
+        verbose: bool = False,
+    ) -> float:
+        """Log marginal likelihood via host-segmented CG + probe-chunked SLQ.
+
+        Same estimator as :meth:`log_likelihood` (identical quadratic form
+        ``2yᵀα − αᵀAα`` and whitened-SLQ log-det; the SLQ probe draw is
+        chunk-partitioned so the two agree within SLQ sampling error), but no
+        single device program runs more than ``cg_segment_iters`` CG
+        iterations or ``probe_chunk × lanczos_iters`` Lanczos matvecs.  Use
+        at scales where the monolithic jitted NLML would exceed a
+        per-program execution limit — the axon TPU worker kills executions
+        over ~60 s, which the n=1M / 32⁴ configuration hits (CLAUDE.md;
+        :func:`gp_grief_tpu.ops.cg.cg_solve_segmented`).  Value-only (no
+        gradients); preconditioner arrays are built once in one jitted
+        program and shared across every segment as device residents.
+        """
+        o = self._opts
+        n = int(self.x.shape[0])
+        r = self._precond_rank()
+
+        @jax.jit
+        def prep(params):
+            sigma2 = jnp.exp(params["log_noise"])
+            factors = cov_grid(
+                params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+            )
+            U, lam = self._precond_spectral(factors, r) if r > 0 else (None, None)
+            return factors, sigma2, U, lam
+
+        factors, sigma2, U, lam = prep(self.params)
+        if U is not None:
+            M_inv, M_inv_sqrt, ldM = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+            ld_off = float(ldM)
+        else:
+            M_inv = M_inv_sqrt = None
+            ld_off = 0.0
+        mv = self._matvec_bm(factors, sigma2)
+
+        alpha = cg_solve_segmented(
+            mv,
+            self.y[None, :],
+            tol=o["cg_tol"],
+            segment_iters=cg_segment_iters,
+            max_segments=max(1, -(-o["cg_iters"] // cg_segment_iters)),
+            M_inv=M_inv,
+            layout="bm",
+            verbose=verbose,
+        )
+
+        @jax.jit
+        def quad_prog(a_bm):
+            a = a_bm[0]
+            return 2.0 * jnp.dot(self.y, a) - jnp.dot(a, mv(a_bm)[0])
+
+        quad = float(quad_prog(alpha))
+        slq_mv = (
+            mv
+            if M_inv_sqrt is None
+            else (lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))))
+        )
+        ld = ld_off + slq_logdet_segmented(
+            slq_mv,
+            n,
+            key=jax.random.fold_in(self._key, 1),
+            num_probes=o["num_probes"],
+            lanczos_iters=o["lanczos_iters"],
+            dtype=self.y.dtype,
+            layout="bm",
+            probe_chunk=probe_chunk,
+        )
+        return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 
     # -- prediction --------------------------------------------------------------
 

@@ -32,6 +32,7 @@ from gp_grief_tpu.ops.kron_fast import group_factors, kron_matvec_fast
 from gp_grief_tpu.ops.precond import (
     kron_deflation_preconditioner,
     lowrank_preconditioner,
+    lowrank_spectral_factor,
     lowrank_sqrt_ops,
     lowrank_sqrt_ops_from_factor,
     pivoted_cholesky,
@@ -56,14 +57,15 @@ from gp_grief_tpu.ops.interp import (
 )
 from gp_grief_tpu.ops.selection import select_rows, select_rows_t, selection_expand
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
-from gp_grief_tpu.ops.cg import cg_solve_refined, CGInfo, cg_solve
-from gp_grief_tpu.ops.lanczos import LanczosResult, lanczos, lanczos_batched, slq_logdet
+from gp_grief_tpu.ops.cg import cg_solve_refined, cg_solve_segmented, CGInfo, cg_solve
+from gp_grief_tpu.ops.lanczos import LanczosResult, lanczos, lanczos_batched, slq_logdet, slq_logdet_segmented
 from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol, stable_cholesky
 
 __all__ = [
     "kron_matvec_fast",
     "kron_deflation_preconditioner",
     "lowrank_preconditioner",
+    "lowrank_spectral_factor",
     "lowrank_sqrt_ops",
     "lowrank_sqrt_ops_from_factor",
     "pivoted_cholesky",
@@ -110,10 +112,12 @@ __all__ = [
     "top_p_kron_eigs",
     "cg_solve",
     "cg_solve_refined",
+    "cg_solve_segmented",
     "CGInfo",
     "lanczos",
     "lanczos_batched",
     "slq_logdet",
+    "slq_logdet_segmented",
     "LanczosResult",
     "solve_chol",
     "stable_cholesky",

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["cg_solve", "cg_solve_refined", "CGInfo"]
+__all__ = ["cg_solve", "cg_solve_refined", "cg_solve_segmented", "CGInfo"]
 
 
 class CGInfo(NamedTuple):
@@ -101,8 +101,25 @@ def _cg_raw(
         rn = _colnorm(r)
         return jnp.logical_and(k < max_iters, jnp.any((rn > stop) & ~dead))
 
+    step = _make_pcg_step(matvec, precond, _colsum, _bc)
+
     def body(state):
         x, r, z, p, k, rz, dead = state
+        x, r, z, p, rz, dead = step(x, r, z, p, rz, dead)
+        return x, r, z, p, k + 1, rz, dead
+
+    x, r, _, _, k, _, _ = lax.while_loop(
+        cond, body, (x0, r0, z0, p0, 0, rz0, dead0)
+    )
+    return x, CGInfo(iterations=k, residual_norm=_colnorm(r))
+
+
+def _make_pcg_step(matvec, precond, _colsum, _bc):
+    """One preconditioned-CG iteration on state ``(x, r, z, p, rz, dead)`` —
+    shared by the ``while_loop`` solver (:func:`_cg_raw`) and the
+    host-segmented solver (:func:`cg_solve_segmented`)."""
+
+    def step(x, r, z, p, rz, dead):
         Ap = matvec(p)
         pAp = _colsum(p * Ap)
         # Breakdown guard: a column whose curvature pAp is non-positive
@@ -113,8 +130,7 @@ def _cg_raw(
         # rz also hits 0 exactly when a column fully converges, where
         # freezing is the correct act), or whose recurrence went non-finite
         # is frozen PERMANENTLY at its current iterate; live columns keep
-        # taking (benign) steps until every live column converges and the
-        # while_loop exits.
+        # taking (benign) steps until every live column converges.
         ok = (pAp > 0) & (rz > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz) & ~dead
         alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = x + _bc(alpha) * p
@@ -126,12 +142,9 @@ def _cg_raw(
             dead | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz)
         )
         p = z + _bc(beta) * p
-        return x, r, z, p, k + 1, rz_new, dead
+        return x, r, z, p, rz_new, dead
 
-    x, r, _, _, k, _, _ = lax.while_loop(
-        cond, body, (x0, r0, z0, p0, 0, rz0, dead0)
-    )
-    return x, CGInfo(iterations=k, residual_norm=_colnorm(r))
+    return step
 
 
 def _cg_fixed(
@@ -303,6 +316,110 @@ def cg_solve(
         )
     else:
         x = lax.custom_linear_solve(matvec, bb, solve=_solve, symmetric=True)
+    return _unsqueeze(x)
+
+
+def cg_solve_segmented(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    *,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-6,
+    segment_iters: int = 50,
+    max_segments: int = 20,
+    M_inv: Optional[Callable[[jax.Array], jax.Array]] = None,
+    layout: str = "col",
+    return_info: bool = False,
+    verbose: bool = False,
+):
+    """Host-segmented preconditioned CG — the same recurrence as
+    :func:`cg_solve`, executed as a host loop of fixed-length jitted segment
+    programs with the solver state resident on device between dispatches.
+
+    Why this exists: runtimes that bound a SINGLE device program's execution
+    time cap how many CG iterations one jitted solve may run — the axon TPU
+    worker kills executions over ~60 s, which is ~300–400 iterations at a 1M
+    lattice (CLAUDE.md; benchmarks/RESULTS_r2.md §7).  Segmenting keeps every
+    program at ``segment_iters`` iterations while the convergence test moves
+    to the host: one ``(B,)`` residual fetch per segment is the only
+    host↔device sync (state arrays never leave HBM).  The result is
+    bit-identical to ``cg_solve(..., max_iters=segment_iters*max_segments)``
+    up to the iteration granularity of the stopping test (it can run at most
+    ``segment_iters − 1`` extra iterations past the while_loop's exit point;
+    converged/broken-down columns are frozen by the same guard either way).
+
+    Value-only: NOT differentiable (no ``custom_linear_solve`` wrapper) —
+    use inside stop-gradient NLML paths (BBMM surrogates) or for prediction.
+
+    Each call re-jits its segment program (the matvec closure is fresh);
+    callers looping over many solves should hold ``b`` batched in one call.
+
+    Returns ``x`` (and :class:`CGInfo` when ``return_info``).
+    """
+    if layout not in ("col", "bm"):
+        raise ValueError("layout must be 'col' or 'bm'")
+    import numpy as np
+
+    squeeze = b.ndim == 1
+    if squeeze:
+        bb = b[:, None] if layout == "col" else b[None, :]
+    else:
+        bb = b
+    if x0 is None:
+        x0b = jnp.zeros_like(bb)
+    else:
+        x0b = (x0[:, None] if layout == "col" else x0[None, :]) if squeeze else x0
+
+    _colsum, _colnorm, _bc = _reducers(layout, None)
+    precond = M_inv if M_inv is not None else (lambda r: r)
+    step = _make_pcg_step(matvec, precond, _colsum, _bc)
+
+    @jax.jit
+    def init():
+        r0 = bb - matvec(x0b)
+        z0 = precond(r0)
+        rz0 = _colsum(r0 * z0)
+        dead0 = jnp.zeros(rz0.shape, bool)
+        return (x0b, r0, z0, z0, rz0, dead0), _colnorm(bb), _colnorm(r0)
+
+    @jax.jit
+    def segment(state):
+        def body(s, _):
+            return step(*s), None
+
+        state, _ = lax.scan(body, state, None, length=segment_iters)
+        return state, _colnorm(state[1]), state[5]
+
+    state, bnorm, rnorm = init()
+    eff_tol = max(float(tol), 20.0 * float(jnp.finfo(bb.dtype).eps))
+    stop = eff_tol * np.maximum(np.asarray(bnorm), float(jnp.finfo(bb.dtype).tiny))
+    rnorm_h = np.asarray(rnorm)
+    dead_h = np.zeros(rnorm_h.shape, bool)
+    iters = 0
+    for s in range(max_segments):
+        if not np.any((rnorm_h > stop) & ~dead_h):
+            break
+        state, rnorm, dead = segment(state)
+        # The per-segment fetch is the host-side convergence test — and on
+        # the axon relay it also bounds the async queue at one segment.
+        rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+        iters += segment_iters
+        if verbose:
+            print(
+                f"[cg_segmented] segment {s + 1}: iters={iters} "
+                f"max_rel_resid={float(np.max(rnorm_h / np.maximum(np.asarray(bnorm), 1e-30))):.3e}"
+            )
+    x = state[0]
+
+    def _unsqueeze(t):
+        if not squeeze:
+            return t
+        return t[:, 0] if layout == "col" else t[0]
+
+    if return_info:
+        return _unsqueeze(x), CGInfo(
+            iterations=jnp.asarray(iters, jnp.int32), residual_norm=rnorm
+        )
     return _unsqueeze(x)
 
 

@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["lanczos", "lanczos_batched", "slq_logdet", "LanczosResult"]
+__all__ = [
+    "lanczos",
+    "lanczos_batched",
+    "slq_logdet",
+    "slq_logdet_segmented",
+    "LanczosResult",
+]
 
 
 class LanczosResult(NamedTuple):
@@ -269,3 +275,47 @@ def slq_logdet(
         in_axes=(1, 1, 0, 0),
     )(alphas, betas, num_valid, znorm2)
     return jnp.mean(vals)
+
+
+def slq_logdet_segmented(
+    matvec: Callable[[jax.Array], jax.Array],
+    m: int,
+    *,
+    key: jax.Array,
+    num_probes: int = 32,
+    lanczos_iters: int = 64,
+    dtype=jnp.float32,
+    layout: str = "bm",
+    probe_chunk: int = 8,
+) -> float:
+    """Host-chunked SLQ log-det: probes run ``probe_chunk`` at a time, each
+    chunk one jitted device program (the :func:`slq_logdet` batched estimator
+    with chunk ``c``'s probes drawn from ``fold_in(key, c)`` — the union over
+    chunks is the same i.i.d. Rademacher family, so the estimator is
+    unchanged; only its probe partitioning differs).
+
+    Why: one monolithic SLQ program runs ``num_probes × lanczos_iters``
+    matvecs — past a per-program execution limit (the axon TPU worker kills
+    executions over ~60 s — CLAUDE.md) a large-``m`` estimate cannot run as
+    one program.  Chunking bounds each program at
+    ``probe_chunk × lanczos_iters`` matvecs.  Returns a host float.
+    """
+    if num_probes <= 0:
+        raise ValueError("num_probes must be positive")
+    probe_chunk = max(1, min(int(probe_chunk), num_probes))
+    sizes = [probe_chunk] * (num_probes // probe_chunk)
+    if num_probes % probe_chunk:
+        sizes.append(num_probes % probe_chunk)
+    progs = {}
+    total = 0.0
+    for c, r in enumerate(sizes):
+        if r not in progs:
+            progs[r] = jax.jit(
+                lambda k, rr=r: slq_logdet(
+                    matvec, m, key=k, num_probes=rr,
+                    lanczos_iters=lanczos_iters, dtype=dtype, layout=layout,
+                )
+            )
+        # Per-chunk fetch: bounds the device queue at one chunk (axon relay).
+        total += float(progs[r](jax.random.fold_in(key, c))) * r
+    return total / num_probes

@@ -34,6 +34,7 @@ from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
 __all__ = [
     "kron_deflation_preconditioner",
     "lowrank_preconditioner",
+    "lowrank_spectral_factor",
     "lowrank_sqrt_ops",
     "lowrank_sqrt_ops_from_factor",
     "pivoted_cholesky",
@@ -175,18 +176,19 @@ def lowrank_preconditioner(
     return M_inv
 
 
-def lowrank_sqrt_ops_from_factor(
+def lowrank_spectral_factor(
     F: jax.Array,
-    sigma2,
     *,
     weights: jax.Array | None = None,
-    layout: str = "col",
 ):
-    """f32-robust spectral form of ``M = F diag(w) Fᵀ + σ²I`` from a RAW
-    (non-orthonormal) skinny factor ``F (n, r)``.
+    """f32-robust spectral form of ``F diag(w) Fᵀ``: returns ``(U, lam)``
+    with ORTHONORMAL ``U (n, r)`` and ``lam ≥ 0`` such that
+    ``F diag(w) Fᵀ = U diag(lam) Uᵀ`` — the input :func:`lowrank_sqrt_ops`
+    needs (concrete arrays, so they can be computed once in one jitted
+    program and shared across separately-dispatched segment programs).
 
-    Returns :func:`lowrank_sqrt_ops`'s ``(M_inv, M_inv_sqrt, logdet_M)``.
-    Why this exists (measured at the n=100k SKI config, RESULTS_r4.md §6):
+    Why the two-stage build (measured at the n=100k SKI config,
+    RESULTS_r4.md §6):
 
     * a one-shot eigh of the weighted Gram ``(F√w)ᵀ(F√w)`` — condition
       ~ w₁/w_r · κ(F)² — returns a basis so far from orthonormal in f32
@@ -217,6 +219,20 @@ def lowrank_sqrt_ops_from_factor(
         s, V = jnp.linalg.eigh(jnp.matmul(mid, mid.T, precision=hi))
         lam = jnp.maximum(s, 0.0)
         U = jnp.matmul(Ut, V, precision=hi)
+    return U, lam
+
+
+def lowrank_sqrt_ops_from_factor(
+    F: jax.Array,
+    sigma2,
+    *,
+    weights: jax.Array | None = None,
+    layout: str = "col",
+):
+    """:func:`lowrank_sqrt_ops` of ``M = F diag(w) Fᵀ + σ²I`` built from a
+    RAW (non-orthonormal) skinny factor via :func:`lowrank_spectral_factor`
+    (see there for the f32 robustness rationale)."""
+    U, lam = lowrank_spectral_factor(F, weights=weights)
     return lowrank_sqrt_ops(U, lam, sigma2, layout=layout)
 
 

@@ -360,3 +360,34 @@ def test_ski_lanczos_variance_close_to_exact(rng):
     assert np.all(np.isfinite(var_40)) and np.all(var_40 >= 0)
     # rank-40 already captures most of the posterior reduction here
     assert np.mean(np.abs(var_40 - var_e)) < 0.3 * np.mean(var_e) + 1e-6
+
+
+def test_ski_log_likelihood_segmented_matches_monolithic(rng):
+    """Host-segmented NLML (segmented CG + probe-chunked whitened SLQ) agrees
+    with the monolithic jitted NLML: identical quadratic form, log-det within
+    the whitened-SLQ sampling residual."""
+    n = 150
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    m = GPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.6), xg,
+        noise_var=0.2, num_probes=96, lanczos_iters=30, cg_iters=300,
+        precond_rank=24,
+    )
+    mono = m.log_likelihood()
+    seg = m.log_likelihood_segmented(cg_segment_iters=25, probe_chunk=16)
+    assert abs(seg - mono) / abs(mono) < 5e-3
+    # Unpreconditioned path (precond_rank=0) also runs segmented.
+    m0 = GPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.6), xg,
+        noise_var=0.5, num_probes=96, lanczos_iters=30, cg_iters=400,
+        precond_rank=0,
+    )
+    seg0 = m0.log_likelihood_segmented(cg_segment_iters=50, probe_chunk=96)
+    mono0 = m0.log_likelihood()
+    # Unwhitened SLQ: the two paths draw DIFFERENT probe sets (chunk keys),
+    # so they agree only within Hutchinson sampling noise (~1% here; the
+    # whitened comparison above is tight because deflation kills the
+    # estimator variance).
+    assert abs(seg0 - mono0) / abs(mono0) < 3e-2

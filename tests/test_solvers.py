@@ -576,3 +576,66 @@ def test_lowrank_sqrt_ops_from_factor_oracle(rng):
         np.asarray(M_inv_col(jnp.asarray(v.T))).T,
         rtol=1e-10, atol=1e-12,
     )
+
+
+def test_cg_segmented_matches_cg(rng):
+    """Host-segmented CG == dense solve, both layouts, preconditioned."""
+    from gp_grief_tpu.ops import cg_solve_segmented
+
+    n, B = 50, 3
+    A_np = _spd(rng, n, cond=1e3)
+    A = jnp.asarray(A_np)
+    d = jnp.asarray(np.diag(A_np))
+    rhs_np = rng.standard_normal((n, B))
+    want = np.linalg.solve(A_np, rhs_np)
+    for layout in ("col", "bm"):
+        rhs = jnp.asarray(rhs_np if layout == "col" else rhs_np.T)
+        mv = (lambda v: A @ v) if layout == "col" else (lambda v: v @ A)
+        M_inv = (
+            (lambda r: r / d[:, None])
+            if layout == "col"
+            else (lambda r: r / d[None, :])
+        )
+        x, info = cg_solve_segmented(
+            mv, rhs, tol=1e-10, segment_iters=20, max_segments=30,
+            M_inv=M_inv, layout=layout, return_info=True,
+        )
+        got = np.asarray(x) if layout == "col" else np.asarray(x).T
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+        # iteration count is segment-granular
+        assert int(info.iterations) % 20 == 0
+
+
+def test_cg_segmented_early_stop_and_single_rhs(rng):
+    """The host loop stops as soon as the fetched residual converges (far
+    fewer segments than the budget), and the 1-D rhs round-trips."""
+    from gp_grief_tpu.ops import cg_solve_segmented
+
+    n = 40
+    A_np = _spd(rng, n, cond=10.0)
+    A = jnp.asarray(A_np)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, info = cg_solve_segmented(
+        lambda v: A @ v, b, tol=1e-12, segment_iters=25, max_segments=40,
+        return_info=True,
+    )
+    assert x.shape == (n,)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(A_np, np.asarray(b)), rtol=1e-7
+    )
+    assert int(info.iterations) <= 3 * 25  # nowhere near 40 segments
+
+
+def test_slq_logdet_segmented_accuracy(rng):
+    """Probe-chunked SLQ (uneven final chunk) ≈ dense logdet."""
+    from gp_grief_tpu.ops import slq_logdet_segmented
+
+    n = 60
+    A_np = _spd(rng, n, cond=50.0)
+    A = jnp.asarray(A_np)
+    ld = slq_logdet_segmented(
+        lambda v: v @ A, n, key=jax.random.PRNGKey(0), num_probes=48,
+        lanczos_iters=30, dtype=A.dtype, layout="bm", probe_chunk=10,
+    )
+    _, want = np.linalg.slogdet(A_np)
+    assert abs(ld - want) / abs(want) < 5e-2
