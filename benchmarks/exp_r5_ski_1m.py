@@ -1,10 +1,10 @@
 """Round-5 session: SKI scale point at n=1M / 32^4 lattice (m=1.05M).
 
-10x the BASELINE config-2 data size, same lattice.  Splits the NLML into
-separately-jitted solve / SLQ programs so each device execution stays under
-the axon ~60 s watchdog (CLAUDE.md), and uses the default rank-r deflation
-preconditioner (without it f32 CG at this kappa never converges,
-RESULTS_r4.md §6).
+10x the BASELINE config-2 data size, same lattice.  Uses the segmented
+solver API (models/gp_ski.py:log_likelihood_segmented — host-segmented CG +
+probe-chunked whitened SLQ) so no single device execution exceeds the axon
+~60 s watchdog (CLAUDE.md), with the default rank-r deflation preconditioner
+(without it f32 CG at this kappa never converges, RESULTS_r4.md §6).
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/exp_r5_ski_1m.py [rank ...]
 """
@@ -14,15 +14,15 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from gp_grief_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from gp_grief_tpu.kernels.grid import cov_grid
 from gp_grief_tpu.kernels.stationary import make_kernel
 from gp_grief_tpu.models.gp_ski import GPSKIRegression
-from gp_grief_tpu.ops.cg import cg_solve
-from gp_grief_tpu.ops.lanczos import slq_logdet
 
 
 def main():
@@ -33,63 +33,40 @@ def main():
          + 0.1 * rng.standard_normal(n)).astype("float32")
     xg = tuple(np.linspace(0, 4, md, dtype="float32")[:, None] for _ in range(d))
 
-    ranks = [int(a) for a in sys.argv[1:]] or [256]
+    ranks = [int(a) for a in sys.argv[1:]] or [512]
     for r in ranks:
         t0 = time.time()
         m = GPSKIRegression(
             x, y, make_kernel("rbf", lengthscale=0.8), xg,
             noise_var=0.1, num_probes=8, lanczos_iters=30,
-            cg_iters=300, cg_tol=1e-6, precond_rank=r,
+            cg_iters=400, cg_tol=1e-6, precond_rank=r,
         )
         print(f"r={r}: model+plan build {time.time()-t0:.1f}s", flush=True)
-        factors = cov_grid(m.params["kernels"], m.xg, dim_noise_var=0.0)
-        sigma2 = jnp.asarray(0.1, jnp.float32)
-
-        # --- CG convergence probe (y + 2 probes) --------------------------
-        rhs = jnp.asarray(np.concatenate(
-            [y[None, :], rng.standard_normal((2, n)).astype("float32")]))
-
-        def solve_info(rr):
-            pre = m._build_precond(factors, sigma2)
-            mv = m._matvec_bm(factors, sigma2)
-            return cg_solve(
-                mv, rr, tol=1e-6, max_iters=300,
-                M_inv=pre[0] if pre is not None else None,
-                layout="bm", implicit_diff=False, return_info=True)
 
         t0 = time.time()
-        xsol, info = jax.jit(solve_info)(rhs)
-        iters = int(info.iterations)
+        ll = m.log_likelihood_segmented(
+            cg_segment_iters=50, probe_chunk=2, verbose=True
+        )
         t_cold = time.time() - t0
-        bn = float(jnp.linalg.norm(rhs[0]))
-        print(f"r={r}: cg iters={iters} rel_resid(y)="
-              f"{float(info.residual_norm[0])/bn:.2e} cold={t_cold:.1f}s",
-              flush=True)
         t0 = time.time()
-        jax.jit(solve_info)(rhs)[1].iterations.block_until_ready()
-        print(f"r={r}: solve warm={time.time()-t0:.2f}s", flush=True)
+        ll2 = m.log_likelihood_segmented(cg_segment_iters=50, probe_chunk=2)
+        t_warm = time.time() - t0
+        print(
+            f"r={r}: nlml={-ll:.2f} (repeat {-ll2:.2f}) cold={t_cold:.1f}s "
+            f"warm={t_warm:.1f}s", flush=True,
+        )
 
-        # --- SLQ logdet alone (whitened) ----------------------------------
-        def slq_only(key):
-            pre = m._build_precond(factors, sigma2)
-            mv = m._matvec_bm(factors, sigma2)
-            M_inv_sqrt, ld_off = pre[1], pre[2]
-            wmv = lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))  # noqa: E731
-            return ld_off + slq_logdet(
-                wmv, n, key=key, num_probes=8, lanczos_iters=30,
-                dtype=jnp.float32, layout="bm")
-
+        # Prediction smoke at scale: 2k test points, LOVE variances.
         t0 = time.time()
-        ld = float(jax.jit(slq_only)(jax.random.PRNGKey(1)))
-        print(f"r={r}: slq logdet={ld:.1f} cold={time.time()-t0:.1f}s",
-              flush=True)
-
-        # --- full NLML -----------------------------------------------------
-        f = jax.jit(m._loss)
-        t0 = time.time(); v0 = float(f(m.params)); t_cold = time.time() - t0
-        t0 = time.time(); v1 = float(f(m.params)); t_warm = time.time() - t0
-        print(f"r={r}: nlml={v1:.2f} cold={t_cold:.1f}s warm={t_warm:.2f}s",
-              flush=True)
+        xs = rng.uniform(0.2, 3.8, size=(2000, d)).astype("float32")
+        mu, var = m.predict(xs, variance="lanczos", var_rank=64)
+        f_true = (np.sin(xs[:, 0]) * np.cos(xs[:, 1]) + 0.3 * xs[:, 2]
+                  - 0.2 * xs[:, 3] ** 2)
+        rmse = float(np.sqrt(np.mean((mu - f_true) ** 2)))
+        print(
+            f"r={r}: predict 2k pts {time.time()-t0:.1f}s rmse={rmse:.4f} "
+            f"var[{var.min():.2e},{var.max():.2e}]", flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ built entirely on ``jax.sharding`` + XLA collectives over ICI.
 
 from gp_grief_tpu.parallel.mesh import NamedSharding, P, data_mesh, make_mesh
 from gp_grief_tpu.parallel.model import ShardedGPGriefModel
+from gp_grief_tpu.parallel.ski import ShardedGPSKIRegression, build_sharded_interp
 from gp_grief_tpu.parallel.sharded import (
     kron_matvec_sharded,
     pad_to_multiple,
@@ -16,6 +17,8 @@ from gp_grief_tpu.parallel.sharded import (
 
 __all__ = [
     "ShardedGPGriefModel",
+    "ShardedGPSKIRegression",
+    "build_sharded_interp",
     "make_mesh",
     "data_mesh",
     "P",

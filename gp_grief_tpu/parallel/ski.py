@@ -1,0 +1,505 @@
+"""Data-parallel SKI regression: sharded interpolation rows, replicated lattice.
+
+New design surface with no reference counterpart (SURVEY.md §2 parallelism
+census — the reference is single-process).  SKI's O(n) work is the sparse
+interpolation ``W`` / ``Wᵀ`` and the CG/SLQ solver state; both shard cleanly
+over the ``data`` axis of a mesh while the lattice (``⊗_d K_d``, size M)
+stays replicated:
+
+    device k holds rows x_k, y_k and its own scatter-free interpolation
+    plan (ops/interp.py InterpPlan, built per shard on host):
+        Wᵀ v  =  Σ_k Wᵀ_k v_k      → one (B, M) psum over ICI
+        ⊗K_d  matvec               → replicated (tiny vs the O(n) gathers)
+        W u                         → local gather rows
+    CG / Lanczos inner products    → psum (ops.cg/lanczos axis_name hooks)
+
+so each operator application costs exactly TWO collectives: the (B, M)
+lattice reduction and the solver's (B,) dot-product psum.  The rank-r
+deflation preconditioner (models/gp_ski.py:_build_precond) is built sharded
+too: its skinny factor ``U (n, r)`` rows live on their owning devices and the
+CholeskyQR2 Gram reductions are r×r psums.
+
+Padding: rows are zero-padded to the mesh size with a row mask applied as a
+congruence (``Â = mask∘(W K Wᵀ)∘mask + σ²I``), which block-decouples pad rows
+(they see a pure σ² identity); the log-det correction ``−(n_pad−n)·log σ²``
+and masked gradient probes make every NLML quantity exactly the real-data
+one.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gp_grief_tpu.grid import InducingGrid
+from gp_grief_tpu.kernels.base import inverse_positive
+from gp_grief_tpu.kernels.grid import cov_grid
+from gp_grief_tpu.kernels.stationary import Stationary
+from gp_grief_tpu.models.base import BaseModel
+from gp_grief_tpu.ops.cg import cg_solve
+from gp_grief_tpu.ops.interp import (
+    InterpPlan,
+    build_interp_plan,
+    interp_matvec_bm_fast,
+    interp_rmatvec_bm_exact,
+    interp_weights,
+)
+from gp_grief_tpu.ops.kron import kron_eigh
+from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
+from gp_grief_tpu.ops.lanczos import slq_logdet
+from gp_grief_tpu.ops.solve import stable_cholesky
+from gp_grief_tpu.ops.topk import top_p_kron_eigs
+from gp_grief_tpu.parallel.mesh import data_mesh
+from gp_grief_tpu.parallel.sharded import pad_to_multiple
+
+__all__ = ["ShardedGPSKIRegression", "build_sharded_interp"]
+
+
+def build_sharded_interp(x_pad: np.ndarray, xg, n_devices: int):
+    """Per-shard interpolation plans, stacked for ``shard_map``.
+
+    Splits the (padded) rows into ``n_devices`` equal blocks, builds each
+    block's :class:`InterpPlan` on host, pads the data-dependent extents
+    (ELL width ``K``, overflow length, sorted-stream length) to the maxima
+    with weight-0 entries (inert by construction: a 0-weight slot/overflow
+    update adds exactly 0), and stacks every field on a leading device axis.
+    Returns ``(stacked_plan, stacked_idx, stacked_w, shape)`` where
+    ``stacked_idx/w`` are the per-dim interpolation indices/weights
+    ``(n_devices, n_loc)`` / ``(n_devices, n_loc, 2)`` used by the sharded
+    preconditioner build.
+    """
+    n_pad = x_pad.shape[0]
+    assert n_pad % n_devices == 0
+    n_loc = n_pad // n_devices
+    plans, iws = [], []
+    for k in range(n_devices):
+        iw = interp_weights(jnp.asarray(x_pad[k * n_loc : (k + 1) * n_loc]), xg)
+        iws.append(iw)
+        plans.append(build_interp_plan(iw))
+    shape = plans[0].shape
+    K = max(int(p.slot_src.shape[1]) for p in plans)
+    OV = max(int(p.ov_ids.shape[0]) for p in plans)
+    NS = max(int(p.src_col.shape[0]) for p in plans)
+
+    def _pad_axis(a, target, axis, fill=0):
+        a = np.asarray(a)
+        padn = target - a.shape[axis]
+        if padn == 0:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, padn)
+        return np.pad(a, widths, constant_values=fill)
+
+    fields = {}
+    for name in ("src_col", "w_sorted", "start_ptr", "end_ptr", "gather_flat",
+                 "gather_w", "slot_src", "slot_w", "ov_ids", "ov_src", "ov_w"):
+        arrs = [np.asarray(getattr(p, name)) for p in plans]
+        if name in ("src_col", "w_sorted"):
+            arrs = [_pad_axis(a, NS, 0) for a in arrs]
+        elif name in ("slot_src", "slot_w"):
+            arrs = [_pad_axis(a, K, 1) for a in arrs]
+        elif name in ("ov_ids", "ov_src", "ov_w"):
+            arrs = [_pad_axis(a, OV, 0) for a in arrs]
+        fields[name] = jnp.asarray(np.stack(arrs))
+    stacked_plan = InterpPlan(shape=shape, **fields)
+    stacked_idx = tuple(
+        jnp.asarray(np.stack([np.asarray(iw.idx[d]) for iw in iws]))
+        for d in range(len(xg))
+    )
+    stacked_w = tuple(
+        jnp.asarray(np.stack([np.asarray(iw.w[d]) for iw in iws]))
+        for d in range(len(xg))
+    )
+    return stacked_plan, stacked_idx, stacked_w
+
+
+def _local_plan(stacked: InterpPlan) -> InterpPlan:
+    """Strip the leading (device) axis shard_map leaves on each field."""
+    return InterpPlan(
+        shape=stacked.shape,
+        **{
+            name: getattr(stacked, name)[0]
+            for name in ("src_col", "w_sorted", "start_ptr", "end_ptr",
+                         "gather_flat", "gather_w", "slot_src", "slot_w",
+                         "ov_ids", "ov_src", "ov_w")
+        },
+    )
+
+
+def _plan_specs(axis_name: str) -> InterpPlan:
+    """``shard_map`` spec pytree matching a stacked :class:`InterpPlan`."""
+    return InterpPlan(
+        src_col=P(axis_name, None),
+        w_sorted=P(axis_name, None),
+        start_ptr=P(axis_name, None),
+        end_ptr=P(axis_name, None),
+        gather_flat=P(axis_name, None, None),
+        gather_w=P(axis_name, None, None),
+        slot_src=P(axis_name, None, None),
+        slot_w=P(axis_name, None, None),
+        ov_ids=P(axis_name, None),
+        ov_src=P(axis_name, None),
+        ov_w=P(axis_name, None),
+        shape=None,  # static
+    )
+
+
+def _sharded_lowrank_ops(U_loc, lam, sigma2, axis_name):
+    """Row-sharded :func:`gp_grief_tpu.ops.precond.lowrank_sqrt_ops`:
+    ``U_loc (n_loc, r)`` are this device's rows of the orthonormal basis; the
+    r-vector contraction is one psum.  Batch-major ``(B, n_loc)`` contract."""
+    hi = lax.Precision.HIGHEST
+    lam_shift = lam + sigma2
+
+    def _apply(diag_fun):
+        base = diag_fun(sigma2)
+        delta = diag_fun(lam_shift) - base
+
+        def op(v):
+            t = lax.psum(jnp.matmul(v, U_loc, precision=hi), axis_name)  # (B, r)
+            return base * v + jnp.matmul(t * delta[None, :], U_loc.T, precision=hi)
+
+        return op
+
+    return _apply(lambda s: 1.0 / s), _apply(lambda s: 1.0 / jnp.sqrt(s))
+
+
+def _sharded_spectral_factor(U0_loc, weights, axis_name):
+    """Row-sharded f32-robust spectral build (CholeskyQR2 + r×r congruence
+    eigh — see :func:`gp_grief_tpu.ops.precond.lowrank_spectral_factor`):
+    the two r×r Gram reductions become psums; the tiny factorizations run
+    replicated on every device."""
+    with jax.default_matmul_precision("highest"):
+        hi = lax.Precision.HIGHEST
+        Ut = U0_loc
+        Ls = []
+        for _ in range(2):
+            G = lax.psum(jnp.matmul(Ut.T, Ut, precision=hi), axis_name)
+            L, _ = stable_cholesky(G)
+            Ut = jax.scipy.linalg.solve_triangular(L, Ut.T, lower=True).T
+            Ls.append(L)
+        mid = jnp.matmul(Ls[1].T, Ls[0].T, precision=hi)
+        mid = mid * jnp.sqrt(weights)[None, :]
+        s, V = jnp.linalg.eigh(jnp.matmul(mid, mid.T, precision=hi))
+        lam = jnp.maximum(s, 0.0)
+        U_loc = jnp.matmul(Ut, V, precision=hi)
+    return U_loc, lam
+
+
+class ShardedGPSKIRegression(BaseModel):
+    """Data-parallel :class:`~gp_grief_tpu.models.gp_ski.GPSKIRegression`.
+
+    Same estimator (deflation-preconditioned CG + whitened SLQ with BBMM
+    stop-gradient surrogates), with the n-axis sharded over ``axis_name`` of
+    ``mesh``: interpolation plans, solver state, and the preconditioner's
+    skinny factor rows all live on their owning devices; the lattice and the
+    O(r³)/O(k³) cores run replicated.  ``optimize()`` therefore trains
+    data-parallel with gradients flowing through the collectives.
+    """
+
+    def __init__(
+        self,
+        x,
+        y,
+        kern_list: Union[Stationary, Sequence[Stationary]],
+        grid=None,
+        *,
+        noise_var: float = 1.0,
+        dim_noise_var: float = 0.0,
+        mbar: int = 30,
+        num_probes: int = 16,
+        lanczos_iters: int = 40,
+        cg_tol: float = 1e-8,
+        cg_iters: int = 500,
+        precond_rank: int = 256,
+        mesh: Optional[Mesh] = None,
+        axis_name: str = "data",
+        key=None,
+    ):
+        x = np.asarray(x)
+        y = np.asarray(y).reshape(-1)
+        if x.ndim == 1:
+            x = x[:, None]
+        if grid is None:
+            grid = InducingGrid.build(x, mbar=mbar)
+        xg = grid.xg if isinstance(grid, InducingGrid) else grid
+        self.xg = tuple(jnp.asarray(g, dtype=x.dtype) for g in xg)
+        if any(g.ndim == 2 and g.shape[1] > 1 for g in self.xg):
+            raise NotImplementedError(
+                "multi-column (sub_dim > 1) grid dimensions are not supported by "
+                "linear grid interpolation"
+            )
+        self.mesh = mesh if mesh is not None else data_mesh(axis_name=axis_name)
+        self.axis_name = axis_name
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        xp, mask = pad_to_multiple(x, n_dev)
+        yp, _ = pad_to_multiple(y, n_dev)
+        self.n_real = int(x.shape[0])
+        self.x, self.y = jnp.asarray(xp), jnp.asarray(yp)
+        self.mask = jnp.asarray(mask)
+        self._plan, self._sidx, self._sw = build_sharded_interp(xp, self.xg, n_dev)
+        self.dim_noise_var = float(dim_noise_var)
+        m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
+        self._opts = dict(
+            num_probes=num_probes, lanczos_iters=lanczos_iters,
+            cg_tol=cg_tol, cg_iters=cg_iters,
+            precond_rank=min(int(precond_rank), m_total, self.n_real),
+        )
+        self._key = jax.random.PRNGKey(0) if key is None else key
+        kerns = (
+            list(kern_list)
+            if isinstance(kern_list, (list, tuple))
+            else [kern_list] * len(self.xg)
+        )
+        self.params = {
+            "kernels": kerns,
+            "log_noise": inverse_positive(noise_var).astype(self.x.dtype),
+        }
+
+    # -- sharded pieces (all run INSIDE shard_map) ---------------------------
+
+    def _mv_local(self, plan, mk, factors, sigma2):
+        """Local block of ``Â = mask∘(W K Wᵀ)∘mask + σ²I``: ``(B, n_loc) →
+        (B, n_loc)`` with one (B, M) psum (the lattice reduction)."""
+        axis_name = self.axis_name
+
+        def mv(v):
+            B = v.shape[0]
+            u = interp_rmatvec_bm_exact(plan, v * mk[None, :])  # (B, M)
+            u = lax.psum(u, axis_name)
+            eyeB = jnp.eye(B, dtype=v.dtype)
+            u = kron_matvec_fast((eyeB, *factors), u.reshape(-1)).reshape(B, -1)
+            return interp_matvec_bm_fast(plan, u) * mk[None, :] + sigma2 * v
+
+        return mv
+
+    def _precond_local(self, idx_loc, w_loc, mk, factors, sigma2, r):
+        """Sharded deflation build: local ``U₀`` rows (masked), psum-reduced
+        CholeskyQR2 + congruence eigh, row-sharded spectral ops."""
+        with jax.default_matmul_precision("highest"):
+            Qs, lams = kron_eigh(factors)
+            log_lam, idx_top = top_p_kron_eigs(lams, r)
+            lam_r = jnp.exp(log_lam)
+            U0 = None
+            for d_, Qd in enumerate(Qs):
+                m_d = Qd.shape[0]
+                i0 = idx_loc[d_]
+                i1 = jnp.minimum(i0 + 1, m_d - 1)
+                w2 = w_loc[d_]
+                Pd = w2[:, 0:1] * Qd[i0, :] + w2[:, 1:2] * Qd[i1, :]
+                col = Pd[:, idx_top[:, d_]]
+                U0 = col if U0 is None else U0 * col
+            U0 = U0 * mk[:, None]  # pad rows contribute nothing
+        U_loc, lam = _sharded_spectral_factor(U0, lam_r, self.axis_name)
+        M_inv, M_inv_sqrt = _sharded_lowrank_ops(U_loc, lam, sigma2, self.axis_name)
+        n_pad = int(self.y.shape[0])
+        logdet_M = jnp.sum(jnp.log(lam + sigma2)) + (n_pad - r) * jnp.log(sigma2)
+        return M_inv, M_inv_sqrt, logdet_M
+
+    def _loss(self, params):
+        o = self._opts
+        n_real, n_pad = self.n_real, int(self.y.shape[0])
+        axis_name = self.axis_name
+        r = o["precond_rank"]
+        key = self._key
+
+        def local(y_loc, mk, plan_st, idx_st, w_st):
+            plan = _local_plan(plan_st)
+            idx_loc = tuple(a[0] for a in idx_st)
+            w_loc = tuple(a[0] for a in w_st)
+            sigma2 = jnp.exp(params["log_noise"])
+            factors = cov_grid(
+                params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+            )
+            mv = self._mv_local(plan, mk, factors, sigma2)
+            if r > 0:
+                M_inv, M_inv_sqrt, ld_M = self._precond_local(
+                    idx_loc, w_loc, mk, factors, sigma2, r
+                )
+            else:
+                M_inv = M_inv_sqrt = None
+                ld_M = 0.0
+
+            # Gradient-surrogate probes are MASKED (pad rows zero) so the
+            # Hutchinson trace estimates ∂log|A_real| directly — the masked
+            # congruence block-decouples pad rows.
+            zkey = jax.random.fold_in(
+                jax.random.fold_in(key, 7), lax.axis_index(axis_name)
+            )
+            z = (
+                jax.random.rademacher(
+                    zkey, (o["num_probes"], y_loc.shape[0]), dtype=y_loc.dtype
+                )
+                * mk[None, :]
+            )
+            rhs = jnp.concatenate([y_loc[None, :], z], axis=0)
+            sol = cg_solve(
+                mv, rhs, tol=o["cg_tol"], max_iters=o["cg_iters"], M_inv=M_inv,
+                layout="bm", implicit_diff=False, axis_name=axis_name,
+            )
+            alpha = lax.stop_gradient(sol[0])
+            S = lax.stop_gradient(sol[1:])
+
+            quad = lax.psum(
+                2.0 * jnp.dot(y_loc, alpha) - jnp.dot(alpha, mv(alpha[None, :])[0]),
+                axis_name,
+            )
+            # Whitened SLQ on the padded operator; pad rows whiten to exact 1
+            # (contribute log 1 = 0) and the −(n_pad−n)·log σ² correction
+            # removes their unwhitened σ² block from the value.
+            if M_inv_sqrt is not None:
+                slq_mv = lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))  # noqa: E731
+                ld_off = ld_M
+            else:
+                slq_mv, ld_off = mv, 0.0
+            ld_val = lax.stop_gradient(
+                ld_off
+                + slq_logdet(
+                    slq_mv, y_loc.shape[0], key=jax.random.fold_in(key, 1),
+                    num_probes=o["num_probes"],
+                    lanczos_iters=o["lanczos_iters"], dtype=y_loc.dtype,
+                    layout="bm", axis_name=axis_name,
+                )
+                - (n_pad - n_real) * params["log_noise"]
+            )
+            g_sur = lax.psum(jnp.sum(S * mv(z)), axis_name) / o["num_probes"]
+            ld = ld_val + g_sur - lax.stop_gradient(g_sur)
+            return 0.5 * (quad + ld + n_real * jnp.log(2.0 * jnp.pi))
+
+        an = axis_name
+        return shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(an), P(an), _plan_specs(an),
+                      tuple(P(an, None) for _ in self._sidx),
+                      tuple(P(an, None, None) for _ in self._sw)),
+            out_specs=P(),
+            check_vma=False,
+        )(self.y, self.mask, self._plan, self._sidx, self._sw)
+
+    # -- prediction ----------------------------------------------------------
+
+    def predict(self, x_new, compute_var: bool = True, include_noise: bool = False,
+                chunk: int = 2048):
+        """Predictive mean (and exact variance) at test points (replicated).
+
+        One sharded program computes ``K (Wᵀ α)`` (lattice vector) and, per
+        test chunk, the cross-covariance rows + a sharded CG solve for the
+        variance quadratic form — the same host-chunked structure as the
+        single-device model (test points are never sharded; only the n-axis
+        work is).
+        """
+        from gp_grief_tpu.models.gp_ski import GPSKIRegression
+        from gp_grief_tpu.ops.interp import interp_matvec, interp_rmatvec_bm
+
+        x_new = jnp.asarray(x_new, dtype=self.x.dtype)
+        if x_new.ndim == 1:
+            x_new = x_new[:, None]
+        n_star = int(x_new.shape[0])
+        chunk = max(1, min(chunk, n_star))
+        n_c = -(-n_star // chunk) * chunk
+        x_pad = (
+            jnp.concatenate(
+                [x_new, jnp.broadcast_to(x_new[:1], (n_c - n_star, x_new.shape[1]))]
+            )
+            if n_c != n_star
+            else x_new
+        )
+        an = self.axis_name
+        o = self._opts
+        r = o["precond_rank"]
+
+        def prep_local(y_loc, mk, plan_st, idx_st, w_st):
+            plan = _local_plan(plan_st)
+            sigma2 = jnp.exp(self.params["log_noise"])
+            factors = cov_grid(
+                self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+            )
+            mv = self._mv_local(plan, mk, factors, sigma2)
+            if r > 0:
+                M_inv, _, _ = self._precond_local(
+                    tuple(a[0] for a in idx_st), tuple(a[0] for a in w_st),
+                    mk, factors, sigma2, r,
+                )
+            else:
+                M_inv = None
+            alpha = cg_solve(
+                mv, y_loc[None, :], tol=o["cg_tol"], max_iters=o["cg_iters"],
+                M_inv=M_inv, layout="bm", implicit_diff=False, axis_name=an,
+            )[0]
+            Wt_a = lax.psum(
+                interp_rmatvec_bm_exact(plan, (alpha * mk)[None, :])[0], an
+            )
+            Kw_alpha = kron_matvec_fast(factors, Wt_a)
+            return Kw_alpha
+
+        def var_local(y_loc, mk, plan_st, idx_st, w_st, u_bm):
+            # u_bm: (c, M) replicated lattice rows K Wᵀ* of the test chunk.
+            plan = _local_plan(plan_st)
+            sigma2 = jnp.exp(self.params["log_noise"])
+            factors = cov_grid(
+                self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+            )
+            mv = self._mv_local(plan, mk, factors, sigma2)
+            if r > 0:
+                M_inv, _, _ = self._precond_local(
+                    tuple(a[0] for a in idx_st), tuple(a[0] for a in w_st),
+                    mk, factors, sigma2, r,
+                )
+            else:
+                M_inv = None
+            C_loc = interp_matvec_bm_fast(plan, u_bm) * mk[None, :]  # (c, n_loc)
+            Sol = cg_solve(
+                mv, C_loc, tol=o["cg_tol"], max_iters=o["cg_iters"], M_inv=M_inv,
+                layout="bm", implicit_diff=False, axis_name=an,
+            )
+            return lax.psum(jnp.sum(C_loc * Sol, axis=1), an)  # (c,)
+
+        plan_in = (P(an), P(an), _plan_specs(an),
+                   tuple(P(an, None) for _ in self._sidx),
+                   tuple(P(an, None, None) for _ in self._sw))
+        if not hasattr(self, "_predict_progs") or self._predict_progs[0] != chunk:
+            prep = jax.jit(
+                shard_map(prep_local, mesh=self.mesh, in_specs=plan_in,
+                          out_specs=P(), check_vma=False)
+            )
+            varp = jax.jit(
+                shard_map(var_local, mesh=self.mesh,
+                          in_specs=plan_in + (P(),),
+                          out_specs=P(), check_vma=False)
+            )
+            self._predict_progs = (chunk, prep, varp)
+        _, prep, varp = self._predict_progs
+
+        Kw_alpha = prep(self.y, self.mask, self._plan, self._sidx, self._sw)
+        factors = cov_grid(
+            self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+        )
+        sigma2 = float(jnp.exp(self.params["log_noise"]))
+        means, vars_ = [], []
+        for i in range(0, n_c, chunk):
+            xc = x_pad[i : i + chunk]
+            iw_c = interp_weights(xc, self.xg)
+            means.append(np.asarray(interp_matvec(iw_c, Kw_alpha)))
+            if compute_var:
+                c = int(xc.shape[0])
+                Wst = interp_rmatvec_bm(iw_c, jnp.eye(c, dtype=self.x.dtype))
+                eyeC = jnp.eye(c, dtype=self.x.dtype)
+                u = kron_matvec_fast((eyeC, *factors), Wst.reshape(-1)).reshape(c, -1)
+                qf = varp(self.y, self.mask, self._plan, self._sidx, self._sw, u)
+                prior = GPSKIRegression._prior_diag(factors, iw_c)
+                vars_.append(np.maximum(np.asarray(prior) - np.asarray(qf), 0.0))
+        mean = np.concatenate(means)[:n_star]
+        if not compute_var:
+            return mean
+        var = np.concatenate(vars_)[:n_star]
+        if include_noise:
+            var = var + sigma2
+        return mean, var

@@ -277,3 +277,76 @@ def test_full_sharded_train_step_2d_mesh(rng):
 
     p2, _, val = step(params, opt.init(params))
     assert np.isfinite(float(val))
+
+
+def test_sharded_ski_matches_single_device_and_dense(rng, mesh):
+    """ShardedGPSKIRegression == GPSKIRegression == dense oracle.
+
+    With FULL-rank deflation (r = M) the whitened SLQ term is exactly zero
+    (the whitened operator is the identity), so the NLML is deterministic and
+    the three values must agree to solver precision, not probe noise."""
+    from gp_grief_tpu.kernels.grid import cov_grid
+    from gp_grief_tpu.models.gp_ski import GPSKIRegression
+    from gp_grief_tpu.ops import kron_expand
+    from gp_grief_tpu.ops.interp import interp_expand
+    from gp_grief_tpu.parallel import ShardedGPSKIRegression
+
+    n = 150  # not divisible by 8: exercises the pad-row congruence
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    kw = dict(
+        noise_var=0.2, num_probes=32, lanczos_iters=64, cg_iters=400,
+        cg_tol=1e-10, precond_rank=64,
+    )
+    single = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.6), xg, **kw)
+    sh = ShardedGPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.6), xg, mesh=mesh, **kw
+    )
+    lls, llm = sh.log_likelihood(), single.log_likelihood()
+    assert abs(lls - llm) < 1e-9
+
+    factors = cov_grid(single.params["kernels"], single.xg, dim_noise_var=0.0)
+    W = np.asarray(interp_expand(single.iw))
+    K = np.asarray(kron_expand(factors))
+    A = W @ K @ W.T + 0.2 * np.eye(n)
+    sign, ld = np.linalg.slogdet(A)
+    assert sign > 0
+    nlml_dense = 0.5 * (
+        float(np.asarray(y) @ np.linalg.solve(A, np.asarray(y)))
+        + ld + n * np.log(2 * np.pi)
+    )
+    assert abs(lls + nlml_dense) / abs(nlml_dense) < 1e-8
+
+    # Gradients flow through the collectives.
+    g = jax.grad(sh._loss)(sh.params)
+    from jax.flatten_util import ravel_pytree
+
+    gv = np.asarray(ravel_pytree(g)[0])
+    assert np.all(np.isfinite(gv)) and np.linalg.norm(gv) > 0
+
+    # Prediction (mean + exact variance) matches the single-device model.
+    xs = rng.uniform(0.1, 1.9, size=(37, 2))
+    ms, vs = single.predict(xs)
+    mh, vh = sh.predict(xs)
+    np.testing.assert_allclose(mh, ms, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(vh, vs, rtol=1e-6, atol=1e-10)
+
+
+def test_sharded_ski_optimize_improves(rng, mesh):
+    """Data-parallel training: a few Adam steps increase the sharded NLML."""
+    from gp_grief_tpu.parallel import ShardedGPSKIRegression
+
+    n = 160
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 6)[:, None]] * 2
+    sh = ShardedGPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=1.5), xg, mesh=mesh,
+        noise_var=0.5, num_probes=16, lanczos_iters=30, cg_iters=200,
+        cg_tol=1e-8, precond_rank=36,
+    )
+    ll0 = sh.log_likelihood()
+    res = sh.optimize(optimizer="adam", max_iters=15, learning_rate=0.1)
+    assert sh.log_likelihood() > ll0
+    assert np.all(np.isfinite(res.losses))
