@@ -170,6 +170,51 @@ class GPKroneckerRegression(BaseModel):
         logdet = jnp.sum(jnp.log(lam + sigma2))
         return 0.5 * (quad + logdet + self.m * jnp.log(2.0 * jnp.pi))
 
+    def log_likelihood_segmented(
+        self, *, cg_segment_iters: int = 60, verbose: bool = False
+    ) -> float:
+        """Value-only log marginal likelihood with the CG quadratic term
+        host-segmented (:func:`gp_grief_tpu.ops.cg.cg_solve_segmented`).
+
+        For ``solver="cg"`` at lattice sizes where one CG program would
+        exceed a per-program execution limit: cg_iters=400 at an m=1M
+        lattice measured to kill the axon TPU worker (~60 s watchdog,
+        CLAUDE.md).  The log-det stays the closed Kronecker-eigenvalue form
+        (one small program); only the solve is segmented, with the
+        eigendecomposition and preconditioner built once and shared across
+        segments as device arrays.
+        """
+        from gp_grief_tpu.ops.cg import cg_solve_segmented
+
+        @jax.jit
+        def prep(params):
+            sigma2 = jnp.exp(params["log_noise"])
+            factors = self._factors(params["kernels"])
+            Qs, lams = kron_eigh(factors)
+            lams = _clamp_psd(lams)
+            logdet = jnp.sum(jnp.log(_lam_kron(lams) + sigma2))
+            return factors, sigma2, Qs, lams, logdet
+
+        factors, sigma2, Qs, lams, logdet = prep(self.params)
+        M_inv = None
+        if self.precond_rank > 0:
+            from gp_grief_tpu.ops.precond import kron_deflation_preconditioner
+            from gp_grief_tpu.ops.topk import top_p_kron_eigs
+
+            _, idx = top_p_kron_eigs(lams, self.precond_rank)
+            M_inv = kron_deflation_preconditioner(Qs, lams, idx, sigma2)
+        alpha = cg_solve_segmented(
+            lambda v: kron_matvec_fast(factors, v) + sigma2 * v,
+            self.y,
+            tol=self.cg_tol,
+            segment_iters=cg_segment_iters,
+            max_segments=max(1, -(-self.cg_iters // cg_segment_iters)),
+            M_inv=M_inv,
+            verbose=verbose,
+        )
+        quad = float(jnp.dot(self.y, alpha))
+        return -0.5 * (quad + float(logdet) + self.m * float(np.log(2.0 * np.pi)))
+
     def predict(
         self,
         x_new,

@@ -365,11 +365,16 @@ class GPSKIRegression(BaseModel):
         gradients); preconditioner arrays are built once in one jitted
         program and shared across every segment as device residents.
         """
+        from gp_grief_tpu.utils.closure import explicit_closure
+
         o = self._opts
         n = int(self.x.shape[0])
         r = self._precond_rank()
 
-        @jax.jit
+        # Every jitted piece here hoists its closure-captured arrays (interp
+        # plans, the (n, r) preconditioner factor, y) into explicit jit
+        # arguments — embedding them as program constants stalls the relay
+        # for minutes at n=1M (gp_grief_tpu.utils.closure).
         def prep(params):
             sigma2 = jnp.exp(params["log_noise"])
             factors = cov_grid(
@@ -378,7 +383,10 @@ class GPSKIRegression(BaseModel):
             U, lam = self._precond_spectral(factors, r) if r > 0 else (None, None)
             return factors, sigma2, U, lam
 
-        factors, sigma2, U, lam = prep(self.params)
+        prep_pure, prep_consts = explicit_closure(
+            prep, jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params)
+        )
+        factors, sigma2, U, lam = jax.jit(prep_pure)(prep_consts, self.params)
         if U is not None:
             M_inv, M_inv_sqrt, ldM = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
             ld_off = float(ldM)
@@ -398,12 +406,14 @@ class GPSKIRegression(BaseModel):
             verbose=verbose,
         )
 
-        @jax.jit
         def quad_prog(a_bm):
             a = a_bm[0]
             return 2.0 * jnp.dot(self.y, a) - jnp.dot(a, mv(a_bm)[0])
 
-        quad = float(quad_prog(alpha))
+        quad_pure, quad_consts = explicit_closure(
+            quad_prog, jax.ShapeDtypeStruct(alpha.shape, alpha.dtype)
+        )
+        quad = float(jax.jit(quad_pure)(quad_consts, alpha))
         slq_mv = (
             mv
             if M_inv_sqrt is None

@@ -353,12 +353,18 @@ def cg_solve_segmented(
 
     Each call re-jits its segment program (the matvec closure is fresh);
     callers looping over many solves should hold ``b`` batched in one call.
+    Arrays the closures capture (``b``, plan tables, preconditioner factors)
+    are hoisted into explicit jit arguments
+    (:func:`gp_grief_tpu.utils.closure.explicit_closure`), so multi-GB
+    operands are passed as device buffers, never embedded in the program.
 
     Returns ``x`` (and :class:`CGInfo` when ``return_info``).
     """
     if layout not in ("col", "bm"):
         raise ValueError("layout must be 'col' or 'bm'")
     import numpy as np
+
+    from gp_grief_tpu.utils.closure import explicit_closure
 
     squeeze = b.ndim == 1
     if squeeze:
@@ -374,7 +380,6 @@ def cg_solve_segmented(
     precond = M_inv if M_inv is not None else (lambda r: r)
     step = _make_pcg_step(matvec, precond, _colsum, _bc)
 
-    @jax.jit
     def init():
         r0 = bb - matvec(x0b)
         z0 = precond(r0)
@@ -382,15 +387,20 @@ def cg_solve_segmented(
         dead0 = jnp.zeros(rz0.shape, bool)
         return (x0b, r0, z0, z0, rz0, dead0), _colnorm(bb), _colnorm(r0)
 
-    @jax.jit
-    def segment(state):
+    def segment_fn(state):
         def body(s, _):
             return step(*s), None
 
         state, _ = lax.scan(body, state, None, length=segment_iters)
         return state, _colnorm(state[1]), state[5]
 
-    state, bnorm, rnorm = init()
+    init_pure, init_consts = explicit_closure(init)
+    state, bnorm, rnorm = jax.jit(init_pure)(init_consts)
+    state_sds = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state
+    )
+    seg_pure, seg_consts = explicit_closure(segment_fn, state_sds)
+    segment = jax.jit(seg_pure)
     eff_tol = max(float(tol), 20.0 * float(jnp.finfo(bb.dtype).eps))
     stop = eff_tol * np.maximum(np.asarray(bnorm), float(jnp.finfo(bb.dtype).tiny))
     rnorm_h = np.asarray(rnorm)
@@ -399,7 +409,7 @@ def cg_solve_segmented(
     for s in range(max_segments):
         if not np.any((rnorm_h > stop) & ~dead_h):
             break
-        state, rnorm, dead = segment(state)
+        state, rnorm, dead = segment(seg_consts, state)
         # The per-segment fetch is the host-side convergence test — and on
         # the axon relay it also bounds the async queue at one segment.
         rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)

@@ -302,20 +302,31 @@ def slq_logdet_segmented(
     """
     if num_probes <= 0:
         raise ValueError("num_probes must be positive")
+    from gp_grief_tpu.utils.closure import explicit_closure
+
     probe_chunk = max(1, min(int(probe_chunk), num_probes))
     sizes = [probe_chunk] * (num_probes // probe_chunk)
     if num_probes % probe_chunk:
         sizes.append(num_probes % probe_chunk)
+    # Captured operands (plan tables, preconditioner factors inside a
+    # whitened matvec) are hoisted into explicit jit arguments — see
+    # gp_grief_tpu.utils.closure (multi-GB closures must never be embedded
+    # in the lowered program).
+    key_sds = jax.ShapeDtypeStruct(key.shape, key.dtype)
     progs = {}
     total = 0.0
     for c, r in enumerate(sizes):
         if r not in progs:
-            progs[r] = jax.jit(
-                lambda k, rr=r: slq_logdet(
+
+            def chunk_fn(k, rr=r):
+                return slq_logdet(
                     matvec, m, key=k, num_probes=rr,
                     lanczos_iters=lanczos_iters, dtype=dtype, layout=layout,
                 )
-            )
+
+            pure, consts = explicit_closure(chunk_fn, key_sds)
+            progs[r] = (jax.jit(pure), consts)
+        prog, consts = progs[r]
         # Per-chunk fetch: bounds the device queue at one chunk (axon relay).
-        total += float(progs[r](jax.random.fold_in(key, c))) * r
+        total += float(prog(consts, jax.random.fold_in(key, c))) * r
     return total / num_probes

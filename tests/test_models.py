@@ -393,3 +393,21 @@ def test_gp_kronecker_mixed16_matches_schur(rng):
         GPKroneckerRegression(
             [g0[:, None]], y[:8], kerns[:1], solver="cg", cg_precision="bogus"
         )
+
+
+def test_gpkron_segmented_nlml_matches(rng):
+    """GPKroneckerRegression.log_likelihood_segmented == the monolithic CG
+    NLML (both deterministic: closed-form log-det + converged CG), with and
+    without the Kronecker-deflation preconditioner."""
+    gs = [np.linspace(0, 1, 7)[:, None], np.linspace(0, 2, 6)[:, None]]
+    yg = rng.standard_normal(42)
+    for r in (0, 12):
+        m = GPKroneckerRegression(
+            gs, yg, [make_kernel("rbf", lengthscale=0.4),
+                     make_kernel("matern32", lengthscale=0.7)],
+            noise_var=0.3, solver="cg", cg_tol=1e-12, cg_iters=300,
+            precond_rank=r,
+        )
+        mono = m.log_likelihood()
+        seg = m.log_likelihood_segmented(cg_segment_iters=20)
+        assert abs(seg - mono) / abs(mono) < 1e-8
