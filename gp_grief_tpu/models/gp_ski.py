@@ -78,6 +78,7 @@ class GPSKIRegression(BaseModel):
         cg_iters: int = 500,
         cg_precision: str = "exact",
         precond_rank: int = 256,
+        solver: str = "data",
         key=None,
     ):
         x = jnp.asarray(x)
@@ -119,6 +120,14 @@ class GPSKIRegression(BaseModel):
         # refreshes set the final accuracy (ops/cg.py:cg_solve_refined).
         if cg_precision not in ("exact", "mixed"):
             raise ValueError("cg_precision must be 'exact' or 'mixed'")
+        # "data": CG on the n×n data-space operator K̂+σ²I (rank-r deflation
+        # preconditioned).  "lattice": the Woodbury/determinant-lemma dual on
+        # the M×M lattice operator B = σ²K⁻¹ + WᵀW, whitened in closed form —
+        # REQUIRED at n ≳ m where the data-space operator exceeds f32 CG's
+        # conditioning range entirely (see _lattice_spectra).
+        if solver not in ("data", "lattice"):
+            raise ValueError("solver must be 'data' or 'lattice'")
+        self.solver = solver
         self._opts = dict(
             num_probes=num_probes, lanczos_iters=lanczos_iters,
             cg_tol=cg_tol, cg_iters=cg_iters, cg_precision=cg_precision,
@@ -246,12 +255,159 @@ class GPSKIRegression(BaseModel):
             # the measured failure mode.
             return lowrank_spectral_factor(U0, weights=lam_r)
 
+    # -- lattice-dual (Woodbury) solver ------------------------------------------
+
+    def _lattice_cbar(self) -> float:
+        """Mean of ``diag(WᵀW)`` (per-lattice-node interpolation mass²) —
+        the scalar shift of the closed-form whitener.  θ-independent; host
+        numpy, computed once."""
+        if not hasattr(self, "_cbar"):
+            import itertools
+            import math as _math
+
+            shape = self.iw.shape
+            d = len(shape)
+            M = _math.prod(shape)
+            idx_h = [np.asarray(ix) for ix in self.iw.idx]
+            w_h = [np.asarray(w) for w in self.iw.w]
+            diag = np.zeros((M,), dtype=np.float64)
+            for offsets in itertools.product((0, 1), repeat=d):
+                flat = None
+                w = np.ones(idx_h[0].shape[0], dtype=np.float64)
+                for dd, off in enumerate(offsets):
+                    comp = np.minimum(idx_h[dd] + off, shape[dd] - 1)
+                    flat = comp if flat is None else flat * shape[dd] + comp
+                    w = w * w_h[dd][:, off]
+                np.add.at(diag, flat.astype(np.int64), w * w)
+            self._cbar = float(diag.mean())
+        return self._cbar
+
+    def _lattice_spectra(self, factors, sigma2):
+        """Closed-form pieces of the lattice dual (jit-traceable).
+
+        Why this path exists: the data-space operator ``Â = WKWᵀ + σ²I`` at
+        n ≳ m has κ beyond 1/ε_f32 — at the n=1M / 32⁴ config, CG *diverges
+        within 50 iterations at every deflation rank tried* (0/128/256/512;
+        benchmarks/exp_r5b_precond_1m.py), with operator and preconditioner
+        both verified healthy.  The dual works on the M×M lattice operator
+        ``B = σ²K⁻¹ + WᵀW`` (matrix inversion + determinant lemmas):
+
+            yᵀÂ⁻¹y = (yᵀy − (Wᵀy)ᵀ B⁻¹ (Wᵀy)) / σ²
+            log|Â|  = (n−M)·log σ² + Σ_j log(σ² + c̄λ_j) + log|W̃|
+
+        with the whitener ``M = σ²K⁻¹ + c̄I`` EXACT in the Kronecker
+        eigenbasis (``M^{−1/2} = Q diag(√(λ/(σ²+c̄λ))) Qᵀ`` — bounded, no
+        1/λ anywhere) and ``W̃ = M^{−1/2} B M^{−1/2} = I + M^{−1/2}(WᵀW −
+        c̄I)M^{−1/2}`` — **K⁻¹ never applied**.  W̃'s spectrum clusters
+        around local-density/c̄ ratios, so whitened CG/SLQ converge in tens
+        of iterations where the primal diverges.  ``Σ log λ + Σ log(σ²/λ +
+        c̄) = Σ log(σ² + c̄λ)`` keeps the log-det assembly insensitive to
+        the PSD eigenvalue clamp.
+
+        Returns ``(Qs, wjs, ld_MK)``: per-dim eigenvectors, the (M,)
+        ``M^{-1/2}`` eigen-scales, and ``Σ log(σ² + c̄λ)``.
+        """
+        from gp_grief_tpu.models.gp_kron import _clamp_psd, _lam_kron
+
+        cbar = self._lattice_cbar()
+        Qs, lams = kron_eigh(factors)
+        lams = _clamp_psd(lams)
+        lam = _lam_kron(lams)  # (M,)
+        wjs = jnp.sqrt(lam / (sigma2 + cbar * lam))
+        ld_MK = jnp.sum(jnp.log(sigma2 + cbar * lam))
+        return Qs, wjs, ld_MK
+
+    def _make_lattice_ops(self, Qs, wjs):
+        """Batch-major ``(B, M)`` closures ``(msqrt, white)`` from concrete
+        spectra: ``msqrt = M^{-1/2}`` (two Kron matvecs + an eigen-scale) and
+        the whitened dual operator ``white(v) = v + msqrt(WᵀW·u − c̄·u)``,
+        ``u = msqrt(v)`` — 4 Kron matvecs + one W/Wᵀ pair per application."""
+        cbar = self._lattice_cbar()
+        QsT = tuple(Q.T for Q in Qs)
+
+        def msqrt(v_bm):
+            B = v_bm.shape[0]
+            eyeB = jnp.eye(B, dtype=v_bm.dtype)
+            t = kron_matvec_fast((eyeB, *QsT), v_bm.reshape(-1)).reshape(B, -1)
+            t = t * wjs[None, :]
+            return kron_matvec_fast((eyeB, *Qs), t.reshape(-1)).reshape(B, -1)
+
+        def wtw(v_bm):
+            return self._rmatvec_bm(interp_matvec_bm_fast(self._plan, v_bm))
+
+        def white(v_bm):
+            u = msqrt(v_bm)
+            return v_bm + msqrt(wtw(u) - cbar * u)
+
+        return msqrt, white
+
+    def _solve_bm_lattice(self, factors, sigma2, rhs_bm):
+        """Data-space solve ``Â⁻¹ rhs`` via the whitened lattice dual:
+        ``Â⁻¹r = (r − W M^{-1/2} W̃⁻¹ M^{-1/2} Wᵀ r)/σ²``."""
+        o = self._opts
+        Qs, wjs, _ = self._lattice_spectra(factors, sigma2)
+        msqrt, white = self._make_lattice_ops(Qs, wjs)
+        u = msqrt(self._rmatvec_bm(rhs_bm))  # (B, M)
+        gam = cg_solve(
+            white, u, tol=o["cg_tol"], max_iters=o["cg_iters"], layout="bm",
+            implicit_diff=False,
+        )
+        corr = interp_matvec_bm_fast(self._plan, msqrt(gam))  # (B, n)
+        return (rhs_bm - corr) / sigma2
+
+    def _loss_lattice(self, params):
+        """NLML via the lattice dual (see :meth:`_lattice_spectra`), with the
+        same BBMM stop-gradient surrogate pattern as :meth:`_loss`: the
+        closed-form terms ``(n−M)·logσ² + Σlog(σ²+c̄λ)`` differentiate
+        exactly; only ``log|W̃|`` uses the Hutchinson surrogate."""
+        o = self._opts
+        n = self.x.shape[0]
+        M = int(np.prod([int(g.shape[0]) for g in self.xg]))
+        sigma2 = jnp.exp(params["log_noise"])
+        factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
+        Qs, wjs, ld_MK = self._lattice_spectra(factors, sigma2)
+        msqrt, white = self._make_lattice_ops(Qs, wjs)
+
+        vt = msqrt(self._rmatvec_bm(self.y[None, :]))  # ṽ = M^{-1/2} Wᵀ y
+        z = jax.random.rademacher(
+            self._key, (o["num_probes"], M), dtype=self.y.dtype
+        )
+        sol = cg_solve(
+            white, jnp.concatenate([vt, z], axis=0), tol=o["cg_tol"],
+            max_iters=o["cg_iters"], layout="bm", implicit_diff=False,
+        )
+        gam = lax.stop_gradient(sol[0])
+        S = lax.stop_gradient(sol[1:])
+
+        yy = jnp.dot(self.y, self.y)
+        quad = (
+            yy - 2.0 * jnp.dot(vt[0], gam) + jnp.dot(gam, white(gam[None, :])[0])
+        ) / sigma2
+        ld_white = lax.stop_gradient(
+            slq_logdet(
+                white, M, key=jax.random.fold_in(self._key, 1),
+                num_probes=o["num_probes"], lanczos_iters=o["lanczos_iters"],
+                dtype=self.y.dtype, layout="bm",
+            )
+        )
+        g_sur = jnp.sum(S * white(z)) / o["num_probes"]
+        ld = (
+            (n - M) * params["log_noise"]
+            + ld_MK
+            + ld_white
+            + g_sur
+            - lax.stop_gradient(g_sur)
+        )
+        return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
+
     def _solve_bm(self, factors, sigma2, rhs_bm, pre=None):
         """Batch-major CG solve of ``(K̂+σ²I) X = rhs`` — ``rhs_bm (B, n)``,
         honoring cg_precision ("exact" or iterative-refined "mixed") and the
         rank-r deflation preconditioner when ``precond_rank > 0`` (``pre``
         lets callers share one built preconditioner across solve + SLQ)."""
         o = self._opts
+        if self.solver == "lattice":
+            return self._solve_bm_lattice(factors, sigma2, rhs_bm)
         if pre is None:
             pre = self._build_precond(factors, sigma2)
         M_inv = pre[0] if pre is not None else None
@@ -301,6 +457,8 @@ class GPSKIRegression(BaseModel):
     # -- NLML (CG + SLQ with BBMM surrogate gradients) --------------------------
 
     def _loss(self, params):
+        if self.solver == "lattice":
+            return self._loss_lattice(params)
         # Fully batch-major: every CG/SLQ state block is (B, n) with the long
         # axis on lanes (see _matvec_bm).
         n = self.x.shape[0]
@@ -369,6 +527,11 @@ class GPSKIRegression(BaseModel):
 
         o = self._opts
         n = int(self.x.shape[0])
+        if self.solver == "lattice":
+            return self._log_likelihood_segmented_lattice(
+                cg_segment_iters=cg_segment_iters, probe_chunk=probe_chunk,
+                verbose=verbose,
+            )
         r = self._precond_rank()
 
         # Every jitted piece here hoists its closure-captured arrays (interp
@@ -428,6 +591,65 @@ class GPSKIRegression(BaseModel):
             dtype=self.y.dtype,
             layout="bm",
             probe_chunk=probe_chunk,
+        )
+        return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
+
+    def _log_likelihood_segmented_lattice(
+        self, *, cg_segment_iters: int, probe_chunk: int, verbose: bool
+    ) -> float:
+        """Segmented NLML on the whitened lattice dual (see
+        :meth:`_lattice_spectra`): segmented CG + probe-chunked SLQ both run
+        on ``W̃``; spectra are built once and shared as device arrays."""
+        from gp_grief_tpu.utils.closure import explicit_closure
+
+        o = self._opts
+        n = int(self.x.shape[0])
+        M = int(np.prod([int(g.shape[0]) for g in self.xg]))
+        self._lattice_cbar()  # host-side, outside any trace
+
+        def prep(params):
+            sigma2 = jnp.exp(params["log_noise"])
+            factors = cov_grid(
+                params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+            )
+            Qs, wjs, ld_MK = self._lattice_spectra(factors, sigma2)
+            return sigma2, Qs, wjs, ld_MK
+
+        prep_pure, prep_consts = explicit_closure(
+            prep,
+            jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params),
+        )
+        sigma2, Qs, wjs, ld_MK = jax.jit(prep_pure)(prep_consts, self.params)
+        msqrt, white = self._make_lattice_ops(Qs, wjs)
+
+        def rhs_fn():
+            return msqrt(self._rmatvec_bm(self.y[None, :]))
+
+        rhs_pure, rhs_consts = explicit_closure(rhs_fn)
+        vt = jax.jit(rhs_pure)(rhs_consts)
+
+        gam = cg_solve_segmented(
+            white, vt, tol=o["cg_tol"], segment_iters=cg_segment_iters,
+            max_segments=max(1, -(-o["cg_iters"] // cg_segment_iters)),
+            layout="bm", verbose=verbose,
+        )
+
+        def quad_fn(g_bm):
+            return (
+                jnp.dot(self.y, self.y)
+                - 2.0 * jnp.dot(vt[0], g_bm[0])
+                + jnp.dot(g_bm[0], white(g_bm)[0])
+            ) / sigma2
+
+        qp, qc = explicit_closure(quad_fn, jax.ShapeDtypeStruct(gam.shape, gam.dtype))
+        quad = float(jax.jit(qp)(qc, gam))
+        ld_white = slq_logdet_segmented(
+            white, M, key=jax.random.fold_in(self._key, 1),
+            num_probes=o["num_probes"], lanczos_iters=o["lanczos_iters"],
+            dtype=self.y.dtype, layout="bm", probe_chunk=probe_chunk,
+        )
+        ld = (
+            (n - M) * float(jnp.log(sigma2)) + float(ld_MK) + ld_white
         )
         return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 

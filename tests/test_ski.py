@@ -391,3 +391,64 @@ def test_ski_log_likelihood_segmented_matches_monolithic(rng):
     # whitened comparison above is tight because deflation kills the
     # estimator variance).
     assert abs(seg0 - mono0) / abs(mono0) < 3e-2
+
+
+def test_ski_lattice_solver_matches_dense(rng):
+    """solver='lattice' (Woodbury dual on the whitened lattice operator):
+    the data-space solve must equal the dense solve to solver precision, and
+    the NLML must match the dense oracle within whitened-SLQ sampling noise,
+    in BOTH the n>m and n<m regimes."""
+    from gp_grief_tpu.kernels.grid import cov_grid
+    from gp_grief_tpu.ops import kron_expand
+    from gp_grief_tpu.ops.interp import interp_expand
+
+    for n, mg, ll_tol in ((300, 8, 5e-3), (40, 10, 3e-2)):
+        x = rng.uniform(0, 2, size=(n, 2))
+        y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+        xg = [np.linspace(-0.1, 2.1, mg)[:, None]] * 2
+        m = GPSKIRegression(
+            x, y, make_kernel("rbf", lengthscale=0.6), xg, solver="lattice",
+            noise_var=0.2, num_probes=256, lanczos_iters=60, cg_iters=600,
+            cg_tol=1e-12,
+        )
+        factors = cov_grid(m.params["kernels"], m.xg, dim_noise_var=0.0)
+        W = np.asarray(interp_expand(m.iw))
+        K = np.asarray(kron_expand(factors))
+        A = W @ K @ W.T + 0.2 * np.eye(n)
+        sol = np.asarray(m._solve(factors, jnp.asarray(0.2), jnp.asarray(y)))
+        want = np.linalg.solve(A, y)
+        np.testing.assert_allclose(sol, want, rtol=1e-8, atol=1e-10)
+        sign, ld = np.linalg.slogdet(A)
+        assert sign > 0
+        nlml_dense = 0.5 * (y @ want + ld + n * np.log(2 * np.pi))
+        ll = m.log_likelihood()
+        assert abs(ll + nlml_dense) / abs(nlml_dense) < ll_tol
+        # Gradients flow through the dual (closed-form terms exact,
+        # log|whitened| via the Hutchinson surrogate).
+        g = jax.grad(m._loss)(m.params)
+        from jax.flatten_util import ravel_pytree
+
+        gv = np.asarray(ravel_pytree(g)[0])
+        assert np.all(np.isfinite(gv)) and np.linalg.norm(gv) > 0
+        # Segmented variant agrees within the probe-partitioning noise.
+        seg = m.log_likelihood_segmented(cg_segment_iters=40, probe_chunk=64)
+        assert abs(seg - ll) / abs(ll) < ll_tol
+
+
+def test_ski_lattice_predict_matches_data_solver(rng):
+    """predict() under solver='lattice' == solver='data' (same posterior)."""
+    n = 200
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    kw = dict(noise_var=0.2, num_probes=16, lanczos_iters=30, cg_iters=500,
+              cg_tol=1e-12)
+    md = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.6), xg,
+                         solver="data", precond_rank=64, **kw)
+    ml = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.6), xg,
+                         solver="lattice", **kw)
+    xs = rng.uniform(0.1, 1.9, size=(33, 2))
+    mean_d, var_d = md.predict(xs)
+    mean_l, var_l = ml.predict(xs)
+    np.testing.assert_allclose(mean_l, mean_d, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(var_l, var_d, rtol=1e-6, atol=1e-9)
