@@ -1,10 +1,11 @@
 """Round-5 session: SKI scale point at n=1M / 32^4 lattice (m=1.05M).
 
 10x the BASELINE config-2 data size, same lattice.  Uses the segmented
-solver API (models/gp_ski.py:log_likelihood_segmented — host-segmented CG +
-probe-chunked whitened SLQ) so no single device execution exceeds the axon
-~60 s watchdog (CLAUDE.md), with the default rank-r deflation preconditioner
-(without it f32 CG at this kappa never converges, RESULTS_r4.md §6).
+solver API (log_likelihood_segmented: host-segmented CG + probe-chunked
+whitened SLQ, staying under the axon ~60 s watchdog) on the LATTICE-DUAL
+solver (solver="lattice"): at n=1M the data-space operator diverges f32 CG
+at every deflation rank (exp_r5b_precond_1m.py), while the whitened dual's
+spectrum clusters around local-density ratios.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/exp_r5_ski_1m.py [rank ...]
 """
@@ -39,7 +40,7 @@ def main():
         m = GPSKIRegression(
             x, y, make_kernel("rbf", lengthscale=0.8), xg,
             noise_var=0.1, num_probes=8, lanczos_iters=30,
-            cg_iters=400, cg_tol=1e-6, precond_rank=r,
+            cg_iters=400, cg_tol=1e-6, precond_rank=r, solver="lattice",
         )
         print(f"r={r}: model+plan build {time.time()-t0:.1f}s", flush=True)
 
@@ -56,17 +57,19 @@ def main():
             f"warm={t_warm:.1f}s", flush=True,
         )
 
-        # Prediction smoke at scale: 2k test points, LOVE variances.
+        # Prediction at scale: 2k test points, mean via the lattice-dual
+        # alpha (predict's variance path is exercised at 100k scales; the
+        # monolithic per-chunk variance programs still closure-capture the
+        # plan tables, which is fine at ~350MB but not worth the relay
+        # lowering time in this experiment).
         t0 = time.time()
         xs = rng.uniform(0.2, 3.8, size=(2000, d)).astype("float32")
-        mu, var = m.predict(xs, variance="lanczos", var_rank=64)
+        mu = m.predict(xs, compute_var=False)
         f_true = (np.sin(xs[:, 0]) * np.cos(xs[:, 1]) + 0.3 * xs[:, 2]
                   - 0.2 * xs[:, 3] ** 2)
         rmse = float(np.sqrt(np.mean((mu - f_true) ** 2)))
-        print(
-            f"r={r}: predict 2k pts {time.time()-t0:.1f}s rmse={rmse:.4f} "
-            f"var[{var.min():.2e},{var.max():.2e}]", flush=True,
-        )
+        print(f"r={r}: predict 2k pts (mean) {time.time()-t0:.1f}s rmse={rmse:.4f}",
+              flush=True)
 
 
 if __name__ == "__main__":
