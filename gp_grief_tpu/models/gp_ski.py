@@ -791,13 +791,32 @@ class GPSKIRegression(BaseModel):
                 var = prior_diag - jnp.sum(C_bm * Sol, axis=1)
                 return mean, jnp.maximum(var, 0.0)
 
-            self._prep_jit = jax.jit(_prep)
-            self._chunk_jit = jax.jit(_chunk_prog)
-        Kw_alpha, sigma2, S, Tchol = self._prep_jit(self.params)
+            # Hoist closure-captured arrays (plan tables, y) into explicit
+            # jit arguments: embedding them as program constants exceeds the
+            # relay's request-size limit at n=1M (HTTP 413, measured) — see
+            # gp_grief_tpu.utils.closure.
+            from gp_grief_tpu.utils.closure import explicit_closure
+
+            _sds = lambda t: jax.tree.map(  # noqa: E731
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t
+            )
+            prep_pure, prep_consts = explicit_closure(_prep, _sds(self.params))
+            prep_sds = jax.eval_shape(prep_pure, prep_consts, _sds(self.params))
+            chunk_pure, chunk_consts = explicit_closure(
+                _chunk_prog,
+                _sds(self.params),
+                *(prep_sds[:1] + prep_sds[2:]),
+                jax.ShapeDtypeStruct((chunk, int(x_pad.shape[1])), x_pad.dtype),
+            )
+            self._prep_jit = (jax.jit(prep_pure), prep_consts)
+            self._chunk_jit = (jax.jit(chunk_pure), chunk_consts)
+        prep_fn, prep_consts = self._prep_jit
+        Kw_alpha, sigma2, S, Tchol = prep_fn(prep_consts, self.params)
+        chunk_fn, chunk_consts = self._chunk_jit
         means, vars_ = [], []
         for i in range(0, n_pad, chunk):
-            mc, vc = self._chunk_jit(
-                self.params, Kw_alpha, S, Tchol, x_pad[i : i + chunk]
+            mc, vc = chunk_fn(
+                chunk_consts, self.params, Kw_alpha, S, Tchol, x_pad[i : i + chunk]
             )
             # Fetch per chunk: the axon relay kills the worker when one fetch
             # waits >~60 s for queued work, so never let the async queue grow
