@@ -132,10 +132,24 @@ class BaseModel:
         return tree_unflatten(treedef, mask)
 
     def log_likelihood(self) -> float:
-        """Log marginal likelihood at the current parameters."""
+        """Log marginal likelihood at the current parameters.
+
+        The jitted objective hoists closure-captured arrays (training data,
+        interpolation plans, cached stats) into explicit arguments — baked
+        program constants exceed the relay's request-size limit at the 1M
+        scale (``gp_grief_tpu.utils.closure``).  Models that rebuild caches
+        invalidate by popping ``_loss_jit`` (e.g. GPGriefModel)."""
         if not hasattr(self, "_loss_jit"):
-            self._loss_jit = jax.jit(self._loss)
-        return -float(self._loss_jit(self.params))
+            from gp_grief_tpu.utils.closure import explicit_closure
+
+            sds = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+                self.params,
+            )
+            pure, consts = explicit_closure(self._loss, sds)
+            self._loss_jit = (jax.jit(pure), consts)
+        fn, consts = self._loss_jit
+        return -float(fn(consts, self.params))
 
     def optimize(self, **kwargs) -> FitResult:
         """Maximize the log marginal likelihood (reference ``optimize``)."""

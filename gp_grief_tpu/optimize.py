@@ -83,13 +83,23 @@ def fit(
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
 
-    value_and_grad = jax.value_and_grad(loss_fn)
+    # Hoist arrays the objective closes over (training data, plans, cached
+    # stats) into an explicit argument of every jitted step program — baked
+    # program constants stall/overflow relay-dispatched backends at scale
+    # (gp_grief_tpu.utils.closure).
+    from gp_grief_tpu.utils.closure import explicit_closure
 
-    def _one_step(params, opt_state):
-        value, grad = value_and_grad(params)
+    _sds = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), params
+    )
+    loss_pure, loss_consts = explicit_closure(loss_fn, _sds)
+
+    def _one_step(params, opt_state, consts):
+        lf = lambda p: loss_pure(consts, p)  # noqa: E731 — consts is a tracer here
+        value, grad = jax.value_and_grad(lf)(params)
         if optimizer == "lbfgs":
             updates, opt_state = opt.update(
-                grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn
+                grad, opt_state, params, value=value, grad=grad, value_fn=lf
             )
         else:
             updates, opt_state = opt.update(grad, opt_state, params)
@@ -105,10 +115,10 @@ def fit(
     scan_chunk = 0 if (verbose or callback is not None) else max(1, min(25, max_iters))
 
     @partial(jax.jit, static_argnames=("n",))
-    def steps_scanned(params, opt_state, n):
+    def steps_scanned(params, opt_state, consts, n):
         def body(carry, _):
             p, s = carry
-            p, s, value, gnorm = _one_step(p, s)
+            p, s, value, gnorm = _one_step(p, s, consts)
             return (p, s), (value, gnorm)
 
         (params, opt_state), (values, gnorms) = lax.scan(
@@ -124,7 +134,7 @@ def fit(
     while it < max_iters and not converged:
         if scan_chunk > 1:
             n = min(scan_chunk, max_iters - it)
-            new_params, new_state, vals, gns = steps_scanned(params, opt_state, n)
+            new_params, new_state, vals, gns = steps_scanned(params, opt_state, loss_consts, n)
             vals, gns = np.asarray(vals), np.asarray(gns)
             bad = ~np.isfinite(vals)
             n_ok = int(np.argmax(bad)) if bad.any() else n
@@ -133,7 +143,7 @@ def fit(
             elif n_ok > 0:
                 # Re-run the finite prefix stepwise to recover its state.
                 for _ in range(n_ok):
-                    params, opt_state, _, _ = step(params, opt_state)
+                    params, opt_state, _, _ = step(params, opt_state, loss_consts)
             it += n_ok
             losses.extend(vals[:n_ok].tolist())
             gnorms.extend(gns[:n_ok].tolist())
@@ -143,7 +153,7 @@ def fit(
                 converged = True
             continue
         it += 1
-        new_params, opt_state, value, gnorm = step(params, opt_state)
+        new_params, opt_state, value, gnorm = step(params, opt_state, loss_consts)
         value_f, gnorm_f = float(value), float(gnorm)
         if not np.isfinite(value_f):
             # Reject the step that evaluated at a bad point; keep last params.
