@@ -128,6 +128,21 @@ class GPSKIRegression(BaseModel):
         if solver not in ("data", "lattice"):
             raise ValueError("solver must be 'data' or 'lattice'")
         self.solver = solver
+        if solver == "lattice":
+            m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
+            if x.shape[0] < m_total // 4:
+                import warnings
+
+                warnings.warn(
+                    "solver='lattice' at n << m: the dual log-det assembles "
+                    "O(M·log σ²)-scale terms whose SLQ quadrature bias can "
+                    "dominate the NLML (measured: 100k points on a 1M lattice "
+                    "was off by ~1e5 at lanczos_iters=30 while solver='data' "
+                    "converges fine there).  Prefer solver='data' when "
+                    "n < m/4; the dual is for n ≳ m where the data-space "
+                    "operator exceeds f32 CG conditioning.",
+                    stacklevel=2,
+                )
         self._opts = dict(
             num_probes=num_probes, lanczos_iters=lanczos_iters,
             cg_tol=cg_tol, cg_iters=cg_iters, cg_precision=cg_precision,
