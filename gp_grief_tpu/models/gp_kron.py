@@ -286,9 +286,19 @@ class GPKroneckerRegression(BaseModel):
                 var = prior_diag - jnp.sum(KUx_bm * S_bm, axis=1)
                 return mean, jnp.maximum(var, 0.0)
 
-            self._prep_jit = jax.jit(_prep)
+            # Hoist _prep's captured arrays (y is 134 MB at a 33.5M lattice —
+            # baked constants stall/overflow the relay; utils/closure.py).
+            from gp_grief_tpu.utils.closure import explicit_closure
+
+            sds = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+                self.params,
+            )
+            prep_pure, prep_consts = explicit_closure(_prep, sds)
+            self._prep_jit = (jax.jit(prep_pure), prep_consts)
             self._chunk_jit = jax.jit(_chunk_prog)
-        Qs, lams, alpha, sigma2 = self._prep_jit(self.params)
+        prep_fn, prep_consts = self._prep_jit
+        Qs, lams, alpha, sigma2 = prep_fn(prep_consts, self.params)
         means, vars_ = [], []
         for i in range(0, n_pad, chunk):
             mc, vc = self._chunk_jit(self.params, Qs, lams, alpha, x_pad[i : i + chunk])

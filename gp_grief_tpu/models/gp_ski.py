@@ -43,7 +43,32 @@ from gp_grief_tpu.ops.lanczos import slq_logdet, slq_logdet_segmented
 from gp_grief_tpu.ops.precond import lowrank_spectral_factor, lowrank_sqrt_ops
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
-__all__ = ["GPSKIRegression"]
+__all__ = ["GPSKIRegression", "lattice_cbar"]
+
+
+
+def lattice_cbar(iw) -> float:
+    """Mean of ``diag(WᵀW)`` for an :class:`~gp_grief_tpu.ops.interp.
+    InterpWeights` — host numpy, θ-independent (shared by the single-device
+    and sharded lattice-dual solvers)."""
+    import itertools
+    import math as _math
+
+    shape = iw.shape
+    d = len(shape)
+    M = _math.prod(shape)
+    idx_h = [np.asarray(ix) for ix in iw.idx]
+    w_h = [np.asarray(w) for w in iw.w]
+    diag = np.zeros((M,), dtype=np.float64)
+    for offsets in itertools.product((0, 1), repeat=d):
+        flat = None
+        w = np.ones(idx_h[0].shape[0], dtype=np.float64)
+        for dd, off in enumerate(offsets):
+            comp = np.minimum(idx_h[dd] + off, shape[dd] - 1)
+            flat = comp if flat is None else flat * shape[dd] + comp
+            w = w * w_h[dd][:, off]
+        np.add.at(diag, flat.astype(np.int64), w * w)
+    return float(diag.mean())
 
 
 class GPSKIRegression(BaseModel):
@@ -277,24 +302,7 @@ class GPSKIRegression(BaseModel):
         the scalar shift of the closed-form whitener.  θ-independent; host
         numpy, computed once."""
         if not hasattr(self, "_cbar"):
-            import itertools
-            import math as _math
-
-            shape = self.iw.shape
-            d = len(shape)
-            M = _math.prod(shape)
-            idx_h = [np.asarray(ix) for ix in self.iw.idx]
-            w_h = [np.asarray(w) for w in self.iw.w]
-            diag = np.zeros((M,), dtype=np.float64)
-            for offsets in itertools.product((0, 1), repeat=d):
-                flat = None
-                w = np.ones(idx_h[0].shape[0], dtype=np.float64)
-                for dd, off in enumerate(offsets):
-                    comp = np.minimum(idx_h[dd] + off, shape[dd] - 1)
-                    flat = comp if flat is None else flat * shape[dd] + comp
-                    w = w * w_h[dd][:, off]
-                np.add.at(diag, flat.astype(np.int64), w * w)
-            self._cbar = float(diag.mean())
+            self._cbar = lattice_cbar(self.iw)
         return self._cbar
 
     def _lattice_spectra(self, factors, sigma2):

@@ -219,6 +219,7 @@ class ShardedGPSKIRegression(BaseModel):
         cg_tol: float = 1e-8,
         cg_iters: int = 500,
         precond_rank: int = 256,
+        solver: str = "data",
         mesh: Optional[Mesh] = None,
         axis_name: str = "data",
         key=None,
@@ -227,6 +228,9 @@ class ShardedGPSKIRegression(BaseModel):
         y = np.asarray(y).reshape(-1)
         if x.ndim == 1:
             x = x[:, None]
+        if solver not in ("data", "lattice"):
+            raise ValueError("solver must be 'data' or 'lattice'")
+        self.solver = solver
         if grid is None:
             grid = InducingGrid.build(x, mbar=mbar)
         xg = grid.xg if isinstance(grid, InducingGrid) else grid
@@ -245,6 +249,14 @@ class ShardedGPSKIRegression(BaseModel):
         self.x, self.y = jnp.asarray(xp), jnp.asarray(yp)
         self.mask = jnp.asarray(mask)
         self._plan, self._sidx, self._sw = build_sharded_interp(xp, self.xg, n_dev)
+        if solver == "lattice":
+            # Whitener shift from the REAL rows only (pad rows are masked out
+            # of Ŵ, so diag(ŴᵀŴ) is the real-data mass² — the log-det
+            # identity then assembles with n_real; see GPSKIRegression.
+            from gp_grief_tpu.models.gp_ski import lattice_cbar
+            from gp_grief_tpu.ops.interp import interp_weights
+
+            self._cbar = lattice_cbar(interp_weights(jnp.asarray(x), self.xg))
         self.dim_noise_var = float(dim_noise_var)
         m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
         self._opts = dict(
@@ -303,7 +315,108 @@ class ShardedGPSKIRegression(BaseModel):
         logdet_M = jnp.sum(jnp.log(lam + sigma2)) + (n_pad - r) * jnp.log(sigma2)
         return M_inv, M_inv_sqrt, logdet_M
 
+    def _lattice_local_ops(self, plan, mk, factors, sigma2):
+        """Sharded whitened-dual operators (see GPSKIRegression.
+        _lattice_spectra): the lattice state ``(B, M)`` is REPLICATED on
+        every device (spectra + Kron matvecs are identical local compute);
+        only ``ŴᵀŴ`` crosses ICI — one psum per application.  ``Ŵ = mask∘W``
+        decouples pad rows exactly."""
+        from gp_grief_tpu.models.gp_kron import _clamp_psd, _lam_kron
+
+        axis_name = self.axis_name
+        cbar = self._cbar
+        Qs, lams = kron_eigh(factors)
+        lams = _clamp_psd(lams)
+        lam = _lam_kron(lams)
+        wjs = jnp.sqrt(lam / (sigma2 + cbar * lam))
+        ld_MK = jnp.sum(jnp.log(sigma2 + cbar * lam))
+        QsT = tuple(Q.T for Q in Qs)
+
+        def msqrt(v_bm):
+            B = v_bm.shape[0]
+            eyeB = jnp.eye(B, dtype=v_bm.dtype)
+            t = kron_matvec_fast((eyeB, *QsT), v_bm.reshape(-1)).reshape(B, -1)
+            t = t * wjs[None, :]
+            return kron_matvec_fast((eyeB, *Qs), t.reshape(-1)).reshape(B, -1)
+
+        def wtw(v_bm):
+            t = interp_matvec_bm_fast(plan, v_bm) * mk[None, :]
+            return lax.psum(interp_rmatvec_bm_exact(plan, t), axis_name)
+
+        def white(v_bm):
+            u = msqrt(v_bm)
+            return v_bm + msqrt(wtw(u) - cbar * u)
+
+        def wt_masked(v_loc_bm):  # Ŵᵀ on local data rows → replicated (B, M)
+            return lax.psum(
+                interp_rmatvec_bm_exact(plan, v_loc_bm * mk[None, :]), axis_name
+            )
+
+        return msqrt, white, wt_masked, ld_MK
+
+    def _loss_lattice(self, params):
+        """Sharded lattice-dual NLML — the GPSKIRegression._loss_lattice
+        estimator with ŴᵀŴ psum-coupled and everything else replicated.
+        SLQ/gradient probes are lattice vectors drawn from the SAME key on
+        every device, so the estimator is identical to the single-device one
+        (tested to ~1e-12)."""
+        o = self._opts
+        n_real = self.n_real
+        M = int(np.prod([int(g.shape[0]) for g in self.xg]))
+        axis_name = self.axis_name
+        key = self._key
+
+        def local(y_loc, mk, plan_st):
+            plan = _local_plan(plan_st)
+            sigma2 = jnp.exp(params["log_noise"])
+            factors = cov_grid(
+                params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+            )
+            msqrt, white, wt_masked, ld_MK = self._lattice_local_ops(
+                plan, mk, factors, sigma2
+            )
+            vt = msqrt(wt_masked(y_loc[None, :]))
+            z = jax.random.rademacher(key, (o["num_probes"], M), dtype=y_loc.dtype)
+            sol = cg_solve(
+                white, jnp.concatenate([vt, z], axis=0), tol=o["cg_tol"],
+                max_iters=o["cg_iters"], layout="bm", implicit_diff=False,
+            )
+            gam = lax.stop_gradient(sol[0])
+            S = lax.stop_gradient(sol[1:])
+            yy = lax.psum(jnp.dot(y_loc, y_loc), axis_name)
+            quad = (
+                yy - 2.0 * jnp.dot(vt[0], gam) + jnp.dot(gam, white(gam[None, :])[0])
+            ) / sigma2
+            ld_white = lax.stop_gradient(
+                slq_logdet(
+                    white, M, key=jax.random.fold_in(key, 1),
+                    num_probes=o["num_probes"],
+                    lanczos_iters=o["lanczos_iters"], dtype=y_loc.dtype,
+                    layout="bm",
+                )
+            )
+            g_sur = jnp.sum(S * white(z)) / o["num_probes"]
+            ld = (
+                (n_real - M) * params["log_noise"]
+                + ld_MK
+                + ld_white
+                + g_sur
+                - lax.stop_gradient(g_sur)
+            )
+            return 0.5 * (quad + ld + n_real * jnp.log(2.0 * jnp.pi))
+
+        an = axis_name
+        return shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(an), P(an), _plan_specs(an)),
+            out_specs=P(),
+            check_vma=False,
+        )(self.y, self.mask, self._plan)
+
     def _loss(self, params):
+        if self.solver == "lattice":
+            return self._loss_lattice(params)
         o = self._opts
         n_real, n_pad = self.n_real, int(self.y.shape[0])
         axis_name = self.axis_name
@@ -416,12 +529,22 @@ class ShardedGPSKIRegression(BaseModel):
         o = self._opts
         r = o["precond_rank"]
 
-        def prep_local(y_loc, mk, plan_st, idx_st, w_st):
-            plan = _local_plan(plan_st)
-            sigma2 = jnp.exp(self.params["log_noise"])
-            factors = cov_grid(
-                self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
-            )
+        def _local_solver(plan, mk, idx_st, w_st, factors, sigma2):
+            """Data-space solve closure honoring the solver choice."""
+            if self.solver == "lattice":
+                msqrt, white, wt_masked, _ = self._lattice_local_ops(
+                    plan, mk, factors, sigma2
+                )
+
+                def solve(rhs_bm):
+                    gam = cg_solve(
+                        white, msqrt(wt_masked(rhs_bm)), tol=o["cg_tol"],
+                        max_iters=o["cg_iters"], layout="bm", implicit_diff=False,
+                    )
+                    corr = interp_matvec_bm_fast(plan, msqrt(gam)) * mk[None, :]
+                    return (rhs_bm - corr) / sigma2
+
+                return solve
             mv = self._mv_local(plan, mk, factors, sigma2)
             if r > 0:
                 M_inv, _, _ = self._precond_local(
@@ -430,10 +553,19 @@ class ShardedGPSKIRegression(BaseModel):
                 )
             else:
                 M_inv = None
-            alpha = cg_solve(
-                mv, y_loc[None, :], tol=o["cg_tol"], max_iters=o["cg_iters"],
+            return lambda rhs_bm: cg_solve(
+                mv, rhs_bm, tol=o["cg_tol"], max_iters=o["cg_iters"],
                 M_inv=M_inv, layout="bm", implicit_diff=False, axis_name=an,
-            )[0]
+            )
+
+        def prep_local(y_loc, mk, plan_st, idx_st, w_st):
+            plan = _local_plan(plan_st)
+            sigma2 = jnp.exp(self.params["log_noise"])
+            factors = cov_grid(
+                self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+            )
+            solve = _local_solver(plan, mk, idx_st, w_st, factors, sigma2)
+            alpha = solve(y_loc[None, :])[0]
             Wt_a = lax.psum(
                 interp_rmatvec_bm_exact(plan, (alpha * mk)[None, :])[0], an
             )
@@ -447,19 +579,9 @@ class ShardedGPSKIRegression(BaseModel):
             factors = cov_grid(
                 self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
             )
-            mv = self._mv_local(plan, mk, factors, sigma2)
-            if r > 0:
-                M_inv, _, _ = self._precond_local(
-                    tuple(a[0] for a in idx_st), tuple(a[0] for a in w_st),
-                    mk, factors, sigma2, r,
-                )
-            else:
-                M_inv = None
+            solve = _local_solver(plan, mk, idx_st, w_st, factors, sigma2)
             C_loc = interp_matvec_bm_fast(plan, u_bm) * mk[None, :]  # (c, n_loc)
-            Sol = cg_solve(
-                mv, C_loc, tol=o["cg_tol"], max_iters=o["cg_iters"], M_inv=M_inv,
-                layout="bm", implicit_diff=False, axis_name=an,
-            )
+            Sol = solve(C_loc)
             return lax.psum(jnp.sum(C_loc * Sol, axis=1), an)  # (c,)
 
         plan_in = (P(an), P(an), _plan_specs(an),

@@ -350,3 +350,34 @@ def test_sharded_ski_optimize_improves(rng, mesh):
     res = sh.optimize(optimizer="adam", max_iters=15, learning_rate=0.1)
     assert sh.log_likelihood() > ll0
     assert np.all(np.isfinite(res.losses))
+
+
+def test_sharded_ski_lattice_matches_single_device(rng, mesh):
+    """solver='lattice' on the mesh: replicated whitened lattice state with a
+    psum-coupled ŴᵀŴ — identical probe draws make the sharded NLML equal the
+    single-device dual exactly; predict matches through the dual solve."""
+    from gp_grief_tpu.models.gp_ski import GPSKIRegression
+    from gp_grief_tpu.parallel import ShardedGPSKIRegression
+
+    n = 300
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    kw = dict(noise_var=0.2, num_probes=16, lanczos_iters=30, cg_iters=400,
+              cg_tol=1e-12, solver="lattice")
+    single = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.6), xg, **kw)
+    sh = ShardedGPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.6), xg, mesh=mesh, **kw
+    )
+    lls, llm = sh.log_likelihood(), single.log_likelihood()
+    assert abs(lls - llm) < 1e-10
+    g = jax.grad(sh._loss)(sh.params)
+    from jax.flatten_util import ravel_pytree
+
+    gv = np.asarray(ravel_pytree(g)[0])
+    assert np.all(np.isfinite(gv)) and np.linalg.norm(gv) > 0
+    xs = rng.uniform(0.1, 1.9, size=(23, 2))
+    ms, vs = single.predict(xs)
+    mh, vh = sh.predict(xs)
+    np.testing.assert_allclose(mh, ms, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(vh, vs, rtol=1e-6, atol=1e-9)
