@@ -230,7 +230,7 @@ class InterpPlan(NamedTuple):
     shape: Tuple[int, ...]
 
 
-def build_interp_plan(iw: InterpWeights, max_slots: int = 8) -> InterpPlan:
+def build_interp_plan(iw: InterpWeights, max_slots: int = 64) -> InterpPlan:
     """Host-side (numpy) preprocessing of an :class:`InterpWeights` into a
     scatter-free :class:`InterpPlan`.  Not jittable (sorts data-dependent
     indices); run once at model construction.
@@ -238,7 +238,11 @@ def build_interp_plan(iw: InterpWeights, max_slots: int = 8) -> InterpPlan:
     ``max_slots`` caps the ELL width ``K``; the actual ``K`` is chosen by a
     measured gather-vs-scatter break-even rule (grow while the overflow
     stream exceeds ~M/22 entries), capped at ``max_slots`` — excess
-    contributions go to the overflow scatter stream, exact either way."""
+    contributions go to the overflow scatter stream, exact either way.
+    The break-even rule self-limits, so the cap only matters at n ≳ m where
+    mean contributions/cell = 2^d·n/M exceed it: an 8-cap at n=1M / m=1.05M
+    left ~half the 16M corner updates on the 143M-elem/s scatter path
+    (~0.1 s per matvec) where K≈20 slot columns gather them at 3.2G elem/s."""
     import numpy as np
 
     d = len(iw.shape)
@@ -285,8 +289,12 @@ def build_interp_plan(iw: InterpWeights, max_slots: int = 8) -> InterpPlan:
     # ~143M elem/s — one more column pays for itself only while the overflow
     # stream holds > M·(143/3200) ≈ M/22 entries (RESULTS_r3.md §3).
     max_rank = int(rank.max()) + 1 if len(rank) else 1
+    # tail(K) = #entries with rank ≥ K, via one histogram pass (the loop form
+    # rescanned the 2^d·n stream per candidate K — minutes at n=1M).
+    hist = np.bincount(rank, minlength=max_rank) if len(rank) else np.zeros(1, np.int64)
+    tail = len(rank) - np.cumsum(hist)  # tail[k-1] = #(rank >= k)
     K = 1
-    while K < min(max_rank, max_slots) and int(np.sum(rank >= K)) > M // 22:
+    while K < min(max_rank, max_slots) and int(tail[K - 1]) > M // 22:
         K += 1
     in_slot = rank < K
     slot_src = np.zeros((M, K), dtype=np.int64)
