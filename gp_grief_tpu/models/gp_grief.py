@@ -284,16 +284,22 @@ class GPGriefModel(BaseModel):
                 return ((vv @ Phi) * w[None, :]) @ Phi.T + sigma2 * vv
 
             if r > 0:
-                # Top-r spectral factors of ΦWΦᵀ from the p×p system: with
-                # B = ΦW^{1/2}, BᵀB = W^{1/2}(ΦᵀΦ)W^{1/2} = VΛVᵀ and the
-                # orthonormal left factors are U_r = B V_r Λ_r^{-1/2}.
+                # Top-r spectral factors of ΦWΦᵀ = B₀B₀ᵀ, B₀ = ΦW^{1/2},
+                # via the f32-robust CholeskyQR2 + congruence-eigh build.
+                # The analytic shortcut U = B₀V_rΛ_r^{-1/2} (one O(n·p²)
+                # Gram + p×p eigh) leaves a ~5e-3 orthonormality defect at
+                # n=1.9M — M⁻¹ loses SPD, preconditioned CG diverges and the
+                # breakdown guard freezes it after ~3 iterations (measured;
+                # benchmarks/exp_r5f_uci2m_gap.py — the same failure mode as
+                # the SKI build, RESULTS_r4.md §6).
+                from gp_grief_tpu.ops.precond import lowrank_spectral_factor
+
                 sw = jnp.sqrt(w)
-                C = Phi.T @ Phi  # (p, p) one O(n·p²) pass
-                lam_all, V = jnp.linalg.eigh(sw[:, None] * C * sw[None, :])
-                lam_r = lam_all[-r:]
-                lam_r = jnp.maximum(lam_r, jnp.finfo(lam_r.dtype).tiny)
-                Vr = V[:, -r:]
-                U = Phi @ (sw[:, None] * Vr / jnp.sqrt(lam_r)[None, :])  # (n, r)
+                U_all, lam_all = lowrank_spectral_factor(Phi * sw[None, :])
+                lam_r = jnp.maximum(
+                    lam_all[-r:], jnp.finfo(lam_all.dtype).tiny
+                )
+                U = U_all[:, -r:]  # (n, r) orthonormal to working eps
                 M_inv, M_inv_sqrt, logdet_M = lowrank_sqrt_ops(
                     U, lam_r, sigma2, layout="bm"
                 )
