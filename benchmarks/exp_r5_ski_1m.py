@@ -46,11 +46,11 @@ def main():
 
         t0 = time.time()
         ll = m.log_likelihood_segmented(
-            cg_segment_iters=50, probe_chunk=2, verbose=True
+            cg_segment_iters=50, probe_chunk=4, verbose=True
         )
         t_cold = time.time() - t0
         t0 = time.time()
-        ll2 = m.log_likelihood_segmented(cg_segment_iters=50, probe_chunk=2)
+        ll2 = m.log_likelihood_segmented(cg_segment_iters=50, probe_chunk=4)
         t_warm = time.time() - t0
         print(
             f"r={r}: nlml={-ll:.2f} (repeat {-ll2:.2f}) cold={t_cold:.1f}s "
