@@ -280,8 +280,20 @@ class GPGriefModel(BaseModel):
             # Batch-major operator: vv (B, n) rows.  A column-layout (n, B)
             # state at n=2M lane-pads B → 128 (1 GB per CG/Lanczos state
             # array); rows keep the long axis on lanes (ops/cg.py:_reducers).
+            # HIGHEST precision: the TPU-default bf16 matmul gives the
+            # operator ~1e-3·λmax SPD-inconsistency — at a trained optimum
+            # (σ² ≈ 0.02, n=1.9M) preconditioned f32 CG then diverges within
+            # 2 iterations and the breakdown guard freezes it (measured,
+            # benchmarks/exp_r5f_uci2m_gap.py; same rule as every solver-
+            # facing matvec — RESULTS_r4.md §6 guard 2).
+            hi = jax.lax.Precision.HIGHEST
+
             def mv(vv):
-                return ((vv @ Phi) * w[None, :]) @ Phi.T + sigma2 * vv
+                t = jnp.matmul(vv, Phi, precision=hi)
+                return (
+                    jnp.matmul(t * w[None, :], Phi.T, precision=hi)
+                    + sigma2 * vv
+                )
 
             if r > 0:
                 # Top-r spectral factors of ΦWΦᵀ = B₀B₀ᵀ, B₀ = ΦW^{1/2},
@@ -304,14 +316,25 @@ class GPGriefModel(BaseModel):
                     U, lam_r, sigma2, layout="bm"
                 )
 
-                alpha = cg_solve(
-                    mv, self.y, tol=cg_tol, max_iters=cg_iters, M_inv=M_inv,
-                    layout="bm", implicit_diff=False,
-                )
-                quad = jnp.dot(self.y, alpha)
-
                 def mv_white(vv):
                     return M_inv_sqrt(mv(M_inv_sqrt(vv)))
+
+                # Solve in the WHITENED basis (yᵀÃ⁻¹y = ṽᵀW̃⁻¹ṽ with
+                # ṽ = M^{-1/2}y), not data space: at a trained optimum
+                # (σ² ≈ 0.02, λmax ~ 1e6, n=1.9M) the deflated directions'
+                # curvature σ²‖p‖² sits BELOW the f32 rounding of the
+                # matvec output (ε·λmax·‖p‖²), so data-space PCG's pᵀÃp
+                # goes negative within 2 iterations at ANY matvec precision
+                # and the breakdown guard freezes a rel-418 iterate
+                # (measured, exp_r5f).  The whitened operator's arithmetic
+                # is bounded per eigendirection — the same cure as the SKI
+                # lattice dual (RESULTS_r5.md §6).
+                vt = M_inv_sqrt(self.y[None, :])
+                gam = cg_solve(
+                    mv_white, vt, tol=cg_tol, max_iters=cg_iters,
+                    layout="bm", implicit_diff=False,
+                )
+                quad = jnp.sum(vt * gam)
 
                 ld = logdet_M + slq_logdet(
                     mv_white, n, key=key, num_probes=num_probes,
