@@ -93,9 +93,14 @@ def gp_nlml_iterative(
     K = _cov_any(kernels, x)  # swap for a chunked matvec closure at 2M scale
 
     # Batch-major operator (vv (B, n) rows; K symmetric): solver state keeps
-    # the long axis on TPU lanes — see ops/cg.py:_reducers.
+    # the long axis on TPU lanes — see ops/cg.py:_reducers.  HIGHEST: the
+    # TPU-default bf16 product breaks the SPD-consistency solver iterations
+    # need (the r5 uci2m hunt, RESULTS_r5.md §7 — applies verbatim here).
     def mv(vv):
-        return vv @ K + sigma2 * vv
+        return (
+            jnp.matmul(vv, K, precision=jax.lax.Precision.HIGHEST)
+            + sigma2 * vv
+        )
 
     pre = None
     if precond_rank > 0:
@@ -111,9 +116,22 @@ def gp_nlml_iterative(
     rhs = jnp.concatenate([y[None, :], z], axis=0)
     # Value-only solve (solutions are stop-gradiented below; gradients flow
     # through the BBMM surrogates) — skip the custom_linear_solve wrapper.
-    sol = cg_solve(mv, rhs, tol=cg_tol, max_iters=cg_iters, layout="bm",
-                   implicit_diff=False,
-                   M_inv=pre[0] if pre is not None else None)
+    if pre is not None:
+        # Solve in the WHITENED basis (Ã⁻¹r = M⁻½ W̃⁻¹ M⁻½ r): data-space
+        # PCG freezes whenever σ² < ε_f32·λmax — the deflated directions'
+        # curvature sits below the matvec's output rounding (RESULTS_r5.md
+        # §7; trained-optimum σ² routinely gets there).  The preconditioner
+        # is stop-grad, so the gradient surrogates below are unaffected.
+        M_inv_sqrt_ = pre[1]
+        solw = cg_solve(
+            lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv))),
+            M_inv_sqrt_(rhs), tol=cg_tol, max_iters=cg_iters, layout="bm",
+            implicit_diff=False,
+        )
+        sol = M_inv_sqrt_(solw)
+    else:
+        sol = cg_solve(mv, rhs, tol=cg_tol, max_iters=cg_iters, layout="bm",
+                       implicit_diff=False)
     alpha = lax.stop_gradient(sol[0])
     S = lax.stop_gradient(sol[1:])
 

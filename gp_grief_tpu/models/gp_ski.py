@@ -461,6 +461,17 @@ class GPSKIRegression(BaseModel):
         # differentiates — the raw path also sidesteps a TPU/XLA miscompile
         # of custom_linear_solve over this gather-heavy matvec
         # (RESULTS_r3.md §5: the compiled solve returned all-zeros).
+        if pre is not None:
+            # Whitened-basis solve (Â⁻¹r = M⁻½W̃⁻¹M⁻½r): data-space PCG
+            # freezes whenever σ² < ε_f32·λmax (the r5 uci2m hunt,
+            # RESULTS_r5.md §7) — trained optima routinely get there.
+            M_inv_sqrt_ = pre[1]
+            solw = cg_solve(
+                lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv))),
+                M_inv_sqrt_(rhs_bm), tol=o["cg_tol"], max_iters=o["cg_iters"],
+                layout="bm", implicit_diff=False,
+            )
+            return M_inv_sqrt_(solw)
         return cg_solve(
             mv, rhs_bm, tol=o["cg_tol"], max_iters=o["cg_iters"], M_inv=M_inv,
             layout="bm", implicit_diff=False,

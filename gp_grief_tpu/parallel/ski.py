@@ -453,10 +453,21 @@ class ShardedGPSKIRegression(BaseModel):
                 * mk[None, :]
             )
             rhs = jnp.concatenate([y_loc[None, :], z], axis=0)
-            sol = cg_solve(
-                mv, rhs, tol=o["cg_tol"], max_iters=o["cg_iters"], M_inv=M_inv,
-                layout="bm", implicit_diff=False, axis_name=axis_name,
-            )
+            if M_inv_sqrt is not None:
+                # Whitened-basis solve — data-space PCG freezes whenever
+                # σ² < ε_f32·λmax (RESULTS_r5.md §7); same as gp_ski.
+                solw = cg_solve(
+                    lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))),
+                    M_inv_sqrt(rhs), tol=o["cg_tol"],
+                    max_iters=o["cg_iters"], layout="bm",
+                    implicit_diff=False, axis_name=axis_name,
+                )
+                sol = M_inv_sqrt(solw)
+            else:
+                sol = cg_solve(
+                    mv, rhs, tol=o["cg_tol"], max_iters=o["cg_iters"],
+                    layout="bm", implicit_diff=False, axis_name=axis_name,
+                )
             alpha = lax.stop_gradient(sol[0])
             S = lax.stop_gradient(sol[1:])
 
@@ -547,15 +558,25 @@ class ShardedGPSKIRegression(BaseModel):
                 return solve
             mv = self._mv_local(plan, mk, factors, sigma2)
             if r > 0:
-                M_inv, _, _ = self._precond_local(
+                _, M_inv_sqrt, _ = self._precond_local(
                     tuple(a[0] for a in idx_st), tuple(a[0] for a in w_st),
                     mk, factors, sigma2, r,
                 )
-            else:
-                M_inv = None
+
+                def solve(rhs_bm):
+                    # Whitened-basis solve — see _loss (RESULTS_r5.md §7).
+                    solw = cg_solve(
+                        lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))),
+                        M_inv_sqrt(rhs_bm), tol=o["cg_tol"],
+                        max_iters=o["cg_iters"], layout="bm",
+                        implicit_diff=False, axis_name=an,
+                    )
+                    return M_inv_sqrt(solw)
+
+                return solve
             return lambda rhs_bm: cg_solve(
                 mv, rhs_bm, tol=o["cg_tol"], max_iters=o["cg_iters"],
-                M_inv=M_inv, layout="bm", implicit_diff=False, axis_name=an,
+                layout="bm", implicit_diff=False, axis_name=an,
             )
 
         def prep_local(y_loc, mk, plan_st, idx_st, w_st):
