@@ -91,15 +91,18 @@ def main():
     v_data = jnp.asarray(rng.standard_normal((B, n)).astype("float32"))
     v_lat = jnp.asarray(rng.standard_normal((B, M)).astype("float32"))
 
-    t = timed(lambda v: interp_rmatvec_bm_exact(m._plan, v), v_data)
-    print(f"Wt slot-exact (B={B}): {t*1e3:.1f} ms", flush=True)
+    # Shape-changing ops are timed as round-trips (chained-loop needs
+    # matching carry shapes); the common forward W lets slot/onehot compare.
+    t_wslot = timed(lambda v: interp_rmatvec_bm_exact(
+        m._plan, interp_matvec_bm_fast(m._plan, v)), v_lat)
+    print(f"W then Wt-slot   (B={B}): {t_wslot*1e3:.1f} ms", flush=True)
     if m._wt_onehot is not None:
-        t = timed(m._wt_onehot, v_data)
-        print(f"Wt one-hot    (B={B}): {t*1e3:.1f} ms", flush=True)
-    t = timed(lambda v: m._rmatvec_bm(v), v_data)
-    print(f"Wt dispatch   (B={B}): {t*1e3:.1f} ms", flush=True)
-    t = timed(lambda v: interp_matvec_bm_fast(m._plan, v), v_lat)
-    print(f"W forward     (B={B}): {t*1e3:.1f} ms", flush=True)
+        t_woh = timed(lambda v: m._wt_onehot(
+            interp_matvec_bm_fast(m._plan, v)), v_lat)
+        print(f"W then Wt-onehot (B={B}): {t_woh*1e3:.1f} ms", flush=True)
+    t_ww = timed(lambda v: interp_matvec_bm_fast(
+        m._plan, m._rmatvec_bm(v)), v_data)
+    print(f"Wt-dispatch then W (B={B}): {t_ww*1e3:.1f} ms", flush=True)
     t = timed(msqrt, v_lat)
     print(f"msqrt (4 kron passes): {t*1e3:.1f} ms", flush=True)
     # whitened apply needs same-shape in/out for the chained loop: lattice in

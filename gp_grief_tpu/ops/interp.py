@@ -446,6 +446,14 @@ def build_onehot_plan(
     while K < min(max_rank, max_slots) and int(np.sum(rank >= K)) > 1000:
         K += 1
     in_slot = rank < K
+    # The design requires a TINY overflow (each entry is a ~22×-gather-cost
+    # serialized scatter).  At n ≳ m the per-cell contribution count
+    # (2^d·n/M) exceeds any reasonable K and the overflow explodes — at
+    # n=1M / m=1.05M, K=8 left 7.9M of 16M updates on the scatter and the
+    # kernel measured 2.4× SLOWER than the wide-ELL slot form
+    # (benchmarks/exp_r5g_1m_matvec.py).  Fall back.
+    if int(np.sum(~in_slot)) > max(1000, M // 100):
+        return None
 
     tile = flat_s // C
     cell_local = flat_s - tile * C
