@@ -687,6 +687,210 @@ class GPSKIRegression(BaseModel):
         )
         return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 
+    def optimize_segmented(
+        self,
+        *,
+        max_iters: int = 30,
+        learning_rate: float = 0.05,
+        num_probes: int = 4,
+        cg_segment_iters: int = 50,
+        verbose: bool = False,
+    ):
+        """Adam training with watchdog-safe steps (the n ≳ 1M scale).
+
+        A monolithic ``value_and_grad`` step at n=1M runs hundreds of
+        operator applications in ONE device program — past the ~60 s
+        per-program execution limit.  Here each step decomposes into
+        bounded programs:
+
+        1. the CG solves for ``y`` and the ``num_probes`` Hutchinson
+           gradient probes run host-SEGMENTED (lattice-dual or whitened
+           data-space per ``solver``);
+        2. ONE bounded jitted program evaluates the BBMM surrogate
+           objective with the solves injected as fixed inputs and
+           autodiffs it — by construction the same gradient as
+           ``jax.grad(self._loss)`` with matching probe draws (the SLQ
+           log-det VALUE carries no gradient and is skipped);
+        3. the Adam update runs eagerly on host.
+
+        The returned ``losses`` trace is the surrogate objective (NLML
+        minus the stop-grad log-det value) — monotone trends are
+        meaningful, absolute values are not; use
+        :meth:`log_likelihood_segmented` for true NLML.
+        """
+        import optax
+
+        from gp_grief_tpu.utils.closure import explicit_closure
+
+        o = self._opts
+        n = int(self.x.shape[0])
+        M = int(np.prod([int(g.shape[0]) for g in self.xg]))
+        R = int(num_probes)
+        lattice = self.solver == "lattice"
+        if lattice:
+            self._lattice_cbar()
+
+        def surrogate(params, sol, z):
+            sigma2 = jnp.exp(params["log_noise"])
+            factors = cov_grid(
+                params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+            )
+            yy = jnp.dot(self.y, self.y)
+            if lattice:
+                Qs, wjs, ld_MK = self._lattice_spectra(factors, sigma2)
+                msqrt, white = self._make_lattice_ops(Qs, wjs)
+                vt = msqrt(self._rmatvec_bm(self.y[None, :]))
+                gam, S = sol[0], sol[1:]
+                quad = (
+                    yy - 2.0 * jnp.dot(vt[0], gam)
+                    + jnp.dot(gam, white(gam[None, :])[0])
+                ) / sigma2
+                g_sur = jnp.sum(S * white(z)) / R
+                ld_part = (n - M) * params["log_noise"] + ld_MK + g_sur
+            else:
+                mv = self._matvec_bm(factors, sigma2)
+                alpha, S = sol[0], sol[1:]
+                quad = 2.0 * jnp.dot(self.y, alpha) - jnp.dot(
+                    alpha, mv(alpha[None, :])[0]
+                )
+                g_sur = jnp.sum(S * mv(z)) / R
+                ld_part = g_sur
+            return 0.5 * (quad + ld_part + n * jnp.log(2.0 * jnp.pi))
+
+        dim = M if lattice else n
+        sds = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t
+        )
+        sol_sds = jax.ShapeDtypeStruct((1 + R, dim), self.y.dtype)
+        z_sds = jax.ShapeDtypeStruct((R, dim), self.y.dtype)
+        sur_pure, sur_consts = explicit_closure(
+            surrogate, sds(self.params), sol_sds, z_sds
+        )
+        vg = jax.jit(
+            lambda consts, p, sol, z: jax.value_and_grad(
+                lambda pp: sur_pure(consts, pp, sol, z)
+            )(p)
+        )
+
+        opt = optax.adam(learning_rate)
+        state = opt.init(self.params)
+        losses = []
+        import time as _time
+
+        t0 = _time.perf_counter()
+        for it in range(max_iters):
+            key_t = jax.random.fold_in(self._key, 1000 + it)
+            sol, z = self._segmented_step_solves(
+                self.params, key_t, R, cg_segment_iters
+            )
+            val, grad = vg(sur_consts, self.params, sol, z)
+            updates, state = opt.update(grad, state, self.params)
+            self.params = optax.apply_updates(self.params, updates)
+            losses.append(float(val))
+            if verbose:
+                print(
+                    f"[optimize_segmented] iter {it + 1:3d} "
+                    f"surrogate {losses[-1]:.4f}",
+                    flush=True,
+                )
+        from gp_grief_tpu.optimize import FitResult
+
+        return FitResult(
+            params=self.params,
+            losses=np.asarray(losses),
+            grad_norms=np.full(len(losses), np.nan),
+            iterations=len(losses),
+            wall_time=_time.perf_counter() - t0,
+            converged=False,
+        )
+
+    def _segmented_step_solves(self, params, key, R, cg_segment_iters):
+        """One training step's solves, host-segmented: returns
+        ``(sol (1+R, dim), z (R, dim))`` — the y-solve plus the Hutchinson
+        probe solves in the solver's working space (lattice γ's or
+        data-space α's)."""
+        from gp_grief_tpu.utils.closure import explicit_closure
+
+        o = self._opts
+        n = int(self.x.shape[0])
+        M = int(np.prod([int(g.shape[0]) for g in self.xg]))
+        lattice = self.solver == "lattice"
+        dim = M if lattice else n
+        r = 0 if lattice else self._precond_rank()
+
+        def prep(params, key):
+            sigma2 = jnp.exp(params["log_noise"])
+            factors = cov_grid(
+                params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+            )
+            z = jax.random.rademacher(key, (R, dim), dtype=self.y.dtype)
+            if lattice:
+                Qs, wjs, _ = self._lattice_spectra(factors, sigma2)
+                return factors, sigma2, Qs, wjs, None, None, z
+            U, lam = (
+                self._precond_spectral(factors, r) if r > 0 else (None, None)
+            )
+            return factors, sigma2, None, None, U, lam, z
+
+        pp, pc = explicit_closure(
+            prep,
+            jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+                params,
+            ),
+            jax.ShapeDtypeStruct(key.shape, key.dtype),
+        )
+        factors, sigma2, Qs, wjs, U, lam, z = jax.jit(pp)(pc, params, key)
+
+        max_segments = max(1, -(-o["cg_iters"] // cg_segment_iters))
+        if lattice:
+            msqrt, white = self._make_lattice_ops(Qs, wjs)
+
+            def rhs_fn(z):
+                return jnp.concatenate(
+                    [msqrt(self._rmatvec_bm(self.y[None, :])), z], axis=0
+                )
+
+            rp, rc = explicit_closure(
+                rhs_fn, jax.ShapeDtypeStruct(z.shape, z.dtype)
+            )
+            rhs = jax.jit(rp)(rc, z)
+            sol = cg_solve_segmented(
+                white, rhs, tol=o["cg_tol"], segment_iters=cg_segment_iters,
+                max_segments=max_segments, layout="bm",
+            )
+            return sol, z
+        mv = self._matvec_bm(factors, sigma2)
+        rhs = jnp.concatenate([self.y[None, :], z], axis=0)
+        if U is not None:
+            _, M_inv_sqrt, _ = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+
+            def rhs_fn(rhs):
+                return M_inv_sqrt(rhs)
+
+            rp, rc = explicit_closure(
+                rhs_fn, jax.ShapeDtypeStruct(rhs.shape, rhs.dtype)
+            )
+            solw = cg_solve_segmented(
+                lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))),
+                jax.jit(rp)(rc, rhs), tol=o["cg_tol"],
+                segment_iters=cg_segment_iters, max_segments=max_segments,
+                layout="bm",
+            )
+
+            def unw(solw):
+                return M_inv_sqrt(solw)
+
+            up, uc = explicit_closure(
+                unw, jax.ShapeDtypeStruct(solw.shape, solw.dtype)
+            )
+            return jax.jit(up)(uc, solw), z
+        sol = cg_solve_segmented(
+            mv, rhs, tol=o["cg_tol"], segment_iters=cg_segment_iters,
+            max_segments=max_segments, layout="bm",
+        )
+        return sol, z
+
     # -- prediction --------------------------------------------------------------
 
     @staticmethod

@@ -452,3 +452,53 @@ def test_ski_lattice_predict_matches_data_solver(rng):
     mean_l, var_l = ml.predict(xs)
     np.testing.assert_allclose(mean_l, mean_d, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(var_l, var_d, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("solver", ["data", "lattice"])
+def test_ski_optimize_segmented_matches_monolithic_step(rng, solver):
+    """One optimize_segmented step == one Adam step on jax.grad(_loss) when
+    the probe draws are aligned (the surrogate program's gradient is the
+    same BBMM estimator; the SLQ value carries no gradient)."""
+    import optax
+
+    n = 160
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    R = 4
+    kw = dict(noise_var=0.3, num_probes=R, lanczos_iters=30, cg_iters=400,
+              cg_tol=1e-12, solver=solver, precond_rank=24)
+    lr = 0.05
+    m1 = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.6), xg, **kw)
+    res = m1.optimize_segmented(max_iters=1, learning_rate=lr, num_probes=R)
+    assert np.isfinite(res.losses).all()
+
+    m2 = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.6), xg, **kw)
+    # Align m2's _loss probe draw with the step's (fold_in(key, 1000 + 0)).
+    m2._key = jax.random.fold_in(m2._key, 1000)
+    g = jax.grad(m2._loss)(m2.params)
+    opt = optax.adam(lr)
+    updates, _ = opt.update(g, opt.init(m2.params), m2.params)
+    p2 = optax.apply_updates(m2.params, updates)
+
+    from jax.flatten_util import ravel_pytree
+
+    v1 = np.asarray(ravel_pytree(m1.params)[0])
+    v2 = np.asarray(ravel_pytree(p2)[0])
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-7)
+
+
+def test_ski_optimize_segmented_improves(rng):
+    """A few segmented training steps raise the true NLML."""
+    n = 200
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 7)[:, None]] * 2
+    m = GPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=1.2), xg, noise_var=0.5,
+        num_probes=16, lanczos_iters=30, cg_iters=300, cg_tol=1e-10,
+        precond_rank=32,
+    )
+    ll0 = m.log_likelihood()
+    m.optimize_segmented(max_iters=12, learning_rate=0.1, num_probes=8)
+    assert m.log_likelihood() > ll0
