@@ -395,6 +395,7 @@ def build_onehot_plan(
     tile_cells: int = 1024,
     max_slots: int = 8,
     r_limit: int = 4096,
+    ov_limit: int | None = None,
 ):
     """Host-side (numpy) tile-CSR preprocessing for :class:`OneHotPlan`.
 
@@ -452,7 +453,8 @@ def build_onehot_plan(
     # n=1M / m=1.05M, K=8 left 7.9M of 16M updates on the scatter and the
     # kernel measured 2.4× SLOWER than the wide-ELL slot form
     # (benchmarks/exp_r5g_1m_matvec.py).  Fall back.
-    if int(np.sum(~in_slot)) > max(1000, M // 100):
+    ov_cap = max(1000, M // 100) if ov_limit is None else int(ov_limit)
+    if int(np.sum(~in_slot)) > ov_cap:
         return None
 
     tile = flat_s // C

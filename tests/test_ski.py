@@ -254,7 +254,11 @@ def test_interp_onehot_matches_exact(rng):
     xg = tuple(jnp.asarray(np.linspace(0, 3, m))[:, None] for m in (7, 5, 6))
     iw = interp_weights(x, xg)
     plan = build_interp_plan(iw)
-    oplan = build_onehot_plan(iw)
+    # This shape is deliberately n >> m (dense per-cell contributions) to
+    # exercise the overflow path, which the production overflow gate would
+    # reject — lift the cap for the correctness check.
+    assert build_onehot_plan(iw) is None  # the gate (RESULTS_r5.md §8)
+    oplan = build_onehot_plan(iw, ov_limit=10**9)
     assert oplan is not None
     assert int(oplan.ov_ids.shape[0]) > 0  # overflow path exercised
     fn = make_onehot_rmatvec(plan, oplan)
