@@ -306,8 +306,11 @@ class GPGriefModel(BaseModel):
                 # the SKI build, RESULTS_r4.md §6).
                 from gp_grief_tpu.ops.precond import lowrank_spectral_factor
 
-                sw = jnp.sqrt(w)
-                U_all, lam_all = lowrank_spectral_factor(Phi * sw[None, :])
+                # weights= hook (NOT Phi*sqrt(w) baked into the factor): the
+                # two-stage build orthonormalizes Phi FIRST so the Cholesky
+                # sees κ(Φ)² only — baking the weights in re-introduces the
+                # w₁/w_r conditioning the build exists to avoid.
+                U_all, lam_all = lowrank_spectral_factor(Phi, weights=w)
                 lam_r = jnp.maximum(
                     lam_all[-r:], jnp.finfo(lam_all.dtype).tiny
                 )

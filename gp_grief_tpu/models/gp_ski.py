@@ -450,11 +450,26 @@ class GPSKIRegression(BaseModel):
             mv_fast = self._matvec_bm(
                 factors, sigma2, precision=lax.Precision.DEFAULT
             )
+            if pre is not None:
+                # Whitened-basis refinement — the data-space M⁻¹ hook keeps
+                # the σ² < ε_f32·λmax freeze (RESULTS_r5.md §7); whiten the
+                # fast AND exact operators instead (the HIGHEST-precision
+                # M^{-1/2} applications are cheap next to the matvec).
+                M_inv_sqrt_ = pre[1]
+                solw = cg_solve_refined(
+                    lambda vv: M_inv_sqrt_(mv_fast(M_inv_sqrt_(vv))),
+                    lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv))),
+                    M_inv_sqrt_(rhs_bm),
+                    tol=max(o["cg_tol"], 1e-7), inner_iters=50,
+                    max_restarts=max(1, o["cg_iters"] // 50),
+                    layout="bm",
+                )
+                return M_inv_sqrt_(solw)
             return cg_solve_refined(
                 mv_fast, mv, rhs_bm,
                 tol=max(o["cg_tol"], 1e-7), inner_iters=50,
                 max_restarts=max(1, o["cg_iters"] // 50),
-                M_inv=M_inv, layout="bm",
+                layout="bm",
             )
         # implicit_diff=False: the NLML stop-gradients these solutions and
         # differentiates through BBMM surrogates, and predict never
@@ -592,16 +607,39 @@ class GPSKIRegression(BaseModel):
             ld_off = 0.0
         mv = self._matvec_bm(factors, sigma2)
 
-        alpha = cg_solve_segmented(
-            mv,
-            self.y[None, :],
-            tol=o["cg_tol"],
-            segment_iters=cg_segment_iters,
-            max_segments=max(1, -(-o["cg_iters"] // cg_segment_iters)),
-            M_inv=M_inv,
-            layout="bm",
-            verbose=verbose,
-        )
+        max_segments = max(1, -(-o["cg_iters"] // cg_segment_iters))
+        if M_inv_sqrt is not None:
+            # Whitened-basis segmented solve — data-space PCG freezes
+            # whenever σ² < ε_f32·λmax (RESULTS_r5.md §7), the exact regime
+            # this method targets; same composition as _solve_bm.
+            def wrhs():
+                return M_inv_sqrt(self.y[None, :])
+
+            wp, wc = explicit_closure(wrhs)
+            solw = cg_solve_segmented(
+                lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))),
+                jax.jit(wp)(wc),
+                tol=o["cg_tol"], segment_iters=cg_segment_iters,
+                max_segments=max_segments, layout="bm", verbose=verbose,
+            )
+
+            def unw(s):
+                return M_inv_sqrt(s)
+
+            up, uc = explicit_closure(
+                unw, jax.ShapeDtypeStruct(solw.shape, solw.dtype)
+            )
+            alpha = jax.jit(up)(uc, solw)
+        else:
+            alpha = cg_solve_segmented(
+                mv,
+                self.y[None, :],
+                tol=o["cg_tol"],
+                segment_iters=cg_segment_iters,
+                max_segments=max_segments,
+                layout="bm",
+                verbose=verbose,
+            )
 
         def quad_prog(a_bm):
             a = a_bm[0]
@@ -808,17 +846,64 @@ class GPSKIRegression(BaseModel):
         """One training step's solves, host-segmented: returns
         ``(sol (1+R, dim), z (R, dim))`` — the y-solve plus the Hutchinson
         probe solves in the solver's working space (lattice γ's or
-        data-space α's)."""
+        data-space α's).
+
+        The init/segment/finish programs are built and compiled ONCE per
+        ``(R, cg_segment_iters)`` and reused across Adam steps: parameters
+        and the step's spectra are explicit program ARGUMENTS (an ``aux``
+        pytree threaded through the CG state), so no retrace or recompile
+        happens per step (round-2 review finding)."""
+        o = self._opts
+        lattice = self.solver == "lattice"
+        cache_key = (R, cg_segment_iters, lattice)
+        if getattr(self, "_segtrain_key", None) != cache_key:
+            self._segtrain_key = cache_key
+            self._segtrain_progs = self._build_step_programs(R, cg_segment_iters)
+        init_p, seg_p, fin_p = self._segtrain_progs
+        init_fn, init_c = init_p
+        seg_fn, seg_c = seg_p
+        fin_fn, fin_c = fin_p
+
+        aux, state, bnorm, rnorm, z = init_fn(init_c, params, key)
+        eff_tol = max(float(o["cg_tol"]), 20.0 * float(jnp.finfo(self.y.dtype).eps))
+        stop = eff_tol * np.maximum(np.asarray(bnorm), float(jnp.finfo(self.y.dtype).tiny))
+        rnorm_h = np.asarray(rnorm)
+        dead_h = np.zeros(rnorm_h.shape, bool)
+        max_segments = max(1, -(-o["cg_iters"] // cg_segment_iters))
+        for _ in range(max_segments):
+            if not np.any((rnorm_h > stop) & ~dead_h):
+                break
+            state, rnorm, dead = seg_fn(seg_c, aux, state)
+            rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+        return fin_fn(fin_c, aux, state), z
+
+    def _build_step_programs(self, R, segment_iters):
+        """Compile-once (init, segment, finish) programs for
+        :meth:`_segmented_step_solves` — see there."""
+        from gp_grief_tpu.ops.cg import _make_pcg_step, _reducers
         from gp_grief_tpu.utils.closure import explicit_closure
 
-        o = self._opts
         n = int(self.x.shape[0])
         M = int(np.prod([int(g.shape[0]) for g in self.xg]))
         lattice = self.solver == "lattice"
         dim = M if lattice else n
         r = 0 if lattice else self._precond_rank()
+        _colsum, _colnorm, _bc = _reducers("bm", None)
 
-        def prep(params, key):
+        def build_op(aux):
+            """(operator, unwhiten) from the step's spectra pytree."""
+            if lattice:
+                Qs, wjs = aux
+                _, white = self._make_lattice_ops(Qs, wjs)
+                return white, (lambda s: s)
+            factors, sigma2, U, lam = aux
+            mv = self._matvec_bm(factors, sigma2)
+            if U is None:
+                return mv, (lambda s: s)
+            _, M_inv_sqrt, _ = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+            return (lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))), M_inv_sqrt
+
+        def init_fn(params, key):
             sigma2 = jnp.exp(params["log_noise"])
             factors = cov_grid(
                 params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
@@ -826,70 +911,57 @@ class GPSKIRegression(BaseModel):
             z = jax.random.rademacher(key, (R, dim), dtype=self.y.dtype)
             if lattice:
                 Qs, wjs, _ = self._lattice_spectra(factors, sigma2)
-                return factors, sigma2, Qs, wjs, None, None, z
-            U, lam = (
-                self._precond_spectral(factors, r) if r > 0 else (None, None)
-            )
-            return factors, sigma2, None, None, U, lam, z
-
-        pp, pc = explicit_closure(
-            prep,
-            jax.tree.map(
-                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
-                params,
-            ),
-            jax.ShapeDtypeStruct(key.shape, key.dtype),
-        )
-        factors, sigma2, Qs, wjs, U, lam, z = jax.jit(pp)(pc, params, key)
-
-        max_segments = max(1, -(-o["cg_iters"] // cg_segment_iters))
-        if lattice:
-            msqrt, white = self._make_lattice_ops(Qs, wjs)
-
-            def rhs_fn(z):
-                return jnp.concatenate(
+                aux = (Qs, wjs)
+                msqrt, _ = self._make_lattice_ops(Qs, wjs)
+                rhs = jnp.concatenate(
                     [msqrt(self._rmatvec_bm(self.y[None, :])), z], axis=0
                 )
+            else:
+                U, lam = (
+                    self._precond_spectral(factors, r) if r > 0 else (None, None)
+                )
+                aux = (factors, sigma2, U, lam)
+                rhs = jnp.concatenate([self.y[None, :], z], axis=0)
+                if U is not None:
+                    _, M_inv_sqrt, _ = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+                    rhs = M_inv_sqrt(rhs)
+            # x0 = 0 → r0 = rhs; no inner preconditioner in the whitened space.
+            x0 = jnp.zeros_like(rhs)
+            rz0 = _colsum(rhs * rhs)
+            state = (x0, rhs, rhs, rhs, rz0, jnp.zeros(rz0.shape, bool))
+            return aux, state, _colnorm(rhs), _colnorm(rhs), z
 
-            rp, rc = explicit_closure(
-                rhs_fn, jax.ShapeDtypeStruct(z.shape, z.dtype)
-            )
-            rhs = jax.jit(rp)(rc, z)
-            sol = cg_solve_segmented(
-                white, rhs, tol=o["cg_tol"], segment_iters=cg_segment_iters,
-                max_segments=max_segments, layout="bm",
-            )
-            return sol, z
-        mv = self._matvec_bm(factors, sigma2)
-        rhs = jnp.concatenate([self.y[None, :], z], axis=0)
-        if U is not None:
-            _, M_inv_sqrt, _ = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+        def seg_fn(aux, state):
+            op, _ = build_op(aux)
+            step = _make_pcg_step(op, lambda rr: rr, _colsum, _bc)
 
-            def rhs_fn(rhs):
-                return M_inv_sqrt(rhs)
+            def body(s, _):
+                return step(*s), None
 
-            rp, rc = explicit_closure(
-                rhs_fn, jax.ShapeDtypeStruct(rhs.shape, rhs.dtype)
-            )
-            solw = cg_solve_segmented(
-                lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))),
-                jax.jit(rp)(rc, rhs), tol=o["cg_tol"],
-                segment_iters=cg_segment_iters, max_segments=max_segments,
-                layout="bm",
-            )
+            state, _ = lax.scan(body, state, None, length=segment_iters)
+            return state, _colnorm(state[1]), state[5]
 
-            def unw(solw):
-                return M_inv_sqrt(solw)
+        def fin_fn(aux, state):
+            _, unw = build_op(aux)
+            return unw(state[0])
 
-            up, uc = explicit_closure(
-                unw, jax.ShapeDtypeStruct(solw.shape, solw.dtype)
-            )
-            return jax.jit(up)(uc, solw), z
-        sol = cg_solve_segmented(
-            mv, rhs, tol=o["cg_tol"], segment_iters=cg_segment_iters,
-            max_segments=max_segments, layout="bm",
+        sds = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t
         )
-        return sol, z
+        key0 = jax.random.PRNGKey(0)
+        ip, ic = explicit_closure(
+            init_fn, sds(self.params), jax.ShapeDtypeStruct(key0.shape, key0.dtype)
+        )
+        out_sds = jax.eval_shape(ip, ic, sds(self.params),
+                                 jax.ShapeDtypeStruct(key0.shape, key0.dtype))
+        aux_sds, state_sds = out_sds[0], out_sds[1]
+        sp, sc = explicit_closure(seg_fn, aux_sds, state_sds)
+        fp, fc = explicit_closure(fin_fn, aux_sds, state_sds)
+        return (
+            (jax.jit(ip), ic),
+            (jax.jit(sp), sc),
+            (jax.jit(fp), fc),
+        )
 
     # -- prediction --------------------------------------------------------------
 

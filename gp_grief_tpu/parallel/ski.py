@@ -70,10 +70,10 @@ def build_sharded_interp(x_pad: np.ndarray, xg, n_devices: int):
     (ELL width ``K``, overflow length, sorted-stream length) to the maxima
     with weight-0 entries (inert by construction: a 0-weight slot/overflow
     update adds exactly 0), and stacks every field on a leading device axis.
-    Returns ``(stacked_plan, stacked_idx, stacked_w, shape)`` where
-    ``stacked_idx/w`` are the per-dim interpolation indices/weights
-    ``(n_devices, n_loc)`` / ``(n_devices, n_loc, 2)`` used by the sharded
-    preconditioner build.
+    Returns ``(stacked_plan, stacked_idx, stacked_w)`` where ``stacked_idx/w``
+    are the per-dim interpolation indices/weights ``(n_devices, n_loc)`` /
+    ``(n_devices, n_loc, 2)`` used by the sharded preconditioner build (the
+    lattice shape rides on ``stacked_plan.shape``).
     """
     n_pad = x_pad.shape[0]
     assert n_pad % n_devices == 0
@@ -579,11 +579,14 @@ class ShardedGPSKIRegression(BaseModel):
                 layout="bm", implicit_diff=False, axis_name=an,
             )
 
-        def prep_local(y_loc, mk, plan_st, idx_st, w_st):
+        # params is an explicit argument (replicated spec) so the cached
+        # compiled programs track parameter updates — a closure would bake
+        # the construction-time values in (round-2 review finding).
+        def prep_local(params, y_loc, mk, plan_st, idx_st, w_st):
             plan = _local_plan(plan_st)
-            sigma2 = jnp.exp(self.params["log_noise"])
+            sigma2 = jnp.exp(params["log_noise"])
             factors = cov_grid(
-                self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+                params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
             )
             solve = _local_solver(plan, mk, idx_st, w_st, factors, sigma2)
             alpha = solve(y_loc[None, :])[0]
@@ -593,19 +596,20 @@ class ShardedGPSKIRegression(BaseModel):
             Kw_alpha = kron_matvec_fast(factors, Wt_a)
             return Kw_alpha
 
-        def var_local(y_loc, mk, plan_st, idx_st, w_st, u_bm):
+        def var_local(params, y_loc, mk, plan_st, idx_st, w_st, u_bm):
             # u_bm: (c, M) replicated lattice rows K Wᵀ* of the test chunk.
             plan = _local_plan(plan_st)
-            sigma2 = jnp.exp(self.params["log_noise"])
+            sigma2 = jnp.exp(params["log_noise"])
             factors = cov_grid(
-                self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
+                params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
             )
             solve = _local_solver(plan, mk, idx_st, w_st, factors, sigma2)
             C_loc = interp_matvec_bm_fast(plan, u_bm) * mk[None, :]  # (c, n_loc)
             Sol = solve(C_loc)
             return lax.psum(jnp.sum(C_loc * Sol, axis=1), an)  # (c,)
 
-        plan_in = (P(an), P(an), _plan_specs(an),
+        param_specs = jax.tree.map(lambda _: P(), self.params)
+        plan_in = (param_specs, P(an), P(an), _plan_specs(an),
                    tuple(P(an, None) for _ in self._sidx),
                    tuple(P(an, None, None) for _ in self._sw))
         if not hasattr(self, "_predict_progs") or self._predict_progs[0] != chunk:
@@ -621,7 +625,7 @@ class ShardedGPSKIRegression(BaseModel):
             self._predict_progs = (chunk, prep, varp)
         _, prep, varp = self._predict_progs
 
-        Kw_alpha = prep(self.y, self.mask, self._plan, self._sidx, self._sw)
+        Kw_alpha = prep(self.params, self.y, self.mask, self._plan, self._sidx, self._sw)
         factors = cov_grid(
             self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
         )
@@ -636,7 +640,7 @@ class ShardedGPSKIRegression(BaseModel):
                 Wst = interp_rmatvec_bm(iw_c, jnp.eye(c, dtype=self.x.dtype))
                 eyeC = jnp.eye(c, dtype=self.x.dtype)
                 u = kron_matvec_fast((eyeC, *factors), Wst.reshape(-1)).reshape(c, -1)
-                qf = varp(self.y, self.mask, self._plan, self._sidx, self._sw, u)
+                qf = varp(self.params, self.y, self.mask, self._plan, self._sidx, self._sw, u)
                 prior = GPSKIRegression._prior_diag(factors, iw_c)
                 vars_.append(np.maximum(np.asarray(prior) - np.asarray(qf), 0.0))
         mean = np.concatenate(means)[:n_star]
