@@ -133,40 +133,57 @@ class GPKroneckerRegression(BaseModel):
             z = kron_matvec(tuple(Q.T for Q in Qs), self.y)
             quad = jnp.sum(z * z / (lam + sigma2))
         else:
-            M_inv = None
+            # Whitened-basis solve when deflated (data-space PCG freezes
+            # whenever σ² < ε_f32·λmax — RESULTS_r5.md §7); the Kronecker
+            # deflation whitener is closed-form (kron_deflation_sqrt_ops).
+            M_inv_sqrt = None
             if self.precond_rank > 0:
-                from gp_grief_tpu.ops.precond import kron_deflation_preconditioner
+                from gp_grief_tpu.ops.precond import kron_deflation_sqrt_ops
                 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
                 _, idx = top_p_kron_eigs(lams, self.precond_rank)
-                M_inv = kron_deflation_preconditioner(Qs, lams, idx, sigma2)
+                _, M_inv_sqrt, _ = kron_deflation_sqrt_ops(
+                    Qs, lams, idx, sigma2
+                )
+            _w = M_inv_sqrt if M_inv_sqrt is not None else (lambda v: v)
+
+            def mv_exact_w(v):
+                u = _w(v)
+                return _w(kron_matvec_fast(factors, u) + sigma2 * u)
+
+            rhs_w = _w(self.y)
             if self.cg_precision in ("mixed", "mixed16"):
                 from gp_grief_tpu.ops.cg import cg_solve_refined
 
-                alpha = cg_solve_refined(
-                    lambda v: kron_matvec_fast(
-                        factors, v, precision=jax.lax.Precision.DEFAULT
+                def mv_fast_w(v):
+                    u = _w(v)
+                    return _w(
+                        kron_matvec_fast(
+                            factors, u, precision=jax.lax.Precision.DEFAULT
+                        )
+                        + sigma2 * u
                     )
-                    + sigma2 * v,
-                    lambda v: kron_matvec_fast(factors, v) + sigma2 * v,
-                    self.y,
+
+                alpha_w = cg_solve_refined(
+                    mv_fast_w,
+                    mv_exact_w,
+                    rhs_w,
                     tol=max(self.cg_tol, 1e-7),
                     inner_iters=50,
                     max_restarts=max(1, self.cg_iters // 50),
-                    M_inv=M_inv,
                     state_dtype=(
                         jnp.bfloat16 if self.cg_precision == "mixed16" else None
                     ),
                 )
             else:
-                alpha = cg_solve(
-                    lambda v: kron_matvec_fast(factors, v) + sigma2 * v,
-                    self.y,
+                alpha_w = cg_solve(
+                    mv_exact_w,
+                    rhs_w,
                     tol=self.cg_tol,
                     max_iters=self.cg_iters,
-                    M_inv=M_inv,
                 )
-            quad = jnp.dot(self.y, alpha)
+            # quad = yᵀA⁻¹y = (M⁻½y)ᵀ (M⁻½AM⁻½)⁻¹ (M⁻½y) = rhs_w·alpha_w.
+            quad = jnp.dot(rhs_w, alpha_w)
         logdet = jnp.sum(jnp.log(lam + sigma2))
         return 0.5 * (quad + logdet + self.m * jnp.log(2.0 * jnp.pi))
 
@@ -196,23 +213,34 @@ class GPKroneckerRegression(BaseModel):
             return factors, sigma2, Qs, lams, logdet
 
         factors, sigma2, Qs, lams, logdet = prep(self.params)
-        M_inv = None
+        # Whitened-basis segmented solve when deflated (data-space PCG
+        # freezes whenever σ² < ε_f32·λmax — RESULTS_r5.md §7).
+        _w = lambda v: v  # noqa: E731
         if self.precond_rank > 0:
-            from gp_grief_tpu.ops.precond import kron_deflation_preconditioner
+            from gp_grief_tpu.ops.precond import kron_deflation_sqrt_ops
             from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
             _, idx = top_p_kron_eigs(lams, self.precond_rank)
-            M_inv = kron_deflation_preconditioner(Qs, lams, idx, sigma2)
-        alpha = cg_solve_segmented(
-            lambda v: kron_matvec_fast(factors, v) + sigma2 * v,
-            self.y,
+            _, _w, _ = kron_deflation_sqrt_ops(Qs, lams, idx, sigma2)
+
+        def mv_w(v):
+            u = _w(v)
+            return _w(kron_matvec_fast(factors, u) + sigma2 * u)
+
+        from gp_grief_tpu.utils.closure import explicit_closure
+
+        rp, rc = explicit_closure(lambda: _w(self.y))
+        rhs_w = jax.jit(rp)(rc)
+        alpha_w = cg_solve_segmented(
+            mv_w,
+            rhs_w,
             tol=self.cg_tol,
             segment_iters=cg_segment_iters,
             max_segments=max(1, -(-self.cg_iters // cg_segment_iters)),
-            M_inv=M_inv,
             verbose=verbose,
         )
-        quad = float(jnp.dot(self.y, alpha))
+        # quad = yᵀA⁻¹y = (M⁻½y)ᵀ(M⁻½AM⁻½)⁻¹(M⁻½y).
+        quad = float(jnp.dot(rhs_w, alpha_w))
         return -0.5 * (quad + float(logdet) + self.m * float(np.log(2.0 * np.pi)))
 
     def predict(

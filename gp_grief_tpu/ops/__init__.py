@@ -31,6 +31,7 @@ from gp_grief_tpu.ops.khatri_rao import (
 from gp_grief_tpu.ops.kron_fast import group_factors, kron_matvec_fast
 from gp_grief_tpu.ops.precond import (
     kron_deflation_preconditioner,
+    kron_deflation_sqrt_ops,
     lowrank_preconditioner,
     lowrank_spectral_factor,
     lowrank_sqrt_ops,
@@ -64,6 +65,7 @@ from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol, stable_cholesky
 __all__ = [
     "kron_matvec_fast",
     "kron_deflation_preconditioner",
+    "kron_deflation_sqrt_ops",
     "lowrank_preconditioner",
     "lowrank_spectral_factor",
     "lowrank_sqrt_ops",

@@ -58,8 +58,32 @@ def kron_deflation_preconditioner(
       sigma2: the diagonal shift.
 
     Returns an SPD ``M_inv(v)`` closure for ``cg_solve``; ``v`` may be
-    ``(m,)`` or ``(m, B)``.
+    ``(m,)`` or ``(m, B)``.  For a whitened-basis solve (required whenever
+    ``σ² < ε_f32·λmax`` — RESULTS_r5.md §7), use
+    :func:`kron_deflation_sqrt_ops`.
     """
+    M_inv, _, _ = kron_deflation_sqrt_ops(
+        Qs, lams, idx, sigma2, precision=precision
+    )
+    return M_inv
+
+
+def kron_deflation_sqrt_ops(
+    Qs: Sequence[jax.Array],
+    lams: Sequence[jax.Array],
+    idx: jax.Array,
+    sigma2,
+    *,
+    precision=lax.Precision.HIGHEST,
+):
+    """Closed-form ``(M_inv, M_inv_sqrt, logdet_M)`` of the rank-p Kronecker
+    deflation ``M = Q_p Λ_p Q_pᵀ + σ²I`` (see
+    :func:`kron_deflation_preconditioner`): spectral functions act as
+    ``f(M) = f(σ²)·I + Q_p (f(λ+σ²) − f(σ²)) Q_pᵀ`` with ``Q_p`` applied via
+    two structured Kron matvecs and a p-entry eigen-lattice gather/scatter.
+    ``M_inv_sqrt`` enables whitened CG/SLQ on the grid operator
+    (``log|A| = logdet_M + log|M⁻½AM⁻½|``) — data-space PCG freezes whenever
+    ``σ² < ε_f32·λmax`` (RESULTS_r5.md §7)."""
     Qs = tuple(Qs)
     sizes = [int(Q.shape[0]) for Q in Qs]
     m = math.prod(sizes)
@@ -74,20 +98,27 @@ def kron_deflation_preconditioner(
         s *= md
     strides = jnp.asarray(list(reversed(strides)), dtype=idx.dtype)  # (d,)
     flat = jnp.sum(idx * strides[None, :], axis=1)  # (p,)
-    inv_sigma2 = 1.0 / sigma2
-    coef = 1.0 / (lam_p + sigma2) - inv_sigma2  # (p,) negative values
     QT = tuple(Q.T for Q in Qs)
 
-    def M_inv(v: jax.Array) -> jax.Array:
-        squeeze = v.ndim == 1
-        vv = v[:, None] if squeeze else v
-        z = kron_matvec_fast(QT, vv, precision=precision)  # (m, B) eigen basis
-        zp = z[flat, :] * coef[:, None]
-        u = jnp.zeros((m, vv.shape[1]), dtype=vv.dtype).at[flat, :].set(zp)
-        out = inv_sigma2 * vv + kron_matvec_fast(Qs, u, precision=precision)
-        return out[:, 0] if squeeze else out
+    def _apply(diag_fun):
+        base = diag_fun(sigma2)
+        coef = diag_fun(lam_p + sigma2) - base  # (p,)
 
-    return M_inv
+        def op(v: jax.Array) -> jax.Array:
+            squeeze = v.ndim == 1
+            vv = v[:, None] if squeeze else v
+            z = kron_matvec_fast(QT, vv, precision=precision)  # eigen basis
+            zp = z[flat, :] * coef[:, None]
+            u = jnp.zeros((m, vv.shape[1]), dtype=vv.dtype).at[flat, :].set(zp)
+            out = base * vv + kron_matvec_fast(Qs, u, precision=precision)
+            return out[:, 0] if squeeze else out
+
+        return op
+
+    logdet_M = jnp.sum(jnp.log(lam_p + sigma2)) + (m - idx.shape[0]) * jnp.log(
+        sigma2
+    )
+    return _apply(lambda s_: 1.0 / s_), _apply(lambda s_: 1.0 / jnp.sqrt(s_)), logdet_M
 
 
 def lowrank_sqrt_ops(

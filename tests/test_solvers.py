@@ -639,3 +639,64 @@ def test_slq_logdet_segmented_accuracy(rng):
     )
     _, want = np.linalg.slogdet(A_np)
     assert abs(ld - want) / abs(want) < 5e-2
+
+
+def test_kron_deflation_sqrt_ops_oracle(rng):
+    """Closed-form Kronecker-deflation spectral ops vs dense oracle:
+    M_inv == inv(M), M_inv_sqrt∘M_inv_sqrt == M_inv, logdet_M exact."""
+    from gp_grief_tpu.ops import (
+        kron_deflation_sqrt_ops,
+        kron_eigh,
+        kron_expand,
+        top_p_kron_eigs,
+    )
+
+    fs = []
+    for m_d in (5, 4):
+        A = rng.standard_normal((m_d, m_d))
+        fs.append(jnp.asarray(A @ A.T + m_d * np.eye(m_d)))
+    Qs, lams = kron_eigh(tuple(fs))
+    p, sigma2 = 7, 0.3
+    log_lam, idx = top_p_kron_eigs(lams, p)
+    M_inv, M_inv_sqrt, ldM = kron_deflation_sqrt_ops(Qs, lams, idx, sigma2)
+
+    m = 20
+    # Dense M from the selected eigenpairs.
+    Kd = np.asarray(kron_expand(tuple(fs)))
+    w_all, V_all = np.linalg.eigh(Kd)
+    ordr = np.argsort(w_all)[::-1][:p]
+    M = (V_all[:, ordr] * w_all[ordr]) @ V_all[:, ordr].T + sigma2 * np.eye(m)
+    V = rng.standard_normal((m, 3))
+    np.testing.assert_allclose(
+        np.asarray(M_inv(jnp.asarray(V))), np.linalg.solve(M, V),
+        rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(M_inv_sqrt(M_inv_sqrt(jnp.asarray(V)))),
+        np.linalg.solve(M, V), rtol=1e-9, atol=1e-11,
+    )
+    assert abs(float(ldM) - np.linalg.slogdet(M)[1]) < 1e-8
+
+
+def test_gpkron_whitened_cg_small_sigma(rng):
+    """The whitened Kronecker CG path matches the exact schur NLML even at
+    σ² far below ε_f32·λmax-equivalent conditioning (the regime where
+    data-space PCG freezes — RESULTS_r5.md §7)."""
+    from gp_grief_tpu.models import GPKroneckerRegression
+    from gp_grief_tpu import make_kernel
+
+    gs = [np.linspace(0, 1, 9)[:, None], np.linspace(0, 2, 8)[:, None]]
+    yg = rng.standard_normal(72)
+    kw = dict(noise_var=1e-6, solver="cg", cg_tol=1e-12, cg_iters=500,
+              precond_rank=40)
+    m = GPKroneckerRegression(
+        gs, yg, [make_kernel("rbf", lengthscale=0.4),
+                 make_kernel("matern32", lengthscale=0.7)], **kw)
+    ms = GPKroneckerRegression(
+        gs, yg, [make_kernel("rbf", lengthscale=0.4),
+                 make_kernel("matern32", lengthscale=0.7)],
+        noise_var=1e-6, solver="schur")
+    ll_cg, ll_s = m.log_likelihood(), ms.log_likelihood()
+    assert abs(ll_cg - ll_s) / abs(ll_s) < 1e-7
+    seg = m.log_likelihood_segmented(cg_segment_iters=40)
+    assert abs(seg - ll_s) / abs(ll_s) < 1e-7
