@@ -77,6 +77,7 @@ class GPKroneckerRegression(BaseModel):
         cg_iters: int = 1000,
         precond_rank: int = 0,
         cg_precision: str = "exact",
+        cg_whiten="auto",
     ):
         self.xg = tuple(jnp.asarray(g) for g in xg)
         if any(g.ndim == 2 and g.shape[1] > 1 for g in self.xg):
@@ -109,6 +110,17 @@ class GPKroneckerRegression(BaseModel):
         if cg_precision not in ("exact", "mixed", "mixed16"):
             raise ValueError("cg_precision must be 'exact', 'mixed' or 'mixed16'")
         self.cg_precision = cg_precision
+        # Whitened-basis CG (M^{-1/2} A M^{-1/2}) is REQUIRED when
+        # σ² < ε_f32·λmax (data-space PCG's curvature is unresolvable and
+        # the breakdown guard freezes it — RESULTS_r5.md §7), but costs ~2
+        # extra HIGHEST Kron matvecs per iteration (measured: the m=33.5M
+        # mixed16 NLML regressed 2.2 → 14.6 s when whitened always-on).
+        # "auto" decides STATICALLY from the construction noise: tiny noise
+        # → whitened.  Pass True explicitly if training may drive σ² below
+        # ~ε_f32·λmax of your grid Gram.
+        if cg_whiten == "auto":
+            cg_whiten = float(noise_var) < 1e-4
+        self.cg_whiten = bool(cg_whiten)
         kerns = (
             list(kern_list)
             if isinstance(kern_list, (list, tuple))
@@ -133,19 +145,22 @@ class GPKroneckerRegression(BaseModel):
             z = kron_matvec(tuple(Q.T for Q in Qs), self.y)
             quad = jnp.sum(z * z / (lam + sigma2))
         else:
-            # Whitened-basis solve when deflated (data-space PCG freezes
-            # whenever σ² < ε_f32·λmax — RESULTS_r5.md §7); the Kronecker
-            # deflation whitener is closed-form (kron_deflation_sqrt_ops).
-            M_inv_sqrt = None
+            # cg_whiten: solve M⁻½AM⁻½ (required at tiny σ² — RESULTS_r5.md
+            # §7); else the historical data-space M⁻¹-PCG (2 fewer HIGHEST
+            # Kron matvecs per iteration).  Closed-form whitener either way
+            # (kron_deflation_sqrt_ops).
+            M_inv = M_inv_sqrt = None
             if self.precond_rank > 0:
                 from gp_grief_tpu.ops.precond import kron_deflation_sqrt_ops
                 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
                 _, idx = top_p_kron_eigs(lams, self.precond_rank)
-                _, M_inv_sqrt, _ = kron_deflation_sqrt_ops(
+                M_inv, M_inv_sqrt, _ = kron_deflation_sqrt_ops(
                     Qs, lams, idx, sigma2
                 )
-            _w = M_inv_sqrt if M_inv_sqrt is not None else (lambda v: v)
+            whiten = self.cg_whiten and M_inv_sqrt is not None
+            _w = M_inv_sqrt if whiten else (lambda v: v)
+            M_inv_hook = None if whiten else M_inv
 
             def mv_exact_w(v):
                 u = _w(v)
@@ -171,6 +186,7 @@ class GPKroneckerRegression(BaseModel):
                     tol=max(self.cg_tol, 1e-7),
                     inner_iters=50,
                     max_restarts=max(1, self.cg_iters // 50),
+                    M_inv=M_inv_hook,
                     state_dtype=(
                         jnp.bfloat16 if self.cg_precision == "mixed16" else None
                     ),
@@ -181,6 +197,7 @@ class GPKroneckerRegression(BaseModel):
                     rhs_w,
                     tol=self.cg_tol,
                     max_iters=self.cg_iters,
+                    M_inv=M_inv_hook,
                 )
             # quad = yᵀA⁻¹y = (M⁻½y)ᵀ (M⁻½AM⁻½)⁻¹ (M⁻½y) = rhs_w·alpha_w.
             quad = jnp.dot(rhs_w, alpha_w)
@@ -213,15 +230,20 @@ class GPKroneckerRegression(BaseModel):
             return factors, sigma2, Qs, lams, logdet
 
         factors, sigma2, Qs, lams, logdet = prep(self.params)
-        # Whitened-basis segmented solve when deflated (data-space PCG
-        # freezes whenever σ² < ε_f32·λmax — RESULTS_r5.md §7).
+        # cg_whiten: segmented whitened solve (required at tiny σ² —
+        # RESULTS_r5.md §7); else data-space M⁻¹-PCG segments.
         _w = lambda v: v  # noqa: E731
+        M_inv_hook = None
         if self.precond_rank > 0:
             from gp_grief_tpu.ops.precond import kron_deflation_sqrt_ops
             from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
             _, idx = top_p_kron_eigs(lams, self.precond_rank)
-            _, _w, _ = kron_deflation_sqrt_ops(Qs, lams, idx, sigma2)
+            M_inv, M_inv_sqrt, _ = kron_deflation_sqrt_ops(Qs, lams, idx, sigma2)
+            if self.cg_whiten:
+                _w = M_inv_sqrt
+            else:
+                M_inv_hook = M_inv
 
         def mv_w(v):
             u = _w(v)
@@ -237,6 +259,7 @@ class GPKroneckerRegression(BaseModel):
             tol=self.cg_tol,
             segment_iters=cg_segment_iters,
             max_segments=max(1, -(-self.cg_iters // cg_segment_iters)),
+            M_inv=M_inv_hook,
             verbose=verbose,
         )
         # quad = yᵀA⁻¹y = (M⁻½y)ᵀ(M⁻½AM⁻½)⁻¹(M⁻½y).

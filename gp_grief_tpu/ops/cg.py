@@ -528,6 +528,15 @@ def cg_solve_refined(
             )
             x = x + d
             rnorm = _colnorm(rhs - mv_exact(x))
+            # NaN-poisoning guard: the inner low-precision CG can overflow
+            # its iterate to inf one step before its own freeze triggers
+            # (alpha = rz/denormal-pAp), making this rnorm NaN.  Unsanitized,
+            # `NaN > stop` is False — the loop exits looking "converged",
+            # the divergence brake never trips, and the FALLBACK is skipped:
+            # measured x = 0 returned as the solution (2.7×-wrong NLML at
+            # the m=33.5M / rank-512 config, RESULTS_r5.md §12).  Map
+            # non-finite residuals to +inf so every comparison stays honest.
+            rnorm = jnp.where(jnp.isfinite(rnorm), rnorm, jnp.inf)
             better = rnorm < rnorm_best
             x_best = jnp.where(_bc(better), x, x_best)
             rnorm_best = jnp.minimum(rnorm, rnorm_best)
@@ -538,15 +547,16 @@ def cg_solve_refined(
             cond, body, (x0, x0, bnorm, bnorm, jnp.asarray(0, jnp.int32))
         )
 
-        # Graceful degradation: if refinement clearly failed (couldn't even
-        # cut the residual 10×), the operator is outside the mixed-precision
-        # convergence regime — finish with plain exact-matvec CG from the
-        # best iterate, so "mixed" is never *worse* than "exact" in result,
-        # only in (rare-failure-case) time.
-        failed = jnp.logical_and(
-            jnp.any(rnorm_best > stop),
-            jnp.all(rnorm_best > 0.1 * jnp.maximum(bnorm, jnp.finfo(rhs.dtype).tiny)),
-        )
+        # Graceful degradation: if refinement exits with ANY column above
+        # tolerance, finish with plain exact-matvec CG warm-started from the
+        # best iterate — so "mixed" is never *worse* than "exact" in result,
+        # only in (failure-case) time.  The earlier laxer bar ("fall back
+        # only if refinement couldn't even cut the residual 10×") returned
+        # partially-converged iterates whose rel residual ~0.05 passed as
+        # solutions — a 2.7×-wrong NLML at the m=33.5M / rank-512 config
+        # (benchmarks/RESULTS_r5.md §12).  A near-converged warm start costs
+        # the exact solver only a few iterations, so tightening is cheap.
+        failed = jnp.any(rnorm_best > stop)
 
         def _fallback(xb):
             x, info = _cg_raw(

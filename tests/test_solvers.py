@@ -700,3 +700,51 @@ def test_gpkron_whitened_cg_small_sigma(rng):
     assert abs(ll_cg - ll_s) / abs(ll_s) < 1e-7
     seg = m.log_likelihood_segmented(cg_segment_iters=40)
     assert abs(seg - ll_s) / abs(ll_s) < 1e-7
+
+
+def test_cg_refined_partial_convergence_falls_back(rng):
+    """When bf16 inner refinement stalls ABOVE tolerance (but below the old
+    10x-reduction bar), the exact-CG fallback must finish the solve — the
+    lax bar returned rel~0.05 iterates as 'solutions' (2.7x-wrong NLML at
+    the 33.5M/rank-512 config)."""
+    from gp_grief_tpu.ops import cg_solve_refined
+
+    n = 80
+    # Ill-conditioned enough that bf16 inner CG stalls at rel ~eps_bf16*kappa
+    # (far above 1e-10, but below the old 10x bar), with an iteration budget
+    # the exact fallback CAN meet.
+    A_np = _spd(rng, n, cond=1e4)
+    A = jnp.asarray(A_np)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, info = cg_solve_refined(
+        lambda v: A @ v, lambda v: A @ v, b, tol=1e-10, inner_iters=20,
+        max_restarts=10, state_dtype=jnp.bfloat16, return_info=True,
+    )
+    want = np.linalg.solve(A_np, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-6, atol=1e-8)
+    assert float(info.residual_norm[0]) < 1e-8 * np.linalg.norm(np.asarray(b))
+
+
+def test_cg_refined_nan_inner_still_exact(rng):
+    """A fast operator whose inner solve overflows to non-finite values must
+    not poison the outer bookkeeping: NaN residuals map to +inf, the brake
+    trips, and the exact fallback still returns the true solution (the NaN
+    path previously exited looking 'converged' with x = 0 — RESULTS_r5 §12)."""
+    from gp_grief_tpu.ops import cg_solve_refined
+
+    n = 50
+    A_np = _spd(rng, n, cond=100.0)
+    A = jnp.asarray(A_np)
+    b = jnp.asarray(rng.standard_normal(n))
+
+    def mv_broken(v):  # denormal curvature → alpha = rz/pAp overflows x
+        return A @ v * 1e-300
+
+    x, info = cg_solve_refined(
+        mv_broken, lambda v: A @ v, b, tol=1e-10, inner_iters=20,
+        max_restarts=10, return_info=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(A_np, np.asarray(b)), rtol=1e-7
+    )
+    assert np.isfinite(float(info.residual_norm[0]))
