@@ -167,7 +167,19 @@ class GPKroneckerRegression(BaseModel):
                 return _w(kron_matvec_fast(factors, u) + sigma2 * u)
 
             rhs_w = _w(self.y)
-            if self.cg_precision in ("mixed", "mixed16"):
+            # Deflation + refined-mixed DO NOT COMPOSE on this operator: the
+            # bf16 matvec's absolute error (∝ λmax) dominates the operator's
+            # action on the deflated subspace (measured |Ap_fast| 5.8× off at
+            # m=33.5M/r=512), the inner solves diverge, and the on-TPU
+            # composition resisted even the exact-CG fallback (RESULTS_r5.md
+            # §12).  Deep deflation + exact CG is strictly faster anyway
+            # (r=2048: 0.29 s warm vs the best-ever mixed16 claim of 2.17 s),
+            # so mixed precision is honored only unpreconditioned.
+            use_mixed = (
+                self.cg_precision in ("mixed", "mixed16")
+                and self.precond_rank == 0
+            )
+            if use_mixed:
                 from gp_grief_tpu.ops.cg import cg_solve_refined
 
                 def mv_fast_w(v):
