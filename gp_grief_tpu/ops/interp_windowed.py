@@ -1,0 +1,346 @@
+"""Windowed (VMEM-sized-source) interpolation applies for the n ≳ m regime.
+
+At n = 1M on a 32⁴ lattice, the exact ELL slot-gather ``Wᵀ``
+(:func:`gp_grief_tpu.ops.interp.interp_rmatvec_bm_exact`) and the fused
+corner gather ``W`` both read from (B, ~1M) f32 sources (≥16 MB at B=4):
+XLA's TPU gather drops to ~0.65 G elem/s there, vs ~1.6+ G elem/s from
+VMEM-scale sources (benchmarks/exp_r6_windowed_gather.py; the r3 3.2 G
+number was measured on 400 KB rows).  Neither Mosaic route helps: TPU
+``dynamic_gather`` is single-vreg (RESULTS_r3.md §3) and the one-hot-matmul
+form needs per-tile point windows that n ≥ m denies (RESULTS_r5.md §8).
+
+The windowed plan restores small-source throughput in pure XLA by making
+every gather source a contiguous ``dynamic_slice``:
+
+* points are **sorted by their base lattice cell** once on host (``perm``);
+* ``Wᵀ``: a ``lax.scan`` over lattice-cell blocks of ``Cb`` cells — a
+  block's contributing points lie in a contiguous sorted-point range of at
+  most ``(Cb + Σ_d stride_d)·density`` (a corner's flat index exceeds its
+  point's base cell by at most ``smax = Σ_d stride_d``), so each iteration
+  slices a (B, Wr) window and gathers window-LOCAL ELL slots from it;
+* ``W``: a scan over sorted-point blocks of ``P`` points — a block's 2^d
+  corner cells lie in a contiguous lattice range of width ``≤ P·spread +
+  smax``, so each iteration slices a (B, Wc) lattice window.
+
+Inside the lattice-dual SKI operator the hot composition is ``Wᵀ(W(v))``
+(:meth:`gp_grief_tpu.models.gp_ski.GPSKIRegression._make_lattice_ops`):
+both directions use the SAME sorted point order, so the permutation
+cancels in the hot loop and only the solve *boundaries* (Wᵀy, the final
+α/prediction maps) pay one (B, n) permutation gather each.
+
+Both applies carry ``jax.custom_vjp`` whose backward is the opposite
+direction (``W`` and ``Wᵀ`` are adjoint linear maps with constant
+coefficients) — autodiff through the raw gathers would otherwise emit
+TPU scatter-adds (~143 M elem/s, RESULTS_r3.md §1) in every backward pass.
+
+Reference parity note: this implements the same sparse Khatri-Rao ``W``
+as the reference's SelectionMatrixSparse/KhatriRaoMatrix composition
+(SURVEY.md §2 #2/#4); the windowing is a TPU memory-system redesign.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from gp_grief_tpu.ops.interp import InterpWeights
+
+__all__ = [
+    "WindowedPlan",
+    "build_windowed_plan",
+    "windowed_matvec_bm_sorted",
+    "windowed_rmatvec_bm_sorted",
+    "windowed_matvec_bm",
+    "windowed_rmatvec_bm",
+]
+
+
+class WindowedPlan(NamedTuple):
+    """Static per-model windowed-interpolation tables (host-built).
+
+    Point order: ``perm (n,)`` sorts points by base cell; ``inv_perm``
+    undoes it (``u_sorted = u[:, perm]``, ``u = u_sorted[:, inv_perm]``).
+
+    ``Wᵀ`` (lattice blocks): ``wt_starts (T,)`` sorted-point window starts;
+    ``wt_loc/wt_w (T, Cb, K)`` window-local ELL slots (w=0 padding);
+    ``ov_ids/ov_src/ov_w`` exact overflow stream (cells with >K
+    contributions; ``ov_src`` in sorted order).
+
+    ``W`` (point blocks): ``w_starts (Tp,)`` lattice window starts;
+    ``w_loc/w_w (Tp, P, 2^d)`` window-local corner indices and weights for
+    each sorted point (w=0 padding past n).
+
+    Static ints: window widths ``Wr/Wc``, block sizes ``Cb/P``, counts
+    ``T/Tp``, and ``M/n``.
+    """
+
+    perm: jax.Array
+    inv_perm: jax.Array
+    wt_starts: jax.Array
+    wt_loc: jax.Array
+    wt_w: jax.Array
+    ov_ids: jax.Array
+    ov_src: jax.Array
+    ov_w: jax.Array
+    w_starts: jax.Array
+    w_loc: jax.Array
+    w_w: jax.Array
+    Wr: int
+    Cb: int
+    T: int
+    Wc: int
+    P: int
+    Tp: int
+    M: int
+    n: int
+
+
+def _corner_stream(iw: InterpWeights):
+    """All 2^d (corner flat index, weight) pairs per point — host numpy.
+
+    Returns ``(flats (2^d, n) int64, weights (2^d, n))``; clipped corners
+    satisfy ``base ≤ corner ≤ base + smax`` with ``smax = Σ_d stride_d``.
+    """
+    d = len(iw.shape)
+    idx_h = [np.asarray(ix) for ix in iw.idx]
+    w_h = [np.asarray(w) for w in iw.w]
+    n = int(idx_h[0].shape[0])
+    flats, weights = [], []
+    for offsets in itertools.product((0, 1), repeat=d):
+        flat = None
+        w = np.ones(n, dtype=w_h[0].dtype)
+        for dd, off in enumerate(offsets):
+            comp = np.minimum(idx_h[dd] + off, iw.shape[dd] - 1)
+            flat = comp if flat is None else flat * iw.shape[dd] + comp
+            w = w * w_h[dd][:, off]
+        flats.append(flat.astype(np.int64))
+        weights.append(w)
+    return np.stack(flats), np.stack(weights)
+
+
+def build_windowed_plan(
+    iw: InterpWeights,
+    cell_block: int = 8192,
+    point_block: int = 8192,
+    max_slots: int = 64,
+    window_limit: int = 1 << 18,
+) -> WindowedPlan | None:
+    """Host-side (numpy) windowed-plan construction; run once per model.
+
+    Returns ``None`` when a window would exceed ``window_limit`` (severely
+    clustered data: a cell block's contributing-point range, or a point
+    block's corner-cell range, does not stay bounded) — callers fall back
+    to the flat ELL plan.
+    """
+    d = len(iw.shape)
+    M = math.prod(iw.shape)
+    n = int(iw.idx[0].shape[0])
+    strides = np.ones(d, dtype=np.int64)
+    for dd in range(d - 2, -1, -1):
+        strides[dd] = strides[dd + 1] * iw.shape[dd + 1]
+    smax = int(strides.sum())
+
+    flats, weights = _corner_stream(iw)  # (2^d, n)
+    base = flats[0]  # offsets (0,...,0): the point's own cell
+    perm = np.argsort(base, kind="stable")
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(n)
+    base_sorted = base[perm]
+
+    # ---- Wᵀ: ELL over lattice-cell blocks, window-local sources ----------
+    Cb = int(min(cell_block, M))
+    T = -(-M // Cb)
+    # Update stream in sorted-point ids, sorted by cell.
+    flat_all = flats.reshape(-1)
+    w_all = weights.reshape(-1)
+    src_all = inv_perm[np.tile(np.arange(n, dtype=np.int64), 2 ** d)]
+    nz = w_all != 0
+    flat_all, w_all, src_all = flat_all[nz], w_all[nz], src_all[nz]
+    order = np.argsort(flat_all, kind="stable")
+    flat_s, w_s, src_s = flat_all[order], w_all[order], src_all[order]
+    uniq, seg_start = np.unique(flat_s, return_index=True)
+    starts_of = np.zeros(M, np.int64)
+    starts_of[uniq] = seg_start
+    rank = np.arange(len(flat_s)) - starts_of[flat_s]
+    max_rank = int(rank.max()) + 1 if len(rank) else 1
+    hist = np.bincount(rank, minlength=max_rank) if len(rank) else np.zeros(1, np.int64)
+    tail = len(rank) - np.cumsum(hist)
+    K = 1
+    # Same break-even rule as build_interp_plan: one more ELL column costs a
+    # B·M-element gather, an overflow entry a serialized scatter (~22×).
+    while K < min(max_rank, max_slots) and int(tail[K - 1]) > M // 22:
+        K += 1
+
+    # Window per cell block: contributing points have base in
+    # [c0 - smax, c0 + Cb) → a contiguous sorted range.
+    c0s = np.arange(T, dtype=np.int64) * Cb
+    lo = np.searchsorted(base_sorted, c0s - smax, side="left")
+    hi = np.searchsorted(base_sorted, c0s + Cb - 1, side="right")
+    need = int((hi - lo).max()) if T else 1
+    Wr = min(n, -(-max(need, 1) // 512) * 512)
+    if Wr > window_limit:
+        return None
+    wt_starts = np.minimum(lo, n - Wr).astype(np.int64)
+    wt_starts = np.maximum(wt_starts, 0)
+
+    in_slot = rank < K
+    tile = flat_s // Cb
+    local_src = src_s - wt_starts[tile]
+    # In-slot entries must land inside their block's window; guaranteed by
+    # construction (assert cheaply for the clamped edge blocks).
+    ok = (local_src >= 0) & (local_src < Wr)
+    if not bool(np.all(ok[in_slot])):  # pragma: no cover - construction bug
+        raise AssertionError("windowed plan: slot source outside its window")
+    cell_local = flat_s - tile * Cb
+    wt_loc = np.zeros((T, Cb, K), np.int64)
+    wt_w = np.zeros((T, Cb, K), w_all.dtype)
+    wt_loc[tile[in_slot], cell_local[in_slot], rank[in_slot]] = local_src[in_slot]
+    wt_w[tile[in_slot], cell_local[in_slot], rank[in_slot]] = w_s[in_slot]
+    ov = ~in_slot
+
+    # ---- W: corner gathers over sorted-point blocks ----------------------
+    P = int(min(point_block, n))
+    Tp = -(-n // P)
+    n_pad = Tp * P
+    corner_sorted = flats[:, perm]  # (2^d, n) flat corner ids, sorted points
+    w_sorted_pts = weights[:, perm]
+    p0s = np.arange(Tp, dtype=np.int64) * P
+    p1s = np.minimum(p0s + P, n)
+    blk_lo = base_sorted[p0s]
+    blk_hi = base_sorted[p1s - 1] + smax  # inclusive upper corner bound
+    needc = int((blk_hi - (blk_lo // 128) * 128 + 1).max()) if Tp else 1
+    Wc = min(M, -(-max(needc, 1) // 512) * 512)
+    if Wc > window_limit:
+        return None
+    w_starts = np.minimum((blk_lo // 128) * 128, M - Wc)
+    w_starts = np.maximum(w_starts, 0)
+    w_loc = np.zeros((Tp, P, 2 ** d), np.int64)
+    w_w = np.zeros((Tp, P, 2 ** d), w_all.dtype)
+    for b in range(Tp):
+        sl = slice(p0s[b], p1s[b])
+        cnt = p1s[b] - p0s[b]
+        w_loc[b, :cnt] = (corner_sorted[:, sl] - w_starts[b]).T
+        w_w[b, :cnt] = w_sorted_pts[:, sl].T
+    if not bool(np.all((w_loc >= 0) & (w_loc < Wc))):  # pragma: no cover
+        raise AssertionError("windowed plan: corner outside its window")
+
+    return WindowedPlan(
+        perm=jnp.asarray(perm, jnp.int32),
+        inv_perm=jnp.asarray(inv_perm, jnp.int32),
+        wt_starts=jnp.asarray(wt_starts, jnp.int32),
+        wt_loc=jnp.asarray(wt_loc, jnp.int32),
+        wt_w=jnp.asarray(wt_w),
+        ov_ids=jnp.asarray(flat_s[ov], jnp.int32),
+        ov_src=jnp.asarray(src_s[ov], jnp.int32),
+        ov_w=jnp.asarray(w_s[ov]),
+        w_starts=jnp.asarray(w_starts, jnp.int32),
+        w_loc=jnp.asarray(w_loc, jnp.int32),
+        w_w=jnp.asarray(w_w),
+        Wr=int(Wr), Cb=Cb, T=int(T), Wc=int(Wc), P=P, Tp=int(Tp),
+        M=int(M), n=n,
+    )
+
+
+def _rmatvec_impl(plan: WindowedPlan, u_sorted: jax.Array) -> jax.Array:
+    """``Wᵀ u``: ``(B, n)`` sorted-point order → ``(B, M)``."""
+    B = u_sorted.shape[0]
+    Cb, K, Wr, T, M = plan.Cb, plan.wt_loc.shape[-1], plan.Wr, plan.T, plan.M
+
+    def body(_, inp):
+        s, lc, w = inp
+        win = lax.dynamic_slice(u_sorted, (jnp.zeros((), s.dtype), s), (B, Wr))
+        g = win[:, lc.reshape(-1)].reshape(B, Cb, K)
+        return _, jnp.sum(w[None] * g, axis=-1)  # (B, Cb)
+
+    _, blocks = lax.scan(body, 0, (plan.wt_starts, plan.wt_loc, plan.wt_w))
+    out = jnp.moveaxis(blocks, 1, 0).reshape(B, T * Cb)[:, :M]
+    if int(plan.ov_ids.shape[0]) > 0:
+        # Elementwise (VPU) sums, exact f32 — same reordered short sums as
+        # the scatter-add; the overflow stream is tiny by construction.
+        out = out.at[:, plan.ov_ids].add(plan.ov_w[None, :] * u_sorted[:, plan.ov_src])
+    return out
+
+
+def _matvec_impl(plan: WindowedPlan, v_lat: jax.Array) -> jax.Array:
+    """``W v``: ``(B, M)`` lattice → ``(B, n)`` sorted-point order."""
+    B = v_lat.shape[0]
+    P, C2, Wc, Tp, n = plan.P, plan.w_loc.shape[-1], plan.Wc, plan.Tp, plan.n
+
+    def body(_, inp):
+        s, lc, w = inp
+        win = lax.dynamic_slice(v_lat, (jnp.zeros((), s.dtype), s), (B, Wc))
+        g = win[:, lc.reshape(-1)].reshape(B, P, C2)
+        return _, jnp.sum(w[None] * g, axis=-1)  # (B, P)
+
+    _, blocks = lax.scan(body, 0, (plan.w_starts, plan.w_loc, plan.w_w))
+    return jnp.moveaxis(blocks, 1, 0).reshape(B, Tp * P)[:, :n]
+
+
+def make_windowed_ops(plan: WindowedPlan):
+    """Differentiable ``(matvec_sorted, rmatvec_sorted)`` closures.
+
+    ``matvec_sorted(v (B, M)) → (B, n)`` and ``rmatvec_sorted(u (B, n)) →
+    (B, M)`` in the plan's SORTED point order.  Each carries a
+    ``jax.custom_vjp`` whose backward is the opposite direction (``W`` and
+    ``Wᵀ`` are adjoint linear maps with constant coefficients) — autodiff
+    through the raw gathers would otherwise emit TPU scatter-adds
+    (~143 M elem/s) in every backward pass.
+
+    Build once per model and cache: the closures' identities key jit
+    caches, and any jitted program using them at n ≳ 100k must hoist the
+    captured plan tables via ``utils.closure.explicit_closure``
+    (CLAUDE.md closure-capture rule) — the model paths already do.
+    """
+
+    @jax.custom_vjp
+    def rmatvec_sorted(u_sorted):
+        return _rmatvec_impl(plan, u_sorted)
+
+    @jax.custom_vjp
+    def matvec_sorted(v_lat):
+        return _matvec_impl(plan, v_lat)
+
+    def _r_fwd(u_sorted):
+        return _rmatvec_impl(plan, u_sorted), None
+
+    def _r_bwd(_, ct):
+        return (_matvec_impl(plan, ct),)
+
+    def _m_fwd(v_lat):
+        return _matvec_impl(plan, v_lat), None
+
+    def _m_bwd(_, ct):
+        return (_rmatvec_impl(plan, ct),)
+
+    rmatvec_sorted.defvjp(_r_fwd, _r_bwd)
+    matvec_sorted.defvjp(_m_fwd, _m_bwd)
+    return matvec_sorted, rmatvec_sorted
+
+
+def windowed_rmatvec_bm_sorted(plan: WindowedPlan, u_sorted: jax.Array) -> jax.Array:
+    """One-shot exact ``Wᵀ u`` (sorted-point input) — prefer
+    :func:`make_windowed_ops` in model code (stable jit-cache identity,
+    custom VJP)."""
+    return _rmatvec_impl(plan, u_sorted)
+
+
+def windowed_matvec_bm_sorted(plan: WindowedPlan, v_lat: jax.Array) -> jax.Array:
+    """One-shot exact ``W v`` (sorted-point output) — prefer
+    :func:`make_windowed_ops` in model code."""
+    return _matvec_impl(plan, v_lat)
+
+
+def windowed_rmatvec_bm(plan: WindowedPlan, u_bm: jax.Array) -> jax.Array:
+    """``Wᵀ u`` from DATA-order ``(B, n)`` input (one permutation gather)."""
+    return _rmatvec_impl(plan, u_bm[:, plan.perm])
+
+
+def windowed_matvec_bm(plan: WindowedPlan, v_lat: jax.Array) -> jax.Array:
+    """``W v`` to DATA-order ``(B, n)`` output (one permutation gather)."""
+    return _matvec_impl(plan, v_lat)[:, plan.inv_perm]
