@@ -61,14 +61,21 @@ def main():
     rng = np.random.default_rng(0)
     d, md = 4, 32
     x = rng.uniform(0, 4, size=(n, d)).astype("float32")
-    y = rng.standard_normal(n).astype("float32")
+    # Same data model as exp_r5_ski_1m.py so the NLML is comparable to the
+    # r5 reference (ll = 176096.7): smooth signal + 0.1 noise.  (A pure-noise
+    # y legitimately gives quad ≈ yᵀy/σ² ≈ 1e7 and ll ≈ −4.8M — the first
+    # run of this script mistook that for a correctness bug.)
+    y = (np.sin(x[:, 0]) * np.cos(x[:, 1]) + 0.3 * x[:, 2] - 0.2 * x[:, 3] ** 2
+         + 0.1 * rng.standard_normal(n)).astype("float32")
     xg = tuple(np.linspace(0, 4, md, dtype="float32")[:, None] for _ in range(d))
     M = md**d
 
     t0 = time.time()
+    # num_probes/lanczos_iters match exp_r5_ski_1m.py so warm NLML wall
+    # times are comparable to the r5 reference (40.8 s).
     m = GPSKIRegression(
         x, y, make_kernel("rbf", lengthscale=0.8), xg,
-        noise_var=0.1, solver="lattice",
+        noise_var=0.1, solver="lattice", num_probes=8, lanczos_iters=30,
     )
     kind = (
         "onehot" if m._wt_onehot is not None

@@ -124,6 +124,15 @@ def _corner_stream(iw: InterpWeights):
     return np.stack(flats), np.stack(weights)
 
 
+_GATHER_IDX_BUDGET = 163_840
+"""Per-program-iteration gather-size budget (indices).  XLA's TPU gather
+has a throughput CLIFF as a function of the per-gather index count:
+measured at the 1M/32⁴ window shapes, ≤163,840 indices run ~1.5–1.8
+G elem/s while ~196k–213k collapse to 0.43 G (and ≥262k partially recover
+to ~1.4 G) — benchmarks/exp_r6_windowed_k_sweep.py.  Blocks are sized so
+``block · fan-in ≤ budget`` stays on the fast side."""
+
+
 def build_windowed_plan(
     iw: InterpWeights,
     cell_block: int = 8192,
@@ -133,10 +142,12 @@ def build_windowed_plan(
 ) -> WindowedPlan | None:
     """Host-side (numpy) windowed-plan construction; run once per model.
 
-    Returns ``None`` when a window would exceed ``window_limit`` (severely
-    clustered data: a cell block's contributing-point range, or a point
-    block's corner-cell range, does not stay bounded) — callers fall back
-    to the flat ELL plan.
+    ``cell_block``/``point_block`` are CAPS: actual block sizes are halved
+    until ``Cb·K`` / ``P·2^d`` fit :data:`_GATHER_IDX_BUDGET` (the XLA
+    gather-size cliff).  Returns ``None`` when a window would exceed
+    ``window_limit`` (severely clustered data: a cell block's
+    contributing-point range, or a point block's corner-cell range, does
+    not stay bounded) — callers fall back to the flat ELL plan.
     """
     d = len(iw.shape)
     M = math.prod(iw.shape)
@@ -154,8 +165,6 @@ def build_windowed_plan(
     base_sorted = base[perm]
 
     # ---- Wᵀ: ELL over lattice-cell blocks, window-local sources ----------
-    Cb = int(min(cell_block, M))
-    T = -(-M // Cb)
     # Update stream in sorted-point ids, sorted by cell.
     flat_all = flats.reshape(-1)
     w_all = weights.reshape(-1)
@@ -176,6 +185,13 @@ def build_windowed_plan(
     # B·M-element gather, an overflow entry a serialized scatter (~22×).
     while K < min(max_rank, max_slots) and int(tail[K - 1]) > M // 22:
         K += 1
+
+    # Block size: capped, then halved until the per-iteration gather
+    # (Cb·K indices) stays under the XLA gather-size cliff.
+    Cb = int(min(cell_block, M))
+    while Cb > 512 and Cb * K > _GATHER_IDX_BUDGET:
+        Cb //= 2
+    T = -(-M // Cb)
 
     # Window per cell block: contributing points have base in
     # [c0 - smax, c0 + Cb) → a contiguous sorted range.
@@ -206,6 +222,8 @@ def build_windowed_plan(
 
     # ---- W: corner gathers over sorted-point blocks ----------------------
     P = int(min(point_block, n))
+    while P > 512 and P * (2 ** d) > _GATHER_IDX_BUDGET:
+        P //= 2
     Tp = -(-n // P)
     n_pad = Tp * P
     corner_sorted = flats[:, perm]  # (2^d, n) flat corner ids, sorted points
@@ -280,6 +298,39 @@ def _matvec_impl(plan: WindowedPlan, v_lat: jax.Array) -> jax.Array:
 
     _, blocks = lax.scan(body, 0, (plan.w_starts, plan.w_loc, plan.w_w))
     return jnp.moveaxis(blocks, 1, 0).reshape(B, Tp * P)[:, :n]
+
+
+def _rmatvec_unrolled(plan: WindowedPlan, u_sorted: jax.Array) -> jax.Array:
+    """Statically-unrolled ``Wᵀ u`` (python loop over blocks; window starts
+    become compile-time constants → static ``lax.slice`` windows).  Debug /
+    perf-comparison variant of :func:`_rmatvec_impl`."""
+    B = u_sorted.shape[0]
+    Cb, K, Wr, T, M = plan.Cb, plan.wt_loc.shape[-1], plan.Wr, plan.T, plan.M
+    starts = np.asarray(plan.wt_starts)
+    outs = []
+    for b in range(T):
+        s = int(starts[b])
+        win = lax.slice(u_sorted, (0, s), (B, s + Wr))
+        g = win[:, plan.wt_loc[b].reshape(-1)].reshape(B, Cb, K)
+        outs.append(jnp.sum(plan.wt_w[b][None] * g, axis=-1))
+    out = jnp.concatenate(outs, axis=1)[:, :M]
+    if int(plan.ov_ids.shape[0]) > 0:
+        out = out.at[:, plan.ov_ids].add(plan.ov_w[None, :] * u_sorted[:, plan.ov_src])
+    return out
+
+
+def _matvec_unrolled(plan: WindowedPlan, v_lat: jax.Array) -> jax.Array:
+    """Statically-unrolled ``W v`` — see :func:`_rmatvec_unrolled`."""
+    B = v_lat.shape[0]
+    P, C2, Wc, Tp, n = plan.P, plan.w_loc.shape[-1], plan.Wc, plan.Tp, plan.n
+    starts = np.asarray(plan.w_starts)
+    outs = []
+    for b in range(Tp):
+        s = int(starts[b])
+        win = lax.slice(v_lat, (0, s), (B, s + Wc))
+        g = win[:, plan.w_loc[b].reshape(-1)].reshape(B, P, C2)
+        outs.append(jnp.sum(plan.w_w[b][None] * g, axis=-1))
+    return jnp.concatenate(outs, axis=1)[:, :n]
 
 
 def make_windowed_ops(plan: WindowedPlan):
