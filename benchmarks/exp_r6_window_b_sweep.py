@@ -1,12 +1,13 @@
-"""Windowed-gather throughput vs batch B (window bytes scale with B).
+"""Windowed-apply throughput vs batch B (window slice bytes scale with B).
 
-The windowed plan fixes Wr by geometry; the slice is (B, Wr).  At B=4 the
-window is ~670 KB (measured 1.5 G elem/s); at B=16 it is ~2.7 MB — possibly
-past the source-size cliff (raw gathers dropped to 0.4 G at 4 MB sources).
-SLQ probe chunks and multi-rhs CG run at B ∈ [5, 17], so this matters.
-Sweeps B for the synthetic windowed Wt and the flat big-source form.
+The gather-size budget (`_GATHER_IDX_BUDGET`) controls the per-iteration
+INDEX count, which is B-independent — but the (B, Wr) window slice and the
+(B, Cb·K) gather output scale with B, and the raw SOURCE-size cliff sits
+near 1–4 MB (RESULTS_r6 §1).  Solver batch sizes span B=1 (rhs) to B=17
+(monolithic CG with 16 probes).  Measures the real-plan composed wtw and
+the per-direction applies across B at the 1M/32⁴ shape.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/exp_r6_window_b_sweep.py
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/exp_r6_window_b_sweep.py [n] [md]
 """
 
 import sys
@@ -21,8 +22,13 @@ enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
+from gp_grief_tpu.ops.interp import interp_weights
+from gp_grief_tpu.ops.interp_windowed import (
+    _matvec_impl,
+    _rmatvec_impl,
+    build_windowed_plan,
+)
 from gp_grief_tpu.utils.closure import explicit_closure
 
 
@@ -30,9 +36,9 @@ def timed(fn, x, iters=10):
     def make(nloops):
         def run(v):
             def body(i, vv):
-                return lax.optimization_barrier(fn(vv))
+                return jax.lax.optimization_barrier(fn(vv))
 
-            v = lax.fori_loop(0, nloops, body, v)
+            v = jax.lax.fori_loop(0, nloops, body, v)
             return jnp.sum(v.reshape(-1)[:8])
 
         pure, consts = explicit_closure(run, jax.ShapeDtypeStruct(x.shape, x.dtype))
@@ -54,39 +60,25 @@ def timed(fn, x, iters=10):
 
 
 def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    md = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    d = 4
     rng = np.random.default_rng(0)
-    n = M = 32**4
-    K = 20
-    Cb, T, Wr = 8192, M // 8192, 41_984
-    starts = jnp.asarray(np.minimum(rng.integers(0, n - Wr, size=(T,)), n - Wr), jnp.int32)
-    loc = jnp.asarray(rng.integers(0, Wr, size=(T, Cb, K)), jnp.int32)
-    wts = jnp.asarray(rng.standard_normal((T, Cb, K)).astype("float32"))
-    slot_src = jnp.asarray(rng.integers(0, n, size=(M, K)), jnp.int32)
-    slot_w = jnp.asarray(rng.standard_normal((M, K)).astype("float32"))
+    x = rng.uniform(0, 4, size=(n, d)).astype("float32")
+    xg = tuple(np.linspace(0, 4, md, dtype="float32")[:, None] for _ in range(d))
+    M = md ** d
+    iw = interp_weights(jnp.asarray(x), xg)
+    wplan = build_windowed_plan(iw)
+    K = int(wplan.wt_loc.shape[-1])
+    print(f"n={n} M={M} T={wplan.T} Cb={wplan.Cb} Wr={wplan.Wr} K={K}",
+          flush=True)
 
-    for B in (2, 4, 8, 16):
-        u = jnp.asarray(rng.standard_normal((B, n)).astype("float32"))
-
-        def wt_win(v, B=B):
-            def body(carry, inp):
-                s, lc, w = inp
-                win = lax.dynamic_slice(v, (0, s), (B, Wr))
-                g = win[:, lc.reshape(-1)].reshape(B, Cb, K)
-                return carry, jnp.sum(w[None] * g, axis=-1)
-
-            _, blocks = lax.scan(body, 0, (starts, loc, wts))
-            out = jnp.moveaxis(blocks, 1, 0).reshape(B, T * Cb)
-            return v + out * 1e-30
-
-        def ell_big(v):
-            out = jnp.sum(slot_w[None] * v[:, slot_src], axis=-1)
-            return v + out * 1e-30
-
-        tw = timed(wt_win, u)
-        tb = timed(ell_big, u)
-        print(f"B={B:2}: windowed {tw*1e3:7.2f} ms ({B*M*K/tw/1e9:5.2f} G) "
-              f"win={B*Wr*4/2**20:5.2f} MB | flat {tb*1e3:7.2f} ms "
-              f"({B*M*K/tb/1e9:5.2f} G)  speedup {tb/tw:4.2f}x", flush=True)
+    for B in (1, 2, 4, 8, 16):
+        v = jnp.asarray(rng.standard_normal((B, M)).astype("float32"))
+        t = timed(lambda vv: _rmatvec_impl(wplan, _matvec_impl(wplan, vv)), v)
+        win_mb = B * wplan.Wr * 4 / 2**20
+        print(f"B={B:2}: composed wtw {t*1e3:7.1f} ms  "
+              f"({t/B*1e3:6.1f} ms/col, Wt win {win_mb:5.2f} MB)", flush=True)
 
 
 if __name__ == "__main__":

@@ -265,8 +265,19 @@ def build_windowed_plan(
     )
 
 
+def _pad_b1(fn, plan, v):
+    """Run a windowed apply at B=2 when called with B=1: single-row scans
+    measured 3× the per-column cost of B=2 on v5e (8.5–50 ms/col at B≥2 vs
+    317 ms at B=1, RESULTS_r6.md §5) — the extra zero row is far cheaper
+    than the degenerate lowering."""
+    out = fn(plan, jnp.concatenate([v, jnp.zeros_like(v)], axis=0))
+    return out[:1]
+
+
 def _rmatvec_impl(plan: WindowedPlan, u_sorted: jax.Array) -> jax.Array:
     """``Wᵀ u``: ``(B, n)`` sorted-point order → ``(B, M)``."""
+    if u_sorted.shape[0] == 1:
+        return _pad_b1(_rmatvec_impl, plan, u_sorted)
     B = u_sorted.shape[0]
     Cb, K, Wr, T, M = plan.Cb, plan.wt_loc.shape[-1], plan.Wr, plan.T, plan.M
 
@@ -287,6 +298,8 @@ def _rmatvec_impl(plan: WindowedPlan, u_sorted: jax.Array) -> jax.Array:
 
 def _matvec_impl(plan: WindowedPlan, v_lat: jax.Array) -> jax.Array:
     """``W v``: ``(B, M)`` lattice → ``(B, n)`` sorted-point order."""
+    if v_lat.shape[0] == 1:
+        return _pad_b1(_matvec_impl, plan, v_lat)
     B = v_lat.shape[0]
     P, C2, Wc, Tp, n = plan.P, plan.w_loc.shape[-1], plan.Wc, plan.Tp, plan.n
 

@@ -109,6 +109,22 @@ def test_windowed_custom_vjp_is_adjoint():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_windowed_b1_padding_matches():
+    # B=1 applies run internally B=2-padded (TPU lowering pathology);
+    # results must equal the B-row of a batched apply.
+    iw = _setup(220, (6, 5, 4), seed=9)
+    plan = build_windowed_plan(iw, cell_block=16, point_block=32)
+    rng = np.random.default_rng(8)
+    u = jnp.asarray(rng.standard_normal((3, 220)).astype("float32"))
+    v = jnp.asarray(rng.standard_normal((3, 120)).astype("float32"))
+    a = np.asarray(windowed_rmatvec_bm(plan, u[:1]))
+    b = np.asarray(windowed_rmatvec_bm(plan, u))[:1]
+    np.testing.assert_allclose(a, b, atol=0)
+    c = np.asarray(windowed_matvec_bm(plan, v[:1]))
+    d = np.asarray(windowed_matvec_bm(plan, v))[:1]
+    np.testing.assert_allclose(c, d, atol=0)
+
+
 def test_windowed_plan_window_limit_fallback():
     iw = _setup(400, (8, 8, 8), seed=6)
     assert build_windowed_plan(iw, window_limit=4) is None
