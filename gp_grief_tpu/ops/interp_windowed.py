@@ -139,6 +139,9 @@ def build_windowed_plan(
     point_block: int = 8192,
     max_slots: int = 64,
     window_limit: int = 1 << 18,
+    force_slots: int | None = None,
+    force_wr: int | None = None,
+    force_wc: int | None = None,
 ) -> WindowedPlan | None:
     """Host-side (numpy) windowed-plan construction; run once per model.
 
@@ -148,6 +151,11 @@ def build_windowed_plan(
     ``window_limit`` (severely clustered data: a cell block's
     contributing-point range, or a point block's corner-cell range, does
     not stay bounded) — callers fall back to the flat ELL plan.
+
+    ``force_slots``/``force_wr``/``force_wc`` override the derived ELL
+    width / window widths (must be ≥ the derived values; widths are
+    clamped to the axis lengths).  Used by the sharded builder to give
+    every shard's plan identical static shapes for ``shard_map`` stacking.
     """
     d = len(iw.shape)
     M = math.prod(iw.shape)
@@ -185,6 +193,10 @@ def build_windowed_plan(
     # B·M-element gather, an overflow entry a serialized scatter (~22×).
     while K < min(max_rank, max_slots) and int(tail[K - 1]) > M // 22:
         K += 1
+    if force_slots is not None:
+        if force_slots < K:
+            raise ValueError(f"force_slots={force_slots} < derived K={K}")
+        K = int(force_slots)
 
     # Block size: capped, then halved until the per-iteration gather
     # (Cb·K indices) stays under the XLA gather-size cliff.
@@ -200,6 +212,10 @@ def build_windowed_plan(
     hi = np.searchsorted(base_sorted, c0s + Cb - 1, side="right")
     need = int((hi - lo).max()) if T else 1
     Wr = min(n, -(-max(need, 1) // 512) * 512)
+    if force_wr is not None:
+        if force_wr < Wr and force_wr < n:
+            raise ValueError(f"force_wr={force_wr} < derived Wr={Wr}")
+        Wr = min(n, int(force_wr))
     if Wr > window_limit:
         return None
     wt_starts = np.minimum(lo, n - Wr).astype(np.int64)
@@ -234,6 +250,10 @@ def build_windowed_plan(
     blk_hi = base_sorted[p1s - 1] + smax  # inclusive upper corner bound
     needc = int((blk_hi - (blk_lo // 128) * 128 + 1).max()) if Tp else 1
     Wc = min(M, -(-max(needc, 1) // 512) * 512)
+    if force_wc is not None:
+        if force_wc < Wc and force_wc < M:
+            raise ValueError(f"force_wc={force_wc} < derived Wc={Wc}")
+        Wc = min(M, int(force_wc))
     if Wc > window_limit:
         return None
     w_starts = np.minimum((blk_lo // 128) * 128, M - Wc)
@@ -346,44 +366,103 @@ def _matvec_unrolled(plan: WindowedPlan, v_lat: jax.Array) -> jax.Array:
     return jnp.concatenate(outs, axis=1)[:, :n]
 
 
+_ARRAY_FIELDS = (
+    "perm", "inv_perm", "wt_starts", "wt_loc", "wt_w",
+    "ov_ids", "ov_src", "ov_w", "w_starts", "w_loc", "w_w",
+)
+_STATIC_FIELDS = ("Wr", "Cb", "T", "Wc", "P", "Tp", "M", "n")
+
+
+def plan_split(plan: WindowedPlan):
+    """``(arrays, statics)`` — the plan's array fields as a tuple of
+    operands and its static ints as a hashable tuple."""
+    return (
+        tuple(getattr(plan, f) for f in _ARRAY_FIELDS),
+        tuple(int(getattr(plan, f)) for f in _STATIC_FIELDS),
+    )
+
+
+def plan_join(statics, arrays) -> WindowedPlan:
+    """Inverse of :func:`plan_split`."""
+    kw = dict(zip(_ARRAY_FIELDS, arrays))
+    kw.update(dict(zip(_STATIC_FIELDS, statics)))
+    return WindowedPlan(**kw)
+
+
+def _zero_cts(arrays):
+    """Cotangents for the (constant) plan operands: float0 for integer
+    tables, zeros for float ones — never consumed (gradients are only
+    requested w.r.t. solver/parameter inputs), so XLA DCEs them."""
+    out = []
+    for a in arrays:
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            out.append(jnp.zeros_like(a))
+        else:
+            out.append(np.zeros(a.shape, dtype=jax.dtypes.float0))
+    return tuple(out)
+
+
+# custom_vjp pair with the plan ARRAYS as explicit arguments and statics as
+# nondiff hashables.  Two reasons over closure-captured plans: (1) the
+# adjoint of each direction is the other direction, so backward passes
+# never emit TPU scatter-adds (~143 M elem/s); (2) closure capture embeds
+# the ~100s-of-MB tables as LITERALS when the backward is lowered
+# (value-only programs hoist fine via explicit_closure, but
+# jax.value_and_grad of a program using a captured-plan custom_vjp 413'd
+# the axon relay at n=1M — the bwd jaxpr's consts are not hoistable).
+def _rmv_p(statics, arrays, u_sorted):
+    return _rmatvec_impl(plan_join(statics, arrays), u_sorted)
+
+
+def _rmv_fwd(statics, arrays, u_sorted):
+    return _rmv_p(statics, arrays, u_sorted), arrays
+
+
+def _rmv_bwd(statics, arrays, ct):
+    return _zero_cts(arrays), _matvec_impl(plan_join(statics, arrays), ct)
+
+
+rmatvec_sorted_p = jax.custom_vjp(_rmv_p, nondiff_argnums=(0,))
+rmatvec_sorted_p.defvjp(_rmv_fwd, _rmv_bwd)
+
+
+def _mv_p(statics, arrays, v_lat):
+    return _matvec_impl(plan_join(statics, arrays), v_lat)
+
+
+def _mv_fwd(statics, arrays, v_lat):
+    return _mv_p(statics, arrays, v_lat), arrays
+
+
+def _mv_bwd(statics, arrays, ct):
+    return _zero_cts(arrays), _rmatvec_impl(plan_join(statics, arrays), ct)
+
+
+matvec_sorted_p = jax.custom_vjp(_mv_p, nondiff_argnums=(0,))
+matvec_sorted_p.defvjp(_mv_fwd, _mv_bwd)
+
+
 def make_windowed_ops(plan: WindowedPlan):
-    """Differentiable ``(matvec_sorted, rmatvec_sorted)`` closures.
+    """Differentiable ``(matvec_sorted, rmatvec_sorted)`` callables.
 
     ``matvec_sorted(v (B, M)) → (B, n)`` and ``rmatvec_sorted(u (B, n)) →
-    (B, M)`` in the plan's SORTED point order.  Each carries a
-    ``jax.custom_vjp`` whose backward is the opposite direction (``W`` and
-    ``Wᵀ`` are adjoint linear maps with constant coefficients) — autodiff
-    through the raw gathers would otherwise emit TPU scatter-adds
-    (~143 M elem/s) in every backward pass.
-
-    Build once per model and cache: the closures' identities key jit
-    caches, and any jitted program using them at n ≳ 100k must hoist the
-    captured plan tables via ``utils.closure.explicit_closure``
-    (CLAUDE.md closure-capture rule) — the model paths already do.
+    (B, M)`` in the plan's SORTED point order, backed by the
+    argument-passing custom-VJP pair (:func:`matvec_sorted_p` /
+    :func:`rmatvec_sorted_p`) — adjoints route through the sibling
+    direction (no scatter in backward), and the plan tables flow as
+    operands (no literal embedding when gradients are lowered).  Any
+    jitted program using these at n ≳ 100k must still hoist the captured
+    table arrays via ``utils.closure.explicit_closure`` (CLAUDE.md
+    closure-capture rule) — the model paths do.
     """
+    arrays, statics = plan_split(plan)
 
-    @jax.custom_vjp
-    def rmatvec_sorted(u_sorted):
-        return _rmatvec_impl(plan, u_sorted)
-
-    @jax.custom_vjp
     def matvec_sorted(v_lat):
-        return _matvec_impl(plan, v_lat)
+        return matvec_sorted_p(statics, arrays, v_lat)
 
-    def _r_fwd(u_sorted):
-        return _rmatvec_impl(plan, u_sorted), None
+    def rmatvec_sorted(u_sorted):
+        return rmatvec_sorted_p(statics, arrays, u_sorted)
 
-    def _r_bwd(_, ct):
-        return (_matvec_impl(plan, ct),)
-
-    def _m_fwd(v_lat):
-        return _matvec_impl(plan, v_lat), None
-
-    def _m_bwd(_, ct):
-        return (_rmatvec_impl(plan, ct),)
-
-    rmatvec_sorted.defvjp(_r_fwd, _r_bwd)
-    matvec_sorted.defvjp(_m_fwd, _m_bwd)
     return matvec_sorted, rmatvec_sorted
 
 

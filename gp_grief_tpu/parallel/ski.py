@@ -51,6 +51,13 @@ from gp_grief_tpu.ops.interp import (
     interp_rmatvec_bm_exact,
     interp_weights,
 )
+from gp_grief_tpu.ops.interp_windowed import (
+    WindowedPlan,
+    build_windowed_plan,
+    matvec_sorted_p,
+    plan_split,
+    rmatvec_sorted_p,
+)
 from gp_grief_tpu.ops.kron import kron_eigh
 from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
 from gp_grief_tpu.ops.lanczos import slq_logdet
@@ -62,7 +69,7 @@ from gp_grief_tpu.parallel.sharded import pad_to_multiple
 __all__ = ["ShardedGPSKIRegression", "build_sharded_interp"]
 
 
-def build_sharded_interp(x_pad: np.ndarray, xg, n_devices: int):
+def build_sharded_interp(x_pad: np.ndarray, xg, n_devices: int, with_plan: bool = True):
     """Per-shard interpolation plans, stacked for ``shard_map``.
 
     Splits the (padded) rows into ``n_devices`` equal blocks, builds each
@@ -78,11 +85,23 @@ def build_sharded_interp(x_pad: np.ndarray, xg, n_devices: int):
     n_pad = x_pad.shape[0]
     assert n_pad % n_devices == 0
     n_loc = n_pad // n_devices
-    plans, iws = [], []
+    iws = []
     for k in range(n_devices):
-        iw = interp_weights(jnp.asarray(x_pad[k * n_loc : (k + 1) * n_loc]), xg)
-        iws.append(iw)
-        plans.append(build_interp_plan(iw))
+        iws.append(interp_weights(jnp.asarray(x_pad[k * n_loc : (k + 1) * n_loc]), xg))
+    stacked_idx = tuple(
+        jnp.asarray(np.stack([np.asarray(iw.idx[d]) for iw in iws]))
+        for d in range(len(xg))
+    )
+    stacked_w = tuple(
+        jnp.asarray(np.stack([np.asarray(iw.w[d]) for iw in iws]))
+        for d in range(len(xg))
+    )
+    if not with_plan:
+        # Caller uses windowed plans for the applies; only the per-dim
+        # interpolation indices/weights (preconditioner build) are needed —
+        # skip the flat plan's large stacked tables.
+        return None, stacked_idx, stacked_w
+    plans = [build_interp_plan(iw) for iw in iws]
     shape = plans[0].shape
     K = max(int(p.slot_src.shape[1]) for p in plans)
     OV = max(int(p.ov_ids.shape[0]) for p in plans)
@@ -109,15 +128,104 @@ def build_sharded_interp(x_pad: np.ndarray, xg, n_devices: int):
             arrs = [_pad_axis(a, OV, 0) for a in arrs]
         fields[name] = jnp.asarray(np.stack(arrs))
     stacked_plan = InterpPlan(shape=shape, **fields)
-    stacked_idx = tuple(
-        jnp.asarray(np.stack([np.asarray(iw.idx[d]) for iw in iws]))
-        for d in range(len(xg))
-    )
-    stacked_w = tuple(
-        jnp.asarray(np.stack([np.asarray(iw.w[d]) for iw in iws]))
-        for d in range(len(xg))
-    )
     return stacked_plan, stacked_idx, stacked_w
+
+
+_WINDOWED_MIN_DIM = 200_000
+"""Use the windowed interpolation applies (ops/interp_windowed.py) inside
+the sharded model when either gather source — the replicated (B, M)
+lattice or a shard's (B, n_loc) data rows — reaches the size where XLA's
+big-source gather throughput collapses (RESULTS_r6.md §1)."""
+
+
+def build_sharded_windowed_interp(x_pad: np.ndarray, xg, n_devices: int):
+    """Per-shard :class:`WindowedPlan`s stacked for ``shard_map``.
+
+    Two passes: build each shard's plan to learn its derived statics, then
+    rebuild every shard with the maxima FORCED (identical ``K/Wr/Wc`` →
+    identical ``Cb/T/P/Tp`` since all shards share ``n_loc`` and ``M``),
+    pad the overflow streams to the longest with weight-0 entries, and
+    stack each field on a leading device axis.  Returns ``None`` if any
+    shard's plan cannot build (windows unbounded — clustered data).
+    """
+    n_pad = x_pad.shape[0]
+    assert n_pad % n_devices == 0
+    n_loc = n_pad // n_devices
+    iws = [
+        interp_weights(jnp.asarray(x_pad[k * n_loc : (k + 1) * n_loc]), xg)
+        for k in range(n_devices)
+    ]
+    first = [build_windowed_plan(iw) for iw in iws]
+    if any(p is None for p in first):
+        return None
+    K = max(int(p.wt_loc.shape[-1]) for p in first)
+    Wr = max(int(p.Wr) for p in first)
+    Wc = max(int(p.Wc) for p in first)
+    plans = [
+        build_windowed_plan(iw, force_slots=K, force_wr=Wr, force_wc=Wc)
+        for iw in iws
+    ]
+    if any(p is None for p in plans):
+        return None
+    ref = plans[0]
+    assert all(
+        (p.T, p.Cb, p.P, p.Tp, p.Wr, p.Wc) == (ref.T, ref.Cb, ref.P, ref.Tp, ref.Wr, ref.Wc)
+        for p in plans
+    ), "forced windowed plans must share static shapes"
+    OV = max(int(p.ov_ids.shape[0]) for p in plans)
+
+    def _pad0(a, target):
+        a = np.asarray(a)
+        if a.shape[0] == target:
+            return a
+        return np.pad(a, (0, target - a.shape[0]))
+
+    fields = {}
+    for name in ("perm", "inv_perm", "wt_starts", "wt_loc", "wt_w",
+                 "w_starts", "w_loc", "w_w"):
+        fields[name] = jnp.asarray(np.stack([np.asarray(getattr(p, name)) for p in plans]))
+    for name in ("ov_ids", "ov_src", "ov_w"):
+        fields[name] = jnp.asarray(
+            np.stack([_pad0(getattr(p, name), OV) for p in plans])
+        )
+    statics = {k: getattr(ref, k) for k in ("Wr", "Cb", "T", "Wc", "P", "Tp", "M", "n")}
+    return WindowedPlan(**fields, **statics)
+
+
+_WPLAN_ARRAY_FIELDS = (
+    "perm", "inv_perm", "wt_starts", "wt_loc", "wt_w",
+    "ov_ids", "ov_src", "ov_w", "w_starts", "w_loc", "w_w",
+)
+_WPLAN_STATIC_FIELDS = ("Wr", "Cb", "T", "Wc", "P", "Tp", "M", "n")
+
+
+def _wplan_arrays(stacked: WindowedPlan):
+    """The stacked plan's array fields as a tuple for ``shard_map``.
+
+    The plan's static ints must NOT ride through shard_map as pytree
+    leaves — they would trace to scalars, and the windowed impls need them
+    as python ints (dynamic_slice sizes, reshape extents).  Arrays travel
+    as arguments; statics are re-attached locally by :func:`_local_wplan`
+    from the host-side plan object."""
+    return tuple(getattr(stacked, f) for f in _WPLAN_ARRAY_FIELDS)
+
+
+def _wplan_arr_specs(stacked: WindowedPlan, axis_name: str):
+    """``shard_map`` specs matching :func:`_wplan_arrays` (leading device
+    axis sharded, everything else replicated)."""
+    return tuple(
+        P(axis_name, *([None] * (np.asarray(getattr(stacked, f)).ndim - 1)))
+        for f in _WPLAN_ARRAY_FIELDS
+    )
+
+
+def _local_wplan(arrs, stacked: WindowedPlan) -> WindowedPlan:
+    """Local :class:`WindowedPlan` from shard_map-sliced array fields (the
+    leading device axis is stripped) + the host plan's static ints."""
+    kw = {name: a[0] for name, a in zip(_WPLAN_ARRAY_FIELDS, arrs)}
+    for k in _WPLAN_STATIC_FIELDS:
+        kw[k] = getattr(stacked, k)
+    return WindowedPlan(**kw)
 
 
 def _local_plan(stacked: InterpPlan) -> InterpPlan:
@@ -248,7 +356,20 @@ class ShardedGPSKIRegression(BaseModel):
         self.n_real = int(x.shape[0])
         self.x, self.y = jnp.asarray(xp), jnp.asarray(yp)
         self.mask = jnp.asarray(mask)
-        self._plan, self._sidx, self._sw = build_sharded_interp(xp, self.xg, n_dev)
+        # Windowed applies when either gather source is big-source-slow
+        # (RESULTS_r6.md §1): the replicated (B, M) lattice for W, or a
+        # shard's (B, n_loc) rows for Wᵀ.  Falls back to the flat stacked
+        # plan when the windowed build declines (clustered data).
+        m_total_ = int(np.prod([int(g.shape[0]) for g in self.xg]))
+        self._wplan_st = (
+            build_sharded_windowed_interp(xp, self.xg, n_dev)
+            if max(m_total_, xp.shape[0] // n_dev) >= _WINDOWED_MIN_DIM
+            else None
+        )
+        self._use_windowed = self._wplan_st is not None
+        self._plan, self._sidx, self._sw = build_sharded_interp(
+            xp, self.xg, n_dev, with_plan=not self._use_windowed
+        )
         if solver == "lattice":
             # Whitener shift from the REAL rows only (pad rows are masked out
             # of Ŵ, so diag(ŴᵀŴ) is the real-data mass² — the log-det
@@ -277,6 +398,57 @@ class ShardedGPSKIRegression(BaseModel):
 
     # -- sharded pieces (all run INSIDE shard_map) ---------------------------
 
+    def _plan_args(self):
+        """(pytree, specs) of the active interpolation plan for shard_map
+        argument lists — the windowed plan's array-field tuple, or the flat
+        stacked :class:`InterpPlan`."""
+        if self._use_windowed:
+            return (
+                _wplan_arrays(self._wplan_st),
+                _wplan_arr_specs(self._wplan_st, self.axis_name),
+            )
+        return self._plan, _plan_specs(self.axis_name)
+
+    def _resolve_plan(self, plan_st):
+        """Local plan from the shard_map-sliced argument (either kind)."""
+        if self._use_windowed:
+            return _local_wplan(plan_st, self._wplan_st)
+        return _local_plan(plan_st)
+
+    # Interp application dispatch.  Windowed applies use the argument-
+    # passing custom-VJP pair (adjoint = sibling direction → no scatter in
+    # backward passes; tables flow as operands → no literal embedding when
+    # gradients are lowered).
+    @staticmethod
+    def _w_apply(plan, u_lat_bm):
+        """``W u``: replicated lattice ``(B, M)`` → local rows ``(B, n_loc)``
+        in data order."""
+        if isinstance(plan, WindowedPlan):
+            arrays, statics = plan_split(plan)
+            return matvec_sorted_p(statics, arrays, u_lat_bm)[:, plan.inv_perm]
+        return interp_matvec_bm_fast(plan, u_lat_bm)
+
+    @staticmethod
+    def _wt_apply(plan, v_loc_bm):
+        """``Wᵀ v``: local rows ``(B, n_loc)`` data order → ``(B, M)``
+        (caller psums)."""
+        if isinstance(plan, WindowedPlan):
+            arrays, statics = plan_split(plan)
+            return rmatvec_sorted_p(statics, arrays, v_loc_bm[:, plan.perm])
+        return interp_rmatvec_bm_exact(plan, v_loc_bm)
+
+    @staticmethod
+    def _wtw_apply(plan, u_lat_bm, mk):
+        """``Wᵀ(mask ∘ W u)`` — with a windowed plan the mask is applied in
+        SORTED point order so the composition stays permutation-free."""
+        if isinstance(plan, WindowedPlan):
+            arrays, statics = plan_split(plan)
+            mk_s = mk[plan.perm]
+            t = matvec_sorted_p(statics, arrays, u_lat_bm) * mk_s[None, :]
+            return rmatvec_sorted_p(statics, arrays, t)
+        t = interp_matvec_bm_fast(plan, u_lat_bm) * mk[None, :]
+        return interp_rmatvec_bm_exact(plan, t)
+
     def _mv_local(self, plan, mk, factors, sigma2):
         """Local block of ``Â = mask∘(W K Wᵀ)∘mask + σ²I``: ``(B, n_loc) →
         (B, n_loc)`` with one (B, M) psum (the lattice reduction)."""
@@ -284,11 +456,11 @@ class ShardedGPSKIRegression(BaseModel):
 
         def mv(v):
             B = v.shape[0]
-            u = interp_rmatvec_bm_exact(plan, v * mk[None, :])  # (B, M)
+            u = self._wt_apply(plan, v * mk[None, :])  # (B, M)
             u = lax.psum(u, axis_name)
             eyeB = jnp.eye(B, dtype=v.dtype)
             u = kron_matvec_fast((eyeB, *factors), u.reshape(-1)).reshape(B, -1)
-            return interp_matvec_bm_fast(plan, u) * mk[None, :] + sigma2 * v
+            return self._w_apply(plan, u) * mk[None, :] + sigma2 * v
 
         return mv
 
@@ -340,8 +512,7 @@ class ShardedGPSKIRegression(BaseModel):
             return kron_matvec_fast((eyeB, *Qs), t.reshape(-1)).reshape(B, -1)
 
         def wtw(v_bm):
-            t = interp_matvec_bm_fast(plan, v_bm) * mk[None, :]
-            return lax.psum(interp_rmatvec_bm_exact(plan, t), axis_name)
+            return lax.psum(self._wtw_apply(plan, v_bm, mk), axis_name)
 
         def white(v_bm):
             u = msqrt(v_bm)
@@ -349,7 +520,7 @@ class ShardedGPSKIRegression(BaseModel):
 
         def wt_masked(v_loc_bm):  # Ŵᵀ on local data rows → replicated (B, M)
             return lax.psum(
-                interp_rmatvec_bm_exact(plan, v_loc_bm * mk[None, :]), axis_name
+                self._wt_apply(plan, v_loc_bm * mk[None, :]), axis_name
             )
 
         return msqrt, white, wt_masked, ld_MK
@@ -367,7 +538,7 @@ class ShardedGPSKIRegression(BaseModel):
         key = self._key
 
         def local(y_loc, mk, plan_st):
-            plan = _local_plan(plan_st)
+            plan = self._resolve_plan(plan_st)
             sigma2 = jnp.exp(params["log_noise"])
             factors = cov_grid(
                 params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
@@ -406,13 +577,14 @@ class ShardedGPSKIRegression(BaseModel):
             return 0.5 * (quad + ld + n_real * jnp.log(2.0 * jnp.pi))
 
         an = axis_name
+        plan_arg, plan_spec = self._plan_args()
         return shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(an), P(an), _plan_specs(an)),
+            in_specs=(P(an), P(an), plan_spec),
             out_specs=P(),
             check_vma=False,
-        )(self.y, self.mask, self._plan)
+        )(self.y, self.mask, plan_arg)
 
     def _loss(self, params):
         if self.solver == "lattice":
@@ -424,7 +596,7 @@ class ShardedGPSKIRegression(BaseModel):
         key = self._key
 
         def local(y_loc, mk, plan_st, idx_st, w_st):
-            plan = _local_plan(plan_st)
+            plan = self._resolve_plan(plan_st)
             idx_loc = tuple(a[0] for a in idx_st)
             w_loc = tuple(a[0] for a in w_st)
             sigma2 = jnp.exp(params["log_noise"])
@@ -498,15 +670,16 @@ class ShardedGPSKIRegression(BaseModel):
             return 0.5 * (quad + ld + n_real * jnp.log(2.0 * jnp.pi))
 
         an = axis_name
+        plan_arg, plan_spec = self._plan_args()
         return shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(an), P(an), _plan_specs(an),
+            in_specs=(P(an), P(an), plan_spec,
                       tuple(P(an, None) for _ in self._sidx),
                       tuple(P(an, None, None) for _ in self._sw)),
             out_specs=P(),
             check_vma=False,
-        )(self.y, self.mask, self._plan, self._sidx, self._sw)
+        )(self.y, self.mask, plan_arg, self._sidx, self._sw)
 
     # -- prediction ----------------------------------------------------------
 
@@ -552,7 +725,7 @@ class ShardedGPSKIRegression(BaseModel):
                         white, msqrt(wt_masked(rhs_bm)), tol=o["cg_tol"],
                         max_iters=o["cg_iters"], layout="bm", implicit_diff=False,
                     )
-                    corr = interp_matvec_bm_fast(plan, msqrt(gam)) * mk[None, :]
+                    corr = self._w_apply(plan, msqrt(gam)) * mk[None, :]
                     return (rhs_bm - corr) / sigma2
 
                 return solve
@@ -583,7 +756,7 @@ class ShardedGPSKIRegression(BaseModel):
         # compiled programs track parameter updates — a closure would bake
         # the construction-time values in (round-2 review finding).
         def prep_local(params, y_loc, mk, plan_st, idx_st, w_st):
-            plan = _local_plan(plan_st)
+            plan = self._resolve_plan(plan_st)
             sigma2 = jnp.exp(params["log_noise"])
             factors = cov_grid(
                 params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
@@ -591,25 +764,26 @@ class ShardedGPSKIRegression(BaseModel):
             solve = _local_solver(plan, mk, idx_st, w_st, factors, sigma2)
             alpha = solve(y_loc[None, :])[0]
             Wt_a = lax.psum(
-                interp_rmatvec_bm_exact(plan, (alpha * mk)[None, :])[0], an
+                self._wt_apply(plan, (alpha * mk)[None, :])[0], an
             )
             Kw_alpha = kron_matvec_fast(factors, Wt_a)
             return Kw_alpha
 
         def var_local(params, y_loc, mk, plan_st, idx_st, w_st, u_bm):
             # u_bm: (c, M) replicated lattice rows K Wᵀ* of the test chunk.
-            plan = _local_plan(plan_st)
+            plan = self._resolve_plan(plan_st)
             sigma2 = jnp.exp(params["log_noise"])
             factors = cov_grid(
                 params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
             )
             solve = _local_solver(plan, mk, idx_st, w_st, factors, sigma2)
-            C_loc = interp_matvec_bm_fast(plan, u_bm) * mk[None, :]  # (c, n_loc)
+            C_loc = self._w_apply(plan, u_bm) * mk[None, :]  # (c, n_loc)
             Sol = solve(C_loc)
             return lax.psum(jnp.sum(C_loc * Sol, axis=1), an)  # (c,)
 
         param_specs = jax.tree.map(lambda _: P(), self.params)
-        plan_in = (param_specs, P(an), P(an), _plan_specs(an),
+        plan_arg, plan_spec = self._plan_args()
+        plan_in = (param_specs, P(an), P(an), plan_spec,
                    tuple(P(an, None) for _ in self._sidx),
                    tuple(P(an, None, None) for _ in self._sw))
         if not hasattr(self, "_predict_progs") or self._predict_progs[0] != chunk:
@@ -625,7 +799,7 @@ class ShardedGPSKIRegression(BaseModel):
             self._predict_progs = (chunk, prep, varp)
         _, prep, varp = self._predict_progs
 
-        Kw_alpha = prep(self.params, self.y, self.mask, self._plan, self._sidx, self._sw)
+        Kw_alpha = prep(self.params, self.y, self.mask, plan_arg, self._sidx, self._sw)
         factors = cov_grid(
             self.params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
         )
@@ -640,7 +814,7 @@ class ShardedGPSKIRegression(BaseModel):
                 Wst = interp_rmatvec_bm(iw_c, jnp.eye(c, dtype=self.x.dtype))
                 eyeC = jnp.eye(c, dtype=self.x.dtype)
                 u = kron_matvec_fast((eyeC, *factors), Wst.reshape(-1)).reshape(c, -1)
-                qf = varp(self.params, self.y, self.mask, self._plan, self._sidx, self._sw, u)
+                qf = varp(self.params, self.y, self.mask, plan_arg, self._sidx, self._sw, u)
                 prior = GPSKIRegression._prior_diag(factors, iw_c)
                 vars_.append(np.maximum(np.asarray(prior) - np.asarray(qf), 0.0))
         mean = np.concatenate(means)[:n_star]
