@@ -23,7 +23,7 @@ from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.grid import cov_grid
 from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
-from gp_grief_tpu.ops.cg import cg_solve, cg_solve_segmented
+from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.interp import (
     build_interp_plan,
     build_onehot_plan,
@@ -40,7 +40,7 @@ from gp_grief_tpu.ops.interp import (
 from gp_grief_tpu.ops.interp_windowed import build_windowed_plan, make_windowed_ops
 from gp_grief_tpu.ops.kron import kron_eigh
 from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
-from gp_grief_tpu.ops.lanczos import slq_logdet, slq_logdet_segmented
+from gp_grief_tpu.ops.lanczos import slq_logdet
 from gp_grief_tpu.ops.precond import lowrank_spectral_factor, lowrank_sqrt_ops
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
@@ -596,169 +596,228 @@ class GPSKIRegression(BaseModel):
         """Log marginal likelihood via host-segmented CG + probe-chunked SLQ.
 
         Same estimator as :meth:`log_likelihood` (identical quadratic form
-        ``2yᵀα − αᵀAα`` and whitened-SLQ log-det; the SLQ probe draw is
-        chunk-partitioned so the two agree within SLQ sampling error), but no
-        single device program runs more than ``cg_segment_iters`` CG
-        iterations or ``probe_chunk × lanczos_iters`` Lanczos matvecs.  Use
-        at scales where the monolithic jitted NLML would exceed a
-        per-program execution limit — the axon TPU worker kills executions
-        over ~60 s, which the n=1M / 32⁴ configuration hits (CLAUDE.md;
+        and whitened-SLQ log-det; the SLQ probe draw is chunk-partitioned so
+        the two agree within SLQ sampling error), but no single device
+        program runs more than ``cg_segment_iters`` CG iterations or
+        ``probe_chunk × lanczos_iters`` Lanczos matvecs.  Use at scales
+        where the monolithic jitted NLML would exceed a per-program
+        execution limit — the axon TPU worker kills executions over ~60 s,
+        which the n=1M / 32⁴ configuration hits (CLAUDE.md;
         :func:`gp_grief_tpu.ops.cg.cg_solve_segmented`).  Value-only (no
-        gradients); preconditioner arrays are built once in one jitted
-        program and shared across every segment as device residents.
-        """
-        from gp_grief_tpu.utils.closure import explicit_closure
+        gradients).
 
+        Compile-once: the (init, segment, quad, slq-chunk) programs are
+        built and jitted ONCE per ``(solver, cg_segment_iters, probe_chunk,
+        num_probes, lanczos_iters)`` and cached on the model — parameters
+        and the evaluation's spectra/preconditioner are explicit program
+        ARGUMENTS (same pattern as :meth:`_build_step_programs`), so
+        repeated NLML evaluations cost device time + one dispatch per
+        segment, with no per-call retrace (the per-call program rebuild was
+        ~15 s of host time per 1M-point evaluation on top of ~6 s of device
+        work — benchmarks/RESULTS_r6.md §6).
+        """
         o = self._opts
         n = int(self.x.shape[0])
-        if self.solver == "lattice":
-            return self._log_likelihood_segmented_lattice(
-                cg_segment_iters=cg_segment_iters, probe_chunk=probe_chunk,
-                verbose=verbose,
-            )
-        r = self._precond_rank()
+        M = int(np.prod([int(g.shape[0]) for g in self.xg]))
+        lattice = self.solver == "lattice"
+        progs = self._nlml_programs(int(cg_segment_iters), int(probe_chunk))
+        (init_fn, init_c), (seg_fn, seg_c), (fin_fn, fin_c), slq_progs, sizes = progs
 
-        # Every jitted piece here hoists its closure-captured arrays (interp
-        # plans, the (n, r) preconditioner factor, y) into explicit jit
-        # arguments — embedding them as program constants stalls the relay
-        # for minutes at n=1M (gp_grief_tpu.utils.closure).
-        def prep(params):
-            sigma2 = jnp.exp(params["log_noise"])
-            factors = cov_grid(
-                params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
-            )
-            U, lam = self._precond_spectral(factors, r) if r > 0 else (None, None)
-            return factors, sigma2, U, lam
-
-        prep_pure, prep_consts = explicit_closure(
-            prep, jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params)
+        aux, rhs, state, bnorm, rnorm = init_fn(init_c, self.params)
+        eff_tol = max(float(o["cg_tol"]), 20.0 * float(jnp.finfo(self.y.dtype).eps))
+        stop = eff_tol * np.maximum(
+            np.asarray(bnorm), float(jnp.finfo(self.y.dtype).tiny)
         )
-        factors, sigma2, U, lam = jax.jit(prep_pure)(prep_consts, self.params)
-        if U is not None:
-            M_inv, M_inv_sqrt, ldM = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
-            ld_off = float(ldM)
-        else:
-            M_inv = M_inv_sqrt = None
-            ld_off = 0.0
-        mv = self._matvec_bm(factors, sigma2)
-
+        rnorm_h = np.asarray(rnorm)
+        dead_h = np.zeros(rnorm_h.shape, bool)
         max_segments = max(1, -(-o["cg_iters"] // cg_segment_iters))
-        if M_inv_sqrt is not None:
-            # Whitened-basis segmented solve — data-space PCG freezes
-            # whenever σ² < ε_f32·λmax (RESULTS_r5.md §7), the exact regime
-            # this method targets; same composition as _solve_bm.
-            def wrhs():
-                return M_inv_sqrt(self.y[None, :])
-
-            wp, wc = explicit_closure(wrhs)
-            solw = cg_solve_segmented(
-                lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))),
-                jax.jit(wp)(wc),
-                tol=o["cg_tol"], segment_iters=cg_segment_iters,
-                max_segments=max_segments, layout="bm", verbose=verbose,
-            )
-
-            def unw(s):
-                return M_inv_sqrt(s)
-
-            up, uc = explicit_closure(
-                unw, jax.ShapeDtypeStruct(solw.shape, solw.dtype)
-            )
-            alpha = jax.jit(up)(uc, solw)
+        iters = 0
+        for s in range(max_segments):
+            if not np.any((rnorm_h > stop) & ~dead_h):
+                break
+            state, rnorm, dead = seg_fn(seg_c, aux, state)
+            # The per-segment fetch is the host-side convergence test — and
+            # on the axon relay it also bounds the async queue at one segment.
+            rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+            iters += cg_segment_iters
+            if verbose:
+                rel = float(np.max(rnorm_h / np.maximum(np.asarray(bnorm), 1e-30)))
+                print(
+                    f"[nlml_segmented] segment {s + 1}: iters={iters} "
+                    f"max_rel_resid={rel:.3e}"
+                )
+        pieces = fin_fn(fin_c, aux, rhs, state)
+        key1 = jax.random.fold_in(self._key, 1)
+        total = 0.0
+        for c, rr in enumerate(sizes):
+            sp, sc = slq_progs[rr]
+            # Per-chunk fetch bounds the device queue at one chunk; the
+            # fold_in(key1, c) draw matches ops.lanczos.slq_logdet_segmented,
+            # so the estimator is identical to the monolithic one's family.
+            total += float(sp(sc, aux, jax.random.fold_in(key1, c))) * rr
+        ld_white = total / o["num_probes"]
+        if lattice:
+            quad, sigma2, ld_MK = (float(v) for v in pieces)
+            ld = (n - M) * float(np.log(sigma2)) + ld_MK + ld_white
         else:
-            alpha = cg_solve_segmented(
-                mv,
-                self.y[None, :],
-                tol=o["cg_tol"],
-                segment_iters=cg_segment_iters,
-                max_segments=max_segments,
-                layout="bm",
-                verbose=verbose,
-            )
-
-        def quad_prog(a_bm):
-            a = a_bm[0]
-            return 2.0 * jnp.dot(self.y, a) - jnp.dot(a, mv(a_bm)[0])
-
-        quad_pure, quad_consts = explicit_closure(
-            quad_prog, jax.ShapeDtypeStruct(alpha.shape, alpha.dtype)
-        )
-        quad = float(jax.jit(quad_pure)(quad_consts, alpha))
-        slq_mv = (
-            mv
-            if M_inv_sqrt is None
-            else (lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))))
-        )
-        ld = ld_off + slq_logdet_segmented(
-            slq_mv,
-            n,
-            key=jax.random.fold_in(self._key, 1),
-            num_probes=o["num_probes"],
-            lanczos_iters=o["lanczos_iters"],
-            dtype=self.y.dtype,
-            layout="bm",
-            probe_chunk=probe_chunk,
-        )
+            quad, ld_off = (float(v) for v in pieces)
+            ld = ld_off + ld_white
         return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 
-    def _log_likelihood_segmented_lattice(
-        self, *, cg_segment_iters: int, probe_chunk: int, verbose: bool
-    ) -> float:
-        """Segmented NLML on the whitened lattice dual (see
-        :meth:`_lattice_spectra`): segmented CG + probe-chunked SLQ both run
-        on ``W̃``; spectra are built once and shared as device arrays."""
+    def _nlml_programs(self, cg_segment_iters: int, probe_chunk: int):
+        """Cached compile-once programs for :meth:`log_likelihood_segmented`."""
+        o = self._opts
+        lattice = self.solver == "lattice"
+        r = 0 if lattice else self._precond_rank()
+        probe_chunk = max(1, min(int(probe_chunk), int(o["num_probes"])))
+        key = (
+            lattice, r, int(cg_segment_iters), probe_chunk,
+            int(o["num_probes"]), int(o["lanczos_iters"]),
+        )
+        if getattr(self, "_nlml_progs_key", None) != key:
+            self._nlml_progs_key = key
+            self._nlml_progs = self._build_nlml_programs(
+                int(cg_segment_iters), probe_chunk
+            )
+        return self._nlml_progs
+
+    def _build_nlml_programs(self, segment_iters: int, probe_chunk: int):
+        """Compile-once (init, segment, quad, slq-chunk) programs for
+        :meth:`log_likelihood_segmented` — the NLML analog of
+        :meth:`_build_step_programs`.  Hyperparameters and the evaluation's
+        spectra are threaded through an ``aux`` pytree of explicit program
+        arguments; every closure-captured array (interp plans, ``y``) is
+        hoisted by :func:`gp_grief_tpu.utils.closure.explicit_closure` —
+        embedding them as program constants stalls the relay for minutes at
+        n=1M.
+        """
+        from gp_grief_tpu.ops.cg import _make_pcg_step, _reducers
         from gp_grief_tpu.utils.closure import explicit_closure
 
         o = self._opts
         n = int(self.x.shape[0])
         M = int(np.prod([int(g.shape[0]) for g in self.xg]))
-        self._lattice_cbar()  # host-side, outside any trace
+        lattice = self.solver == "lattice"
+        dim = M if lattice else n
+        r = 0 if lattice else self._precond_rank()
+        if lattice:
+            self._lattice_cbar()  # host-side, outside any trace
+        _colsum, _colnorm, _bc = _reducers("bm", None)
 
-        def prep(params):
+        def build_op(aux):
+            """The CG/SLQ operator (whitened where applicable) from ``aux``."""
+            if lattice:
+                _, Qs, wjs, _ = aux
+                _, white = self._make_lattice_ops(Qs, wjs)
+                return white
+            factors, sigma2, U, lam = aux
+            mv = self._matvec_bm(factors, sigma2)
+            if U is None:
+                return mv
+            _, M_inv_sqrt, _ = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+            # Whitened-basis operator — data-space PCG freezes whenever
+            # σ² < ε_f32·λmax (RESULTS_r5.md §7), the exact regime this
+            # method targets; same composition as _solve_bm.
+            return lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))
+
+        def init_fn(params):
             sigma2 = jnp.exp(params["log_noise"])
             factors = cov_grid(
                 params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
             )
-            Qs, wjs, ld_MK = self._lattice_spectra(factors, sigma2)
-            return sigma2, Qs, wjs, ld_MK
+            if lattice:
+                Qs, wjs, ld_MK = self._lattice_spectra(factors, sigma2)
+                aux = (sigma2, Qs, wjs, ld_MK)
+                msqrt, _ = self._make_lattice_ops(Qs, wjs)
+                rhs = msqrt(self._rmatvec_bm(self.y[None, :]))  # ṽ = M^{-1/2}Wᵀy
+            else:
+                U, lam = (
+                    self._precond_spectral(factors, r) if r > 0 else (None, None)
+                )
+                aux = (factors, sigma2, U, lam)
+                rhs = self.y[None, :]
+                if U is not None:
+                    _, M_inv_sqrt, _ = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+                    rhs = M_inv_sqrt(rhs)
+            # x0 = 0 → r0 = rhs exactly (the operators are linear), so the
+            # init matvec is skipped; no inner preconditioner in the
+            # whitened space.
+            x0 = jnp.zeros_like(rhs)
+            rz0 = _colsum(rhs * rhs)
+            state = (x0, rhs, rhs, rhs, rz0, jnp.zeros(rz0.shape, bool))
+            return aux, rhs, state, _colnorm(rhs), _colnorm(rhs)
 
-        prep_pure, prep_consts = explicit_closure(
-            prep,
-            jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params),
+        def seg_fn(aux, state):
+            op = build_op(aux)
+            step = _make_pcg_step(op, lambda rr_: rr_, _colsum, _bc)
+
+            def body(s, _):
+                return step(*s), None
+
+            state, _ = lax.scan(body, state, None, length=segment_iters)
+            return state, _colnorm(state[1]), state[5]
+
+        def fin_fn(aux, rhs, state):
+            """Quadratic-form pieces from the converged solve."""
+            if lattice:
+                sigma2, Qs, wjs, ld_MK = aux
+                _, white = self._make_lattice_ops(Qs, wjs)
+                gam = state[0]
+                quad = (
+                    jnp.dot(self.y, self.y)
+                    - 2.0 * jnp.dot(rhs[0], gam[0])
+                    + jnp.dot(gam[0], white(gam)[0])
+                ) / sigma2
+                return quad, sigma2, ld_MK
+            factors, sigma2, U, lam = aux
+            mv = self._matvec_bm(factors, sigma2)
+            if U is not None:
+                _, M_inv_sqrt, ldM = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
+                alpha = M_inv_sqrt(state[0])
+                ld_off = ldM
+            else:
+                alpha = state[0]
+                ld_off = jnp.zeros((), dtype=self.y.dtype)
+            quad = 2.0 * jnp.dot(self.y, alpha[0]) - jnp.dot(alpha[0], mv(alpha)[0])
+            return quad, ld_off
+
+        sizes = [probe_chunk] * (int(o["num_probes"]) // probe_chunk)
+        if int(o["num_probes"]) % probe_chunk:
+            sizes.append(int(o["num_probes"]) % probe_chunk)
+
+        def make_slq(rr):
+            def slq_fn(aux, k):
+                return slq_logdet(
+                    build_op(aux), dim, key=k, num_probes=rr,
+                    lanczos_iters=int(o["lanczos_iters"]), dtype=self.y.dtype,
+                    layout="bm",
+                )
+
+            return slq_fn
+
+        sds = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t
         )
-        sigma2, Qs, wjs, ld_MK = jax.jit(prep_pure)(prep_consts, self.params)
-        msqrt, white = self._make_lattice_ops(Qs, wjs)
-
-        def rhs_fn():
-            return msqrt(self._rmatvec_bm(self.y[None, :]))
-
-        rhs_pure, rhs_consts = explicit_closure(rhs_fn)
-        vt = jax.jit(rhs_pure)(rhs_consts)
-
-        gam = cg_solve_segmented(
-            white, vt, tol=o["cg_tol"], segment_iters=cg_segment_iters,
-            max_segments=max(1, -(-o["cg_iters"] // cg_segment_iters)),
-            layout="bm", verbose=verbose,
+        ip, ic = explicit_closure(init_fn, sds(self.params))
+        out_sds = jax.eval_shape(ip, ic, sds(self.params))
+        aux_sds, rhs_sds, state_sds = out_sds[0], out_sds[1], out_sds[2]
+        sp, sc = explicit_closure(seg_fn, aux_sds, state_sds)
+        fp, fc = explicit_closure(fin_fn, aux_sds, rhs_sds, state_sds)
+        key0 = jax.random.PRNGKey(0)
+        key_sds = jax.ShapeDtypeStruct(key0.shape, key0.dtype)
+        slq_progs = {
+            rr: (lambda qp_qc: (jax.jit(qp_qc[0]), qp_qc[1]))(
+                explicit_closure(make_slq(rr), aux_sds, key_sds)
+            )
+            for rr in sorted(set(sizes))
+        }
+        return (
+            (jax.jit(ip), ic),
+            (jax.jit(sp), sc),
+            (jax.jit(fp), fc),
+            slq_progs,
+            sizes,
         )
-
-        def quad_fn(g_bm):
-            return (
-                jnp.dot(self.y, self.y)
-                - 2.0 * jnp.dot(vt[0], g_bm[0])
-                + jnp.dot(g_bm[0], white(g_bm)[0])
-            ) / sigma2
-
-        qp, qc = explicit_closure(quad_fn, jax.ShapeDtypeStruct(gam.shape, gam.dtype))
-        quad = float(jax.jit(qp)(qc, gam))
-        ld_white = slq_logdet_segmented(
-            white, M, key=jax.random.fold_in(self._key, 1),
-            num_probes=o["num_probes"], lanczos_iters=o["lanczos_iters"],
-            dtype=self.y.dtype, layout="bm", probe_chunk=probe_chunk,
-        )
-        ld = (
-            (n - M) * float(jnp.log(sigma2)) + float(ld_MK) + ld_white
-        )
-        return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 
     def optimize_segmented(
         self,

@@ -397,6 +397,33 @@ def test_ski_log_likelihood_segmented_matches_monolithic(rng):
     assert abs(seg0 - mono0) / abs(mono0) < 3e-2
 
 
+def test_ski_segmented_nlml_programs_cached(rng):
+    """Repeated segmented NLML evaluations reuse the compile-once program set
+    (no per-call rebuild — the rebuild cost ~15 s of host time per 1M-point
+    evaluation, RESULTS_r6.md §6) and return the identical value; changing
+    the segment geometry rebuilds."""
+    n = 120
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    for kwargs in (
+        dict(precond_rank=16),                      # whitened data-space
+        dict(precond_rank=0),                       # unpreconditioned
+    ):
+        m = GPSKIRegression(
+            x, y, make_kernel("rbf", lengthscale=0.6), xg,
+            noise_var=0.2, num_probes=32, lanczos_iters=20, cg_iters=200,
+            **kwargs,
+        )
+        v1 = m.log_likelihood_segmented(cg_segment_iters=25, probe_chunk=8)
+        progs = m._nlml_progs
+        v2 = m.log_likelihood_segmented(cg_segment_iters=25, probe_chunk=8)
+        assert m._nlml_progs is progs          # cache hit: same program set
+        assert v2 == v1                        # deterministic draw → identical
+        m.log_likelihood_segmented(cg_segment_iters=50, probe_chunk=8)
+        assert m._nlml_progs is not progs      # geometry change → rebuild
+
+
 def test_ski_lattice_solver_matches_dense(rng):
     """solver='lattice' (Woodbury dual on the whitened lattice operator):
     the data-space solve must equal the dense solve to solver precision, and
