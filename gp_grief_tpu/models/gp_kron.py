@@ -20,6 +20,7 @@ from typing import Sequence, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.diag import cov_diag
@@ -220,7 +221,8 @@ class GPKroneckerRegression(BaseModel):
         self, *, cg_segment_iters: int = 60, verbose: bool = False
     ) -> float:
         """Value-only log marginal likelihood with the CG quadratic term
-        host-segmented (:func:`gp_grief_tpu.ops.cg.cg_solve_segmented`).
+        host-segmented (same host loop as
+        :func:`gp_grief_tpu.ops.cg.cg_solve_segmented`).
 
         For ``solver="cg"`` at lattice sizes where one CG program would
         exceed a per-program execution limit: cg_iters=400 at an m=1M
@@ -229,54 +231,142 @@ class GPKroneckerRegression(BaseModel):
         (one small program); only the solve is segmented, with the
         eigendecomposition and preconditioner built once and shared across
         segments as device arrays.
-        """
-        from gp_grief_tpu.ops.cg import cg_solve_segmented
 
-        @jax.jit
-        def prep(params):
+        Compile-once: the (init, segment, quad) programs are built and
+        jitted ONCE per ``(cg_segment_iters, precond_rank, cg_whiten)`` and
+        cached on the model (the GPSKIRegression pattern) — repeated NLML
+        evaluations cost device time + one dispatch per segment.  Solver
+        state runs batch-major ``(1, m)`` (``layout="bm"``): an ``(m, 1)``
+        column state lane-pads 1 → 128 under the TPU ``T(8,128)`` tiling —
+        128× the axpy/reduction traffic and 2.5 GB of dead state at m=33.5M
+        (RESULTS_r2.md §7/§8).
+        """
+        progs = self._nlml_programs(int(cg_segment_iters))
+        (init_fn, init_c), (seg_fn, seg_c), (fin_fn, fin_c) = progs
+        aux, rhs, state, bnorm, rnorm = init_fn(init_c, self.params)
+        eff_tol = max(
+            float(self.cg_tol), 20.0 * float(jnp.finfo(self.y.dtype).eps)
+        )
+        stop = eff_tol * np.maximum(
+            np.asarray(bnorm), float(jnp.finfo(self.y.dtype).tiny)
+        )
+        rnorm_h = np.asarray(rnorm)
+        dead_h = np.zeros(rnorm_h.shape, bool)
+        max_segments = max(1, -(-self.cg_iters // cg_segment_iters))
+        iters = 0
+        for s in range(max_segments):
+            if not np.any((rnorm_h > stop) & ~dead_h):
+                break
+            state, rnorm, dead = seg_fn(seg_c, aux, state)
+            # The per-segment fetch is the host-side convergence test — and
+            # on the axon relay it also bounds the async queue at one segment.
+            rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+            iters += int(cg_segment_iters)
+            if verbose:
+                rel = float(np.max(rnorm_h / np.maximum(np.asarray(bnorm), 1e-30)))
+                print(
+                    f"[nlml_segmented] segment {s + 1}: iters={iters} "
+                    f"max_rel_resid={rel:.3e}"
+                )
+        quad, logdet = (float(v) for v in fin_fn(fin_c, aux, rhs, state))
+        return -0.5 * (quad + logdet + self.m * float(np.log(2.0 * np.pi)))
+
+    def _nlml_programs(self, cg_segment_iters: int):
+        """Cached compile-once programs for :meth:`log_likelihood_segmented`."""
+        key = (int(cg_segment_iters), self.precond_rank, self.cg_whiten)
+        if getattr(self, "_nlml_progs_key", None) != key:
+            self._nlml_progs_key = key
+            self._nlml_progs = self._build_nlml_programs(int(cg_segment_iters))
+        return self._nlml_progs
+
+    def _build_nlml_programs(self, segment_iters: int):
+        """Compile-once (init, segment, quad) programs for
+        :meth:`log_likelihood_segmented`.  Hyperparameters and the
+        evaluation's eigendecomposition/preconditioner travel through an
+        ``aux`` pytree of explicit program arguments; closure-captured
+        arrays (``y``) are hoisted by
+        :func:`gp_grief_tpu.utils.closure.explicit_closure` (embedding
+        data-sized constants stalls the relay — CLAUDE.md)."""
+        from gp_grief_tpu.ops.cg import _make_pcg_step, _reducers
+        from gp_grief_tpu.utils.closure import explicit_closure
+
+        _colsum, _colnorm, _bc = _reducers("bm", None)
+
+        def build_ops(aux):
+            """(matvec, inner preconditioner, whitener) on (1, m) rows.
+
+            All Kron/deflation algebra runs on the flat ``(m,)`` vector
+            (good lane occupancy); only the CG state is (1, m)."""
+            factors, sigma2, Qs, lams, _ = aux
+            _w = lambda v: v  # noqa: E731
+            M_inv_hook = None
+            if self.precond_rank > 0:
+                from gp_grief_tpu.ops.precond import kron_deflation_sqrt_ops
+                from gp_grief_tpu.ops.topk import top_p_kron_eigs
+
+                _, idx = top_p_kron_eigs(lams, self.precond_rank)
+                M_inv, M_inv_sqrt, _ = kron_deflation_sqrt_ops(
+                    Qs, lams, idx, sigma2
+                )
+                if self.cg_whiten:
+                    _w = M_inv_sqrt
+                else:
+                    M_inv_hook = M_inv
+
+            def mv(v_bm):
+                u = _w(v_bm[0])
+                return _w(kron_matvec_fast(factors, u) + sigma2 * u)[None]
+
+            precond = (
+                (lambda r_bm: M_inv_hook(r_bm[0])[None])
+                if M_inv_hook is not None
+                else (lambda r_bm: r_bm)
+            )
+            return mv, precond, _w
+
+        def init_fn(params):
             sigma2 = jnp.exp(params["log_noise"])
             factors = self._factors(params["kernels"])
             Qs, lams = kron_eigh(factors)
             lams = _clamp_psd(lams)
             logdet = jnp.sum(jnp.log(_lam_kron(lams) + sigma2))
-            return factors, sigma2, Qs, lams, logdet
+            aux = (factors, sigma2, Qs, lams, logdet)
+            _, precond, _w = build_ops(aux)
+            rhs = _w(self.y)[None, :]
+            # x0 = 0 → r0 = rhs exactly (linearity): the init matvec is
+            # skipped; z0 goes through the inner preconditioner when the
+            # data-space M⁻¹-PCG branch is active.
+            x0 = jnp.zeros_like(rhs)
+            z0 = precond(rhs)
+            rz0 = _colsum(rhs * z0)
+            state = (x0, rhs, z0, z0, rz0, jnp.zeros(rz0.shape, bool))
+            return aux, rhs, state, _colnorm(rhs), _colnorm(rhs)
 
-        factors, sigma2, Qs, lams, logdet = prep(self.params)
-        # cg_whiten: segmented whitened solve (required at tiny σ² —
-        # RESULTS_r5.md §7); else data-space M⁻¹-PCG segments.
-        _w = lambda v: v  # noqa: E731
-        M_inv_hook = None
-        if self.precond_rank > 0:
-            from gp_grief_tpu.ops.precond import kron_deflation_sqrt_ops
-            from gp_grief_tpu.ops.topk import top_p_kron_eigs
+        def seg_fn(aux, state):
+            mv, precond, _ = build_ops(aux)
+            step = _make_pcg_step(mv, precond, _colsum, _bc)
 
-            _, idx = top_p_kron_eigs(lams, self.precond_rank)
-            M_inv, M_inv_sqrt, _ = kron_deflation_sqrt_ops(Qs, lams, idx, sigma2)
-            if self.cg_whiten:
-                _w = M_inv_sqrt
-            else:
-                M_inv_hook = M_inv
+            def body(s, _):
+                return step(*s), None
 
-        def mv_w(v):
-            u = _w(v)
-            return _w(kron_matvec_fast(factors, u) + sigma2 * u)
+            state, _ = lax.scan(body, state, None, length=segment_iters)
+            return state, _colnorm(state[1]), state[5]
 
-        from gp_grief_tpu.utils.closure import explicit_closure
+        def fin_fn(aux, rhs, state):
+            # quad = yᵀA⁻¹y = (M⁻½y)ᵀ(M⁻½AM⁻½)⁻¹(M⁻½y) — both branches
+            # reduce to rhs·x (rhs = y when unwhitened).
+            logdet = aux[4]
+            return jnp.dot(rhs[0], state[0][0]), logdet
 
-        rp, rc = explicit_closure(lambda: _w(self.y))
-        rhs_w = jax.jit(rp)(rc)
-        alpha_w = cg_solve_segmented(
-            mv_w,
-            rhs_w,
-            tol=self.cg_tol,
-            segment_iters=cg_segment_iters,
-            max_segments=max(1, -(-self.cg_iters // cg_segment_iters)),
-            M_inv=M_inv_hook,
-            verbose=verbose,
+        sds = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t
         )
-        # quad = yᵀA⁻¹y = (M⁻½y)ᵀ(M⁻½AM⁻½)⁻¹(M⁻½y).
-        quad = float(jnp.dot(rhs_w, alpha_w))
-        return -0.5 * (quad + float(logdet) + self.m * float(np.log(2.0 * np.pi)))
+        ip, ic = explicit_closure(init_fn, sds(self.params))
+        out_sds = jax.eval_shape(ip, ic, sds(self.params))
+        aux_sds, rhs_sds, state_sds = out_sds[0], out_sds[1], out_sds[2]
+        sp, sc = explicit_closure(seg_fn, aux_sds, state_sds)
+        fp, fc = explicit_closure(fin_fn, aux_sds, rhs_sds, state_sds)
+        return (jax.jit(ip), ic), (jax.jit(sp), sc), (jax.jit(fp), fc)
 
     def predict(
         self,

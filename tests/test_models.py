@@ -411,3 +411,27 @@ def test_gpkron_segmented_nlml_matches(rng):
         mono = m.log_likelihood()
         seg = m.log_likelihood_segmented(cg_segment_iters=20)
         assert abs(seg - mono) / abs(mono) < 1e-8
+
+
+def test_gpkron_segmented_whitened_and_cached(rng):
+    """The whitened segmented branch (cg_whiten=True) matches the monolithic
+    NLML, and repeated evaluations reuse the compile-once program set
+    (bit-identical repeats; geometry change rebuilds)."""
+    from gp_grief_tpu.models.gp_kron import GPKroneckerRegression
+
+    gs = [np.linspace(0, 1, 7)[:, None], np.linspace(0, 2, 6)[:, None]]
+    yg = rng.standard_normal(42)
+    m = GPKroneckerRegression(
+        gs, yg, [make_kernel("rbf", lengthscale=0.4),
+                 make_kernel("matern32", lengthscale=0.7)],
+        noise_var=0.3, solver="cg", cg_tol=1e-12, cg_iters=300,
+        precond_rank=12, cg_whiten=True,
+    )
+    mono = m.log_likelihood()
+    seg = m.log_likelihood_segmented(cg_segment_iters=20)
+    assert abs(seg - mono) / abs(mono) < 1e-8
+    progs = m._nlml_progs
+    seg2 = m.log_likelihood_segmented(cg_segment_iters=20)
+    assert m._nlml_progs is progs and seg2 == seg
+    m.log_likelihood_segmented(cg_segment_iters=40)
+    assert m._nlml_progs is not progs
