@@ -122,36 +122,13 @@ class GPSKIRegression(BaseModel):
             )
         self.x, self.y = x, y
         self.iw = interp_weights(x, self.xg)
-        # Scatter-free interpolation plan: the naive Wᵀ is 2^d TPU
-        # scatter-adds at ~100 ms per matvec (n=100k, m=1.05M) — 100× the
-        # Kron matvec it feeds.  The plan's ELL slot-gather form is EXACT
-        # (same short f32 sums, reordered; rel 3e-8) at 23.7 ms (4.3×) and
-        # serves every solve path incl. SLQ → NLML 46.5 s → 12.5 s at
-        # n=100k with no accuracy compromise (RESULTS_r3.md §1-2).
-        self._plan = build_interp_plan(self.iw)
-        # Tile-CSR one-hot Pallas kernel for Wᵀ: re-expresses the ELL gather
-        # as VPU one-hot builds + an MXU dot — 3.9 ms vs 17 ms at the n=100k
-        # shape, exact to 1.4e-7 (RESULTS_r4.md §5).  build_onehot_plan
-        # returns None when the layout can't win (pathological clustering);
-        # we then stay on the slot-gather form.
-        self._oplan = build_onehot_plan(self.iw)
-        self._wt_onehot = (
-            make_onehot_rmatvec(self._plan, self._oplan)
-            if self._oplan is not None
-            else None
-        )
-        # Windowed applies for the n ≳ m regime (where the one-hot layout
-        # can't win and the flat gathers read from >VMEM-scale sources at
-        # ~0.65 G elem/s): every gather source becomes a contiguous
-        # dynamic_slice window over cell-sorted points — see
-        # ops/interp_windowed.py.  Gated to that regime so the measured-
-        # fastest path at n ≪ m (one-hot Wᵀ + fused-gather W) is unchanged.
-        self._wplan = (
-            build_windowed_plan(self.iw) if self._oplan is None else None
-        )
-        self._w_ops = (
-            make_windowed_ops(self._wplan) if self._wplan is not None else None
-        )
+        # Interpolation plans are built LAZILY on first use (__getattr__
+        # below): the three host-numpy builders cost ~15 s (flat ELL plan) +
+        # ~2 s (one-hot gate) + ~17 s (windowed plan) at n=1M, and which a
+        # workflow touches depends on the regime — one-hot Wᵀ at n ≪ m,
+        # windowed applies at n ≳ m, the flat plan only on fallback and
+        # predict paths.  Eager construction paid for all of them up front
+        # (RESULTS_r7.md).
         self.dim_noise_var = float(dim_noise_var)
         # "mixed": NLML/predict solves run iterative refinement — the CG hot
         # loop uses the bf16-MXU Kron matvec, exact-precision residual
@@ -193,6 +170,65 @@ class GPSKIRegression(BaseModel):
             else [kern_list] * len(self.xg)
         )
         self.params = {"kernels": kerns, "log_noise": inverse_positive(noise_var).astype(x.dtype)}
+
+    _LAZY_PLANS = ("_plan", "_oplan", "_wt_onehot", "_wplan", "_w_ops")
+
+    def __getattr__(self, name):
+        # Lazy interpolation plans (see __init__) — fires only while the
+        # attribute is unset; tests may still assign these directly.  The
+        # first touch can happen inside a jit trace (a solver tracing
+        # _matvec_bm): without ensure_compile_time_eval the builders'
+        # jnp.asarray conversions would produce tracers that get cached on
+        # self and leak into every later program.
+        if name in GPSKIRegression._LAZY_PLANS:
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                return self._build_lazy_plan(name)
+        raise AttributeError(
+            f"{type(self).__name__!s} object has no attribute {name!r}"
+        )
+
+    def _build_lazy_plan(self, name):
+        if name == "_plan":
+            # Scatter-free flat ELL plan: the naive Wᵀ is 2^d TPU
+            # scatter-adds at ~100 ms per matvec (n=100k, m=1.05M) — 100×
+            # the Kron matvec it feeds.  The ELL slot-gather form is EXACT
+            # (same short f32 sums, reordered; rel 3e-8) at 23.7 ms (4.3×) —
+            # RESULTS_r3.md §1-2.
+            self._plan = build_interp_plan(self.iw)
+            return self._plan
+        if name == "_oplan":
+            # Tile-CSR one-hot plan for Wᵀ: VPU one-hot builds + an MXU dot
+            # — 3.9 ms vs 17 ms at the n=100k shape, exact to 1.4e-7
+            # (RESULTS_r4.md §5).  None when the layout can't win (n ≳ m
+            # overflow, pathological clustering).
+            self._oplan = build_onehot_plan(self.iw)
+            return self._oplan
+        if name == "_wt_onehot":
+            self._wt_onehot = (
+                make_onehot_rmatvec(self._plan, self._oplan)
+                if self._oplan is not None
+                else None
+            )
+            return self._wt_onehot
+        if name == "_wplan":
+            # Windowed applies for the n ≳ m regime (where one-hot can't
+            # win and flat gathers read >VMEM-scale sources at ~0.65 G
+            # elem/s): gather sources become contiguous dynamic_slice
+            # windows over cell-sorted points (ops/interp_windowed.py).
+            self._wplan = (
+                build_windowed_plan(self.iw) if self._oplan is None else None
+            )
+            return self._wplan
+        if name == "_w_ops":
+            self._w_ops = (
+                make_windowed_ops(self._wplan)
+                if self._wplan is not None
+                else None
+            )
+            return self._w_ops
+        raise AssertionError(name)  # pragma: no cover - _LAZY_PLANS gate
 
     # -- structured operator ---------------------------------------------------
 

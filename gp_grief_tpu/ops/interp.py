@@ -436,6 +436,21 @@ def build_onehot_plan(
     nz = w_all != 0  # zero-weight pruning, as in build_interp_plan
     flat_all, w_all, src_all = flat_all[nz], w_all[nz], src_all[nz]
 
+    # The design requires a TINY overflow (each entry is a ~22×-gather-cost
+    # serialized scatter).  At n ≳ m the per-cell contribution count
+    # (2^d·n/M) exceeds any reasonable K and the overflow explodes — at
+    # n=1M / m=1.05M, K=8 left 7.9M of 16M updates on the scatter and the
+    # kernel measured 2.4× SLOWER than the wide-ELL slot form
+    # (benchmarks/exp_r5g_1m_matvec.py).  Fall back.
+    ov_cap = max(1000, M // 100) if ov_limit is None else int(ov_limit)
+    # Capacity pre-gate, BEFORE the O(2^d·n log) sort: the K·M slots can
+    # hold at most max_slots·M of the nonzero entries, so the overflow is at
+    # least total − max_slots·M regardless of how the points cluster.  At
+    # the n ≳ m regime this rejects in O(2^d·n) instead of ~6 s of argsort
+    # work at n=1M (the plan was doomed either way).
+    if int(flat_all.shape[0]) - max_slots * M > ov_cap:
+        return None
+
     perm = np.argsort(flat_all, kind="stable")
     flat_s, w_s, src_s = flat_all[perm], w_all[perm], src_all[perm]
     uniq, seg_start = np.unique(flat_s, return_index=True)
@@ -447,13 +462,6 @@ def build_onehot_plan(
     while K < min(max_rank, max_slots) and int(np.sum(rank >= K)) > 1000:
         K += 1
     in_slot = rank < K
-    # The design requires a TINY overflow (each entry is a ~22×-gather-cost
-    # serialized scatter).  At n ≳ m the per-cell contribution count
-    # (2^d·n/M) exceeds any reasonable K and the overflow explodes — at
-    # n=1M / m=1.05M, K=8 left 7.9M of 16M updates on the scatter and the
-    # kernel measured 2.4× SLOWER than the wide-ELL slot form
-    # (benchmarks/exp_r5g_1m_matvec.py).  Fall back.
-    ov_cap = max(1000, M // 100) if ov_limit is None else int(ov_limit)
     if int(np.sum(~in_slot)) > ov_cap:
         return None
 
