@@ -43,6 +43,7 @@ from gp_grief_tpu.ops.interp import (
     InterpPlan,
     InterpWeights,
     OneHotPlan,
+    build_corner_stream,
     build_interp_plan,
     build_onehot_plan,
     interp_expand,
@@ -78,6 +79,7 @@ __all__ = [
     "op_shift",
     "InterpWeights",
     "interp_weights",
+    "build_corner_stream",
     "build_interp_plan",
     "build_onehot_plan",
     "make_onehot_rmatvec",

@@ -28,7 +28,9 @@ __all__ = [
     "InterpWeights",
     "InterpPlan",
     "OneHotPlan",
+    "CornerStream",
     "interp_weights",
+    "build_corner_stream",
     "build_interp_plan",
     "build_onehot_plan",
     "make_onehot_rmatvec",
@@ -178,6 +180,168 @@ def interp_rmatvec_bm(iw: InterpWeights, u_bm: jax.Array) -> jax.Array:
     return out
 
 
+class CornerStream(NamedTuple):
+    """Shared host-side (numpy) corner-update stream; built once per model.
+
+    Every interpolation plan (flat ELL :class:`InterpPlan`, one-hot tile-CSR
+    :class:`OneHotPlan`, windowed
+    :class:`~gp_grief_tpu.ops.interp_windowed.WindowedPlan`) starts from the
+    same multiset of ``2^d·n`` (corner cell, weight, point) updates; building
+    it independently per plan cost ~35-50 s host time at n=1M/32⁴ — most of
+    it ``2^d·n``-element int64 argsorts and ``np.unique`` re-sorts.
+
+    Two structural facts kill almost all of that work:
+
+    * :func:`interp_weights` clamps ``left ≤ m_d − 2``, and degenerate
+      ``m_d = 1`` dims contribute index 0 at weight 0 — so EVERY corner's
+      flat index is exactly ``base + consts[k]`` (``base`` = the point's own
+      cell; ``consts[k]`` a per-corner constant skipping degenerate dims).
+      No per-corner index arithmetic, and after the one ``n``-element sort
+      of ``base`` each corner's stream is ALREADY sorted by cell.
+    * Per-cell ranks then follow from *counting* (within-corner rank via one
+      segment scan shared by all unpruned corners, plus a running per-cell
+      offset accumulated corner by corner) — never from a ``2^d·n`` argsort.
+      A cell-major sorted stream, where a plan needs one, is a counting
+      sort: ``position = cell_start[flat] + rank``.
+
+    Fields (all host numpy; ``L = Σ_k nnz_k`` after zero-weight pruning):
+    ``base (n,)`` int32 data-order base cells; ``consts (2^d,)`` int32;
+    ``perm/inv_perm (n,)`` int32 cell-sort of the points and its inverse;
+    ``base_sorted (n,)``; ``w_pts_sorted (2^d, n)`` per-corner weights in
+    sorted-point order (unpruned — zero-weight entries kept for gather
+    tables); ``flat_u/w_u/src_u/rank_u (L,)`` the pruned stream in
+    corner-major order — flat cell, weight, SORTED-point id, and the
+    entry's rank within its cell (a permutation of ``0..c−1`` per cell);
+    ``counts (M,)`` per-cell totals; ``tail`` rank-tail histogram
+    (``tail[k-1] = #(rank ≥ k)``, the ELL-width selection curve);
+    ``shape`` the grid shape.
+    """
+
+    base: "object"
+    consts: "object"
+    perm: "object"
+    inv_perm: "object"
+    base_sorted: "object"
+    w_pts_sorted: "object"
+    flat_u: "object"
+    w_u: "object"
+    src_u: "object"
+    rank_u: "object"
+    counts: "object"
+    tail: "object"
+    shape: Tuple[int, ...]
+
+
+def build_corner_stream(iw: InterpWeights) -> CornerStream:
+    """Build the shared :class:`CornerStream` for an :class:`InterpWeights`.
+
+    Host numpy, not jittable; ~3-4 s at n=1M/32⁴ (vs ~15-45 s for each of
+    the per-plan builders it replaces the front half of).  Pass the result
+    to :func:`build_interp_plan` / :func:`build_onehot_plan` /
+    :func:`~gp_grief_tpu.ops.interp_windowed.build_windowed_plan` via their
+    ``stream=`` argument to share it.
+    """
+    import numpy as np
+
+    d = len(iw.shape)
+    M = math.prod(iw.shape)
+    n = int(np.asarray(iw.idx[0]).shape[0])
+    idx_h = [np.asarray(ix).astype(np.int64) for ix in iw.idx]
+    w_h = [np.asarray(w) for w in iw.w]
+    strides = np.ones(d, np.int64)
+    for dd in range(d - 2, -1, -1):
+        strides[dd] = strides[dd + 1] * iw.shape[dd + 1]
+    smax = int(strides.sum())
+    base64 = np.zeros(n, np.int64)
+    for dd in range(d):
+        base64 += idx_h[dd] * strides[dd]
+    base = base64.astype(np.int32)
+    offs = list(itertools.product((0, 1), repeat=d))
+    consts = np.asarray(
+        [
+            sum(int(o[dd]) * int(strides[dd]) for dd in range(d) if iw.shape[dd] >= 2)
+            for o in offs
+        ],
+        np.int32,
+    )
+    perm = np.argsort(base, kind="stable").astype(np.int32)
+    inv_perm = np.empty(n, np.int32)
+    inv_perm[perm] = np.arange(n, dtype=np.int32)
+    base_sorted = base[perm]
+    ws_h = [w_h[dd][perm] for dd in range(d)]
+    w_pts_sorted = np.empty((2**d, n), w_h[0].dtype)
+    for k, o in enumerate(offs):
+        w = ws_h[0][:, o[0]].copy()
+        for dd in range(1, d):
+            w *= ws_h[dd][:, o[dd]]
+        w_pts_sorted[k] = w
+    nz = w_pts_sorted != 0
+    cnt_k = nz.sum(axis=1)
+    L = int(cnt_k.sum())
+    flat_u = np.empty(L, np.int32)
+    w_u = np.empty(L, w_pts_sorted.dtype)
+    src_u = np.empty(L, np.int32)
+    rank_u = np.empty(L, np.int32)
+    idxn = np.arange(n, dtype=np.int64)
+    within0 = None
+    if n:
+        newseg0 = np.empty(n, bool)
+        newseg0[0] = True
+        np.not_equal(base_sorted[1:], base_sorted[:-1], out=newseg0[1:])
+        within0 = idxn - np.maximum.accumulate(np.where(newseg0, idxn, 0))
+    counts_base = np.bincount(base_sorted, minlength=M).astype(np.int64)
+    ar = np.arange(n, dtype=np.int32)
+    # Running per-cell offsets; +smax slack lets each unpruned corner update
+    # by one shifted slice-add of counts_base instead of a fresh bincount.
+    cum = np.zeros(M + smax + 1, np.int64)
+    pos = 0
+    for k in range(2**d):
+        Lk = int(cnt_k[k])
+        if Lk == 0:
+            continue
+        ck = int(consts[k])
+        sl = slice(pos, pos + Lk)
+        pos += Lk
+        if Lk == n:
+            # No pruned entries: this corner shares base's segment structure.
+            np.add(base_sorted, np.int32(ck), out=flat_u[sl])
+            w_u[sl] = w_pts_sorted[k]
+            src_u[sl] = ar
+            rank_u[sl] = cum[flat_u[sl]] + within0
+            cum[ck : ck + M] += counts_base
+        else:
+            nzk = nz[k]
+            f = base_sorted[nzk] + np.int32(ck)
+            flat_u[sl] = f
+            w_u[sl] = w_pts_sorted[k][nzk]
+            src_u[sl] = ar[nzk]
+            il = np.arange(Lk, dtype=np.int64)
+            ns = np.empty(Lk, bool)
+            ns[0] = True
+            np.not_equal(f[1:], f[:-1], out=ns[1:])
+            within = il - np.maximum.accumulate(np.where(ns, il, 0))
+            rank_u[sl] = cum[f] + within
+            cum[:M] += np.bincount(f, minlength=M)
+    counts = cum[:M].copy()
+    hist = np.bincount(rank_u) if L else np.zeros(1, np.int64)
+    tail = L - np.cumsum(hist)
+    return CornerStream(
+        base=base,
+        consts=consts,
+        perm=perm,
+        inv_perm=inv_perm,
+        base_sorted=base_sorted,
+        w_pts_sorted=w_pts_sorted,
+        flat_u=flat_u,
+        w_u=w_u,
+        src_u=src_u,
+        rank_u=rank_u,
+        counts=counts,
+        tail=tail,
+        shape=tuple(iw.shape),
+    )
+
+
 class InterpPlan(NamedTuple):
     """Scatter-free interpolation plan (static per model; built once on host).
 
@@ -230,10 +394,14 @@ class InterpPlan(NamedTuple):
     shape: Tuple[int, ...]
 
 
-def build_interp_plan(iw: InterpWeights, max_slots: int = 64) -> InterpPlan:
+def build_interp_plan(
+    iw: InterpWeights, max_slots: int = 64, stream: CornerStream | None = None
+) -> InterpPlan:
     """Host-side (numpy) preprocessing of an :class:`InterpWeights` into a
-    scatter-free :class:`InterpPlan`.  Not jittable (sorts data-dependent
-    indices); run once at model construction.
+    scatter-free :class:`InterpPlan`.  Not jittable; run once at model
+    construction.  Pass ``stream`` (a :func:`build_corner_stream` result) to
+    share the corner-update stream with the other plan builders — all the
+    heavy work lives there; this function is then pure counting-sort fills.
 
     ``max_slots`` caps the ELL width ``K``; the actual ``K`` is chosen by a
     measured gather-vs-scatter break-even rule (grow while the overflow
@@ -245,77 +413,57 @@ def build_interp_plan(iw: InterpWeights, max_slots: int = 64) -> InterpPlan:
     (~0.1 s per matvec) where K≈20 slot columns gather them at 3.2G elem/s."""
     import numpy as np
 
-    d = len(iw.shape)
-    M = math.prod(iw.shape)
-    n = int(iw.idx[0].shape[0])
-    # One device→host fetch per dim, then pure numpy: the corner loop would
-    # otherwise issue ~2^d·d eager device ops (minutes over a remote relay).
-    idx_h = [np.asarray(ix) for ix in iw.idx]
-    w_h = [np.asarray(w) for w in iw.w]
-    flats, weights = [], []
-    for offsets in itertools.product((0, 1), repeat=d):
-        flat = None
-        w = np.ones(n, dtype=w_h[0].dtype)
-        for dd, off in enumerate(offsets):
-            comp = np.minimum(idx_h[dd] + off, iw.shape[dd] - 1)
-            flat = comp if flat is None else flat * iw.shape[dd] + comp
-            w = w * w_h[dd][:, off]
-        flats.append(flat.astype(np.int64))
-        weights.append(w)
-    flat_all = np.concatenate(flats)
-    w_all = np.concatenate(weights)
-    src_all = np.tile(np.arange(n, dtype=np.int64), 2**d)
-    # Prune exact-zero weights (points on grid lines, clamped boundary
-    # corners, degenerate dims): they contribute nothing but would occupy
-    # ELL slots and gather bandwidth.
-    nz = w_all != 0
-    flat_all, w_all, src_all = flat_all[nz], w_all[nz], src_all[nz]
-    perm = np.argsort(flat_all, kind="stable")
-    sorted_ids = flat_all[perm]
-    uniq_ids, seg_starts = np.unique(sorted_ids, return_index=True)
-    seg_ends = np.concatenate([seg_starts[1:], [len(sorted_ids)]])
-    node_start = np.zeros(M, dtype=np.int64)
-    node_end = np.zeros(M, dtype=np.int64)
-    node_start[uniq_ids] = seg_starts
-    node_end[uniq_ids] = seg_ends
-    src = src_all[perm]
-    w_sorted = w_all[perm]
+    st = stream if stream is not None else build_corner_stream(iw)
+    M = math.prod(st.shape)
+    L = int(st.flat_u.shape[0])
+    # Cell-major sorted stream by counting sort: position = cell_start + rank.
+    cell_bounds = np.zeros(M + 1, np.int64)
+    np.cumsum(st.counts, out=cell_bounds[1:])
+    pos = cell_bounds[st.flat_u] + st.rank_u
+    src_data = st.perm[st.src_u].astype(np.int64)  # data-order point ids
+    src = np.empty(L, np.int64)
+    src[pos] = src_data
+    w_sorted = np.empty(L, st.w_u.dtype)
+    w_sorted[pos] = st.w_u
+    # Segment pointers: empty cells get start == end → exact 0 contribution
+    # in the cumsum form (the pre-stream builder parked them at 0/0; any
+    # equal pair is equivalent).
+    node_start = cell_bounds[:M]
+    node_end = cell_bounds[1:]
 
-    # ELL slots: rank of each stream entry within its node's segment.
-    seg_start_of = node_start[sorted_ids]
-    rank = np.arange(len(sorted_ids), dtype=np.int64) - seg_start_of
-    # Adaptive width: measured on v5e, a slot column gathers B·M elements at
+    # ELL width: measured on v5e, a slot column gathers B·M elements at
     # ~3.2G elem/s while an overflow entry scatters B elements at
     # ~143M elem/s — one more column pays for itself only while the overflow
     # stream holds > M·(143/3200) ≈ M/22 entries (RESULTS_r3.md §3).
-    max_rank = int(rank.max()) + 1 if len(rank) else 1
-    # tail(K) = #entries with rank ≥ K, via one histogram pass (the loop form
-    # rescanned the 2^d·n stream per candidate K — minutes at n=1M).
-    hist = np.bincount(rank, minlength=max_rank) if len(rank) else np.zeros(1, np.int64)
-    tail = len(rank) - np.cumsum(hist)  # tail[k-1] = #(rank >= k)
+    max_rank = len(st.tail)
     K = 1
-    while K < min(max_rank, max_slots) and int(tail[K - 1]) > M // 22:
+    while K < min(max_rank, max_slots) and int(st.tail[K - 1]) > M // 22:
         K += 1
-    in_slot = rank < K
+    in_slot = st.rank_u < K
     slot_src = np.zeros((M, K), dtype=np.int64)
-    slot_w = np.zeros((M, K), dtype=w_all.dtype)
-    slot_src[sorted_ids[in_slot], rank[in_slot]] = src[in_slot]
-    slot_w[sorted_ids[in_slot], rank[in_slot]] = w_sorted[in_slot]
+    slot_w = np.zeros((M, K), dtype=st.w_u.dtype)
+    slot_src[st.flat_u[in_slot], st.rank_u[in_slot]] = src_data[in_slot]
+    slot_w[st.flat_u[in_slot], st.rank_u[in_slot]] = st.w_u[in_slot]
     ov = ~in_slot
+
+    # Dense per-corner gather tables (data order, zero-weight corners kept):
+    # flat = base + consts[k] exactly — see CornerStream.
+    gather_flat = st.base[None, :].astype(np.int64) + st.consts[:, None]
+    gather_w = st.w_pts_sorted[:, st.inv_perm]
 
     return InterpPlan(
         src_col=jnp.asarray(src, jnp.int32),
         w_sorted=jnp.asarray(w_sorted),
         start_ptr=jnp.asarray(node_start, jnp.int32),
         end_ptr=jnp.asarray(node_end, jnp.int32),
-        gather_flat=jnp.asarray(np.stack(flats), jnp.int32),
-        gather_w=jnp.asarray(np.stack(weights)),
+        gather_flat=jnp.asarray(gather_flat, jnp.int32),
+        gather_w=jnp.asarray(gather_w),
         slot_src=jnp.asarray(slot_src, jnp.int32),
         slot_w=jnp.asarray(slot_w),
-        ov_ids=jnp.asarray(sorted_ids[ov], jnp.int32),
-        ov_src=jnp.asarray(src[ov], jnp.int32),
-        ov_w=jnp.asarray(w_sorted[ov]),
-        shape=tuple(iw.shape),
+        ov_ids=jnp.asarray(st.flat_u[ov], jnp.int32),
+        ov_src=jnp.asarray(src_data[ov], jnp.int32),
+        ov_w=jnp.asarray(st.w_u[ov]),
+        shape=tuple(st.shape),
     )
 
 
@@ -396,6 +544,7 @@ def build_onehot_plan(
     max_slots: int = 8,
     r_limit: int = 4096,
     ov_limit: int | None = None,
+    stream: CornerStream | None = None,
 ):
     """Host-side (numpy) tile-CSR preprocessing for :class:`OneHotPlan`.
 
@@ -403,7 +552,8 @@ def build_onehot_plan(
     exceeds ``r_limit`` (pathologically clustered data would blow the VMEM
     ``(R, C)`` one-hot scratch), or a window gather no smaller than the ELL
     slot gather it replaces.  Callers fall back to
-    :func:`interp_rmatvec_bm_exact`.
+    :func:`interp_rmatvec_bm_exact`.  Pass ``stream`` to share the
+    corner-update stream with the other plan builders.
 
     ``K`` grows until the overflow stream is tiny (≤ ~1k entries): unlike
     the ELL form — where each slot column is a ``B·M``-element gather — a
@@ -412,63 +562,42 @@ def build_onehot_plan(
     """
     import numpy as np
 
-    d = len(iw.shape)
-    M = math.prod(iw.shape)
-    n = int(iw.idx[0].shape[0])
+    st = stream if stream is not None else build_corner_stream(iw)
+    M = math.prod(st.shape)
+    n = int(st.base.shape[0])
     C = int(tile_cells)
     T = -(-M // C)
     M_pad = T * C
-    idx_h = [np.asarray(ix) for ix in iw.idx]
-    w_h = [np.asarray(w) for w in iw.w]
-    flats, weights = [], []
-    for offsets in itertools.product((0, 1), repeat=d):
-        flat = None
-        w = np.ones(n, dtype=w_h[0].dtype)
-        for dd, off in enumerate(offsets):
-            comp = np.minimum(idx_h[dd] + off, iw.shape[dd] - 1)
-            flat = comp if flat is None else flat * iw.shape[dd] + comp
-            w = w * w_h[dd][:, off]
-        flats.append(flat.astype(np.int64))
-        weights.append(w)
-    flat_all = np.concatenate(flats)
-    w_all = np.concatenate(weights)
-    src_all = np.tile(np.arange(n, dtype=np.int64), 2**d)
-    nz = w_all != 0  # zero-weight pruning, as in build_interp_plan
-    flat_all, w_all, src_all = flat_all[nz], w_all[nz], src_all[nz]
+    L = int(st.flat_u.shape[0])
 
     # The design requires a TINY overflow (each entry is a ~22×-gather-cost
     # serialized scatter).  At n ≳ m the per-cell contribution count
     # (2^d·n/M) exceeds any reasonable K and the overflow explodes — at
     # n=1M / m=1.05M, K=8 left 7.9M of 16M updates on the scatter and the
     # kernel measured 2.4× SLOWER than the wide-ELL slot form
-    # (benchmarks/exp_r5g_1m_matvec.py).  Fall back.
+    # (benchmarks/exp_r5g_1m_matvec.py).  Fall back.  Capacity pre-gate
+    # first: the K·M slots hold at most max_slots·M entries, so overflow is
+    # at least L − max_slots·M regardless of how the points cluster.
     ov_cap = max(1000, M // 100) if ov_limit is None else int(ov_limit)
-    # Capacity pre-gate, BEFORE the O(2^d·n log) sort: the K·M slots can
-    # hold at most max_slots·M of the nonzero entries, so the overflow is at
-    # least total − max_slots·M regardless of how the points cluster.  At
-    # the n ≳ m regime this rejects in O(2^d·n) instead of ~6 s of argsort
-    # work at n=1M (the plan was doomed either way).
-    if int(flat_all.shape[0]) - max_slots * M > ov_cap:
+    if L - max_slots * M > ov_cap:
         return None
 
-    perm = np.argsort(flat_all, kind="stable")
-    flat_s, w_s, src_s = flat_all[perm], w_all[perm], src_all[perm]
-    uniq, seg_start = np.unique(flat_s, return_index=True)
-    starts = np.zeros(M, np.int64)
-    starts[uniq] = seg_start
-    rank = np.arange(len(flat_s)) - starts[flat_s]
-    max_rank = int(rank.max()) + 1 if len(rank) else 1
+    max_rank = len(st.tail)
     K = 1
-    while K < min(max_rank, max_slots) and int(np.sum(rank >= K)) > 1000:
+    while K < min(max_rank, max_slots) and int(st.tail[K - 1]) > 1000:
         K += 1
-    in_slot = rank < K
-    if int(np.sum(~in_slot)) > ov_cap:
+    in_slot = st.rank_u < K
+    if int(st.tail[K - 1]) > ov_cap:
         return None
 
-    tile = flat_s // C
-    cell_local = flat_s - tile * C
+    flat_in = st.flat_u[in_slot].astype(np.int64)
+    src_data = st.perm[st.src_u].astype(np.int64)  # data-order point ids
+    src_in = src_data[in_slot]
+    rank_in = st.rank_u[in_slot]
+    tile_in = flat_in // C
+    cell_local_in = flat_in - tile_in * C
     # Unique (tile, point) pairs among slot entries → per-tile point windows.
-    key = tile[in_slot] * (n + 1) + src_s[in_slot]
+    key = tile_in * (n + 1) + src_in
     uniq_key = np.unique(key)
     tile_of_key = uniq_key // (n + 1)
     src_of_key = uniq_key % (n + 1)
@@ -487,17 +616,17 @@ def build_onehot_plan(
     eidx = np.searchsorted(uniq_key, key)
     local_r = eidx - tile_start[tile_of_key[eidx]]
     slot_loc = np.full((T, K, C), R, np.int64)  # R = "empty" (out of iota range)
-    slot_w = np.zeros((T, K, C), w_all.dtype)
-    slot_loc[tile[in_slot], rank[in_slot], cell_local[in_slot]] = local_r
-    slot_w[tile[in_slot], rank[in_slot], cell_local[in_slot]] = w_s[in_slot]
+    slot_w = np.zeros((T, K, C), st.w_u.dtype)
+    slot_loc[tile_in, rank_in, cell_local_in] = local_r
+    slot_w[tile_in, rank_in, cell_local_in] = st.w_u[in_slot]
     ov = ~in_slot
     return OneHotPlan(
         win_src=jnp.asarray(win_src.reshape(-1), jnp.int32),
         slot_loc=jnp.asarray(slot_loc, jnp.int32),
         slot_w=jnp.asarray(slot_w),
-        ov_ids=jnp.asarray(flat_s[ov], jnp.int32),
-        ov_src=jnp.asarray(src_s[ov], jnp.int32),
-        ov_w=jnp.asarray(w_s[ov]),
+        ov_ids=jnp.asarray(st.flat_u[ov], jnp.int32),
+        ov_src=jnp.asarray(src_data[ov], jnp.int32),
+        ov_w=jnp.asarray(st.w_u[ov]),
         T=T, C=C, R=R, K=K, M=M, M_pad=M_pad, n=n,
     )
 

@@ -40,7 +40,6 @@ as the reference's SelectionMatrixSparse/KhatriRaoMatrix composition
 
 from __future__ import annotations
 
-import itertools
 import math
 from typing import NamedTuple
 
@@ -101,29 +100,6 @@ class WindowedPlan(NamedTuple):
     n: int
 
 
-def _corner_stream(iw: InterpWeights):
-    """All 2^d (corner flat index, weight) pairs per point — host numpy.
-
-    Returns ``(flats (2^d, n) int64, weights (2^d, n))``; clipped corners
-    satisfy ``base ≤ corner ≤ base + smax`` with ``smax = Σ_d stride_d``.
-    """
-    d = len(iw.shape)
-    idx_h = [np.asarray(ix) for ix in iw.idx]
-    w_h = [np.asarray(w) for w in iw.w]
-    n = int(idx_h[0].shape[0])
-    flats, weights = [], []
-    for offsets in itertools.product((0, 1), repeat=d):
-        flat = None
-        w = np.ones(n, dtype=w_h[0].dtype)
-        for dd, off in enumerate(offsets):
-            comp = np.minimum(idx_h[dd] + off, iw.shape[dd] - 1)
-            flat = comp if flat is None else flat * iw.shape[dd] + comp
-            w = w * w_h[dd][:, off]
-        flats.append(flat.astype(np.int64))
-        weights.append(w)
-    return np.stack(flats), np.stack(weights)
-
-
 _GATHER_IDX_BUDGET = 163_840
 """Per-program-iteration gather-size budget (indices).  XLA's TPU gather
 has a throughput CLIFF as a function of the per-gather index count:
@@ -142,6 +118,7 @@ def build_windowed_plan(
     force_slots: int | None = None,
     force_wr: int | None = None,
     force_wc: int | None = None,
+    stream=None,
 ) -> WindowedPlan | None:
     """Host-side (numpy) windowed-plan construction; run once per model.
 
@@ -156,38 +133,34 @@ def build_windowed_plan(
     width / window widths (must be ≥ the derived values; widths are
     clamped to the axis lengths).  Used by the sharded builder to give
     every shard's plan identical static shapes for ``shard_map`` stacking.
+
+    ``stream`` (a :func:`~gp_grief_tpu.ops.interp.build_corner_stream`
+    result) shares the corner-update stream with the other plan builders;
+    the point sort, per-cell ranks, and ELL-width curve all come from it.
     """
+    from gp_grief_tpu.ops.interp import build_corner_stream
+
     d = len(iw.shape)
     M = math.prod(iw.shape)
-    n = int(iw.idx[0].shape[0])
+    st = stream if stream is not None else build_corner_stream(iw)
+    n = int(st.base.shape[0])
     strides = np.ones(d, dtype=np.int64)
     for dd in range(d - 2, -1, -1):
         strides[dd] = strides[dd + 1] * iw.shape[dd + 1]
     smax = int(strides.sum())
 
-    flats, weights = _corner_stream(iw)  # (2^d, n)
-    base = flats[0]  # offsets (0,...,0): the point's own cell
-    perm = np.argsort(base, kind="stable")
-    inv_perm = np.empty_like(perm)
-    inv_perm[perm] = np.arange(n)
-    base_sorted = base[perm]
+    perm = st.perm.astype(np.int64)
+    inv_perm = st.inv_perm.astype(np.int64)
+    base_sorted = st.base_sorted.astype(np.int64)
 
     # ---- Wᵀ: ELL over lattice-cell blocks, window-local sources ----------
-    # Update stream in sorted-point ids, sorted by cell.
-    flat_all = flats.reshape(-1)
-    w_all = weights.reshape(-1)
-    src_all = inv_perm[np.tile(np.arange(n, dtype=np.int64), 2 ** d)]
-    nz = w_all != 0
-    flat_all, w_all, src_all = flat_all[nz], w_all[nz], src_all[nz]
-    order = np.argsort(flat_all, kind="stable")
-    flat_s, w_s, src_s = flat_all[order], w_all[order], src_all[order]
-    uniq, seg_start = np.unique(flat_s, return_index=True)
-    starts_of = np.zeros(M, np.int64)
-    starts_of[uniq] = seg_start
-    rank = np.arange(len(flat_s)) - starts_of[flat_s]
-    max_rank = int(rank.max()) + 1 if len(rank) else 1
-    hist = np.bincount(rank, minlength=max_rank) if len(rank) else np.zeros(1, np.int64)
-    tail = len(rank) - np.cumsum(hist)
+    # Stream entries carry SORTED-point ids and per-cell ranks already.
+    flat_s = st.flat_u.astype(np.int64)
+    w_s = st.w_u
+    src_s = st.src_u.astype(np.int64)
+    rank = st.rank_u
+    max_rank = len(st.tail)
+    tail = st.tail
     K = 1
     # Same break-even rule as build_interp_plan: one more ELL column costs a
     # B·M-element gather, an overflow entry a serialized scatter (~22×).
@@ -231,7 +204,7 @@ def build_windowed_plan(
         raise AssertionError("windowed plan: slot source outside its window")
     cell_local = flat_s - tile * Cb
     wt_loc = np.zeros((T, Cb, K), np.int64)
-    wt_w = np.zeros((T, Cb, K), w_all.dtype)
+    wt_w = np.zeros((T, Cb, K), w_s.dtype)
     wt_loc[tile[in_slot], cell_local[in_slot], rank[in_slot]] = local_src[in_slot]
     wt_w[tile[in_slot], cell_local[in_slot], rank[in_slot]] = w_s[in_slot]
     ov = ~in_slot
@@ -242,8 +215,10 @@ def build_windowed_plan(
         P //= 2
     Tp = -(-n // P)
     n_pad = Tp * P
-    corner_sorted = flats[:, perm]  # (2^d, n) flat corner ids, sorted points
-    w_sorted_pts = weights[:, perm]
+    # (2^d, n) flat corner ids / weights over sorted points: corner flat is
+    # exactly base + consts[k] (see CornerStream).
+    corner_sorted = base_sorted[None, :] + st.consts[:, None].astype(np.int64)
+    w_sorted_pts = st.w_pts_sorted
     p0s = np.arange(Tp, dtype=np.int64) * P
     p1s = np.minimum(p0s + P, n)
     blk_lo = base_sorted[p0s]
@@ -259,7 +234,7 @@ def build_windowed_plan(
     w_starts = np.minimum((blk_lo // 128) * 128, M - Wc)
     w_starts = np.maximum(w_starts, 0)
     w_loc = np.zeros((Tp, P, 2 ** d), np.int64)
-    w_w = np.zeros((Tp, P, 2 ** d), w_all.dtype)
+    w_w = np.zeros((Tp, P, 2 ** d), w_s.dtype)
     for b in range(Tp):
         sl = slice(p0s[b], p1s[b])
         cnt = p1s[b] - p0s[b]

@@ -46,6 +46,7 @@ from gp_grief_tpu.models.base import BaseModel
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.interp import (
     InterpPlan,
+    build_corner_stream,
     build_interp_plan,
     interp_matvec_bm_fast,
     interp_rmatvec_bm_exact,
@@ -155,15 +156,18 @@ def build_sharded_windowed_interp(x_pad: np.ndarray, xg, n_devices: int):
         interp_weights(jnp.asarray(x_pad[k * n_loc : (k + 1) * n_loc]), xg)
         for k in range(n_devices)
     ]
-    first = [build_windowed_plan(iw) for iw in iws]
+    # One corner stream per shard, shared by both build passes (the second
+    # pass only re-derives the force_*-dependent fills).
+    streams = [build_corner_stream(iw) for iw in iws]
+    first = [build_windowed_plan(iw, stream=st) for iw, st in zip(iws, streams)]
     if any(p is None for p in first):
         return None
     K = max(int(p.wt_loc.shape[-1]) for p in first)
     Wr = max(int(p.Wr) for p in first)
     Wc = max(int(p.Wc) for p in first)
     plans = [
-        build_windowed_plan(iw, force_slots=K, force_wr=Wr, force_wc=Wc)
-        for iw in iws
+        build_windowed_plan(iw, force_slots=K, force_wr=Wr, force_wc=Wc, stream=st)
+        for iw, st in zip(iws, streams)
     ]
     if any(p is None for p in plans):
         return None
