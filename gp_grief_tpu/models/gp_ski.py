@@ -25,6 +25,7 @@ from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.interp import (
+    build_corner_stream,
     build_interp_plan,
     build_onehot_plan,
     interp_matvec,
@@ -48,28 +49,19 @@ __all__ = ["GPSKIRegression", "lattice_cbar"]
 
 
 
-def lattice_cbar(iw) -> float:
+def lattice_cbar(iw, stream=None) -> float:
     """Mean of ``diag(WᵀW)`` for an :class:`~gp_grief_tpu.ops.interp.
     InterpWeights` — host numpy, θ-independent (shared by the single-device
-    and sharded lattice-dual solvers)."""
-    import itertools
+    and sharded lattice-dual solvers).  ``diag(WᵀW)[c] = Σ w²`` over the
+    corner-update stream entries landing on cell ``c``, so the mean is just
+    ``Σ w² / M`` — one reduction over the shared :class:`~gp_grief_tpu.ops.
+    interp.CornerStream` when one is passed (zero-weight entries pruned
+    there contribute 0)."""
     import math as _math
 
-    shape = iw.shape
-    d = len(shape)
-    M = _math.prod(shape)
-    idx_h = [np.asarray(ix) for ix in iw.idx]
-    w_h = [np.asarray(w) for w in iw.w]
-    diag = np.zeros((M,), dtype=np.float64)
-    for offsets in itertools.product((0, 1), repeat=d):
-        flat = None
-        w = np.ones(idx_h[0].shape[0], dtype=np.float64)
-        for dd, off in enumerate(offsets):
-            comp = np.minimum(idx_h[dd] + off, shape[dd] - 1)
-            flat = comp if flat is None else flat * shape[dd] + comp
-            w = w * w_h[dd][:, off]
-        np.add.at(diag, flat.astype(np.int64), w * w)
-    return float(diag.mean())
+    M = _math.prod(iw.shape)
+    st = stream if stream is not None else build_corner_stream(iw)
+    return float(np.sum(st.w_u.astype(np.float64) ** 2) / M)
 
 
 class GPSKIRegression(BaseModel):
@@ -171,7 +163,7 @@ class GPSKIRegression(BaseModel):
         )
         self.params = {"kernels": kerns, "log_noise": inverse_positive(noise_var).astype(x.dtype)}
 
-    _LAZY_PLANS = ("_plan", "_oplan", "_wt_onehot", "_wplan", "_w_ops")
+    _LAZY_PLANS = ("_cstream", "_plan", "_oplan", "_wt_onehot", "_wplan", "_w_ops")
 
     def __getattr__(self, name):
         # Lazy interpolation plans (see __init__) — fires only while the
@@ -190,20 +182,27 @@ class GPSKIRegression(BaseModel):
         )
 
     def _build_lazy_plan(self, name):
+        if name == "_cstream":
+            # Shared corner-update stream: the one 1M-point sort + per-cell
+            # rank counting every plan builder starts from (CornerStream in
+            # ops/interp.py).  Built once, threaded through all builders —
+            # the per-plan host cost collapses to counting-sort fills.
+            self._cstream = build_corner_stream(self.iw)
+            return self._cstream
         if name == "_plan":
             # Scatter-free flat ELL plan: the naive Wᵀ is 2^d TPU
             # scatter-adds at ~100 ms per matvec (n=100k, m=1.05M) — 100×
             # the Kron matvec it feeds.  The ELL slot-gather form is EXACT
             # (same short f32 sums, reordered; rel 3e-8) at 23.7 ms (4.3×) —
             # RESULTS_r3.md §1-2.
-            self._plan = build_interp_plan(self.iw)
+            self._plan = build_interp_plan(self.iw, stream=self._cstream)
             return self._plan
         if name == "_oplan":
             # Tile-CSR one-hot plan for Wᵀ: VPU one-hot builds + an MXU dot
             # — 3.9 ms vs 17 ms at the n=100k shape, exact to 1.4e-7
             # (RESULTS_r4.md §5).  None when the layout can't win (n ≳ m
             # overflow, pathological clustering).
-            self._oplan = build_onehot_plan(self.iw)
+            self._oplan = build_onehot_plan(self.iw, stream=self._cstream)
             return self._oplan
         if name == "_wt_onehot":
             self._wt_onehot = (
@@ -218,7 +217,9 @@ class GPSKIRegression(BaseModel):
             # elem/s): gather sources become contiguous dynamic_slice
             # windows over cell-sorted points (ops/interp_windowed.py).
             self._wplan = (
-                build_windowed_plan(self.iw) if self._oplan is None else None
+                build_windowed_plan(self.iw, stream=self._cstream)
+                if self._oplan is None
+                else None
             )
             return self._wplan
         if name == "_w_ops":
@@ -362,7 +363,7 @@ class GPSKIRegression(BaseModel):
         the scalar shift of the closed-form whitener.  θ-independent; host
         numpy, computed once."""
         if not hasattr(self, "_cbar"):
-            self._cbar = lattice_cbar(self.iw)
+            self._cbar = lattice_cbar(self.iw, stream=self._cstream)
         return self._cbar
 
     def _lattice_spectra(self, factors, sigma2):
@@ -627,6 +628,7 @@ class GPSKIRegression(BaseModel):
         *,
         cg_segment_iters: int = 60,
         probe_chunk: int = 8,
+        fuse_probes: bool = True,
         verbose: bool = False,
     ) -> float:
         """Log marginal likelihood via host-segmented CG + probe-chunked SLQ.
@@ -644,20 +646,32 @@ class GPSKIRegression(BaseModel):
 
         Compile-once: the (init, segment, quad, slq-chunk) programs are
         built and jitted ONCE per ``(solver, cg_segment_iters, probe_chunk,
-        num_probes, lanczos_iters)`` and cached on the model — parameters
-        and the evaluation's spectra/preconditioner are explicit program
-        ARGUMENTS (same pattern as :meth:`_build_step_programs`), so
+        num_probes, lanczos_iters, fuse_probes)`` and cached on the model —
+        parameters and the evaluation's spectra/preconditioner are explicit
+        program ARGUMENTS (same pattern as :meth:`_build_step_programs`), so
         repeated NLML evaluations cost device time + one dispatch per
         segment, with no per-call retrace (the per-call program rebuild was
         ~15 s of host time per 1M-point evaluation on top of ~6 s of device
         work — benchmarks/RESULTS_r6.md §6).
+
+        ``fuse_probes`` (default True): run the SLQ probe chunks FIRST,
+        each fused with ``lanczos_iters`` CG iterations through one
+        ``(1+R, m)`` operator application per iteration
+        (:func:`gp_grief_tpu.ops.fused.fused_cg_slq_segment`) — the hot
+        applies cost the same at B=2 and B=9 (RESULTS_r7), so the probe
+        passes advance the CG solve for free; leftover CG segments then run
+        to convergence.  Same probe draws and recurrence arithmetic as the
+        separate passes (estimator family unchanged).
         """
         o = self._opts
         n = int(self.x.shape[0])
         M = int(np.prod([int(g.shape[0]) for g in self.xg]))
         lattice = self.solver == "lattice"
-        progs = self._nlml_programs(int(cg_segment_iters), int(probe_chunk))
-        (init_fn, init_c), (seg_fn, seg_c), (fin_fn, fin_c), slq_progs, sizes = progs
+        progs = self._nlml_programs(
+            int(cg_segment_iters), int(probe_chunk), bool(fuse_probes)
+        )
+        ((init_fn, init_c), (seg_fn, seg_c), (fin_fn, fin_c), slq_progs,
+         fused_progs, sizes) = progs
 
         aux, rhs, state, bnorm, rnorm = init_fn(init_c, self.params)
         eff_tol = max(float(o["cg_tol"]), 20.0 * float(jnp.finfo(self.y.dtype).eps))
@@ -666,8 +680,27 @@ class GPSKIRegression(BaseModel):
         )
         rnorm_h = np.asarray(rnorm)
         dead_h = np.zeros(rnorm_h.shape, bool)
-        max_segments = max(1, -(-o["cg_iters"] // cg_segment_iters))
         iters = 0
+        key1 = jax.random.fold_in(self._key, 1)
+        total = 0.0
+        if fused_progs is not None:
+            for c, rr in enumerate(sizes):
+                fp, fc = fused_progs[rr]
+                state, rnorm, dead, ld_c = fp(
+                    fc, aux, state, jax.random.fold_in(key1, c)
+                )
+                total += float(ld_c) * rr
+                rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+                iters += int(o["lanczos_iters"])
+                if verbose:
+                    rel = float(
+                        np.max(rnorm_h / np.maximum(np.asarray(bnorm), 1e-30))
+                    )
+                    print(
+                        f"[nlml_segmented] fused chunk {c + 1}: iters={iters} "
+                        f"max_rel_resid={rel:.3e}"
+                    )
+        max_segments = max(1, -(-max(0, o["cg_iters"] - iters) // cg_segment_iters))
         for s in range(max_segments):
             if not np.any((rnorm_h > stop) & ~dead_h):
                 break
@@ -683,14 +716,14 @@ class GPSKIRegression(BaseModel):
                     f"max_rel_resid={rel:.3e}"
                 )
         pieces = fin_fn(fin_c, aux, rhs, state)
-        key1 = jax.random.fold_in(self._key, 1)
-        total = 0.0
-        for c, rr in enumerate(sizes):
-            sp, sc = slq_progs[rr]
-            # Per-chunk fetch bounds the device queue at one chunk; the
-            # fold_in(key1, c) draw matches ops.lanczos.slq_logdet_segmented,
-            # so the estimator is identical to the monolithic one's family.
-            total += float(sp(sc, aux, jax.random.fold_in(key1, c))) * rr
+        if fused_progs is None:
+            for c, rr in enumerate(sizes):
+                sp, sc = slq_progs[rr]
+                # Per-chunk fetch bounds the device queue at one chunk; the
+                # fold_in(key1, c) draw matches ops.lanczos.
+                # slq_logdet_segmented, so the estimator is identical to the
+                # monolithic one's family.
+                total += float(sp(sc, aux, jax.random.fold_in(key1, c))) * rr
         ld_white = total / o["num_probes"]
         if lattice:
             quad, sigma2, ld_MK = (float(v) for v in pieces)
@@ -700,7 +733,9 @@ class GPSKIRegression(BaseModel):
             ld = ld_off + ld_white
         return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 
-    def _nlml_programs(self, cg_segment_iters: int, probe_chunk: int):
+    def _nlml_programs(
+        self, cg_segment_iters: int, probe_chunk: int, fuse_probes: bool = True
+    ):
         """Cached compile-once programs for :meth:`log_likelihood_segmented`."""
         o = self._opts
         lattice = self.solver == "lattice"
@@ -708,16 +743,18 @@ class GPSKIRegression(BaseModel):
         probe_chunk = max(1, min(int(probe_chunk), int(o["num_probes"])))
         key = (
             lattice, r, int(cg_segment_iters), probe_chunk,
-            int(o["num_probes"]), int(o["lanczos_iters"]),
+            int(o["num_probes"]), int(o["lanczos_iters"]), bool(fuse_probes),
         )
         if getattr(self, "_nlml_progs_key", None) != key:
             self._nlml_progs_key = key
             self._nlml_progs = self._build_nlml_programs(
-                int(cg_segment_iters), probe_chunk
+                int(cg_segment_iters), probe_chunk, bool(fuse_probes)
             )
         return self._nlml_progs
 
-    def _build_nlml_programs(self, segment_iters: int, probe_chunk: int):
+    def _build_nlml_programs(
+        self, segment_iters: int, probe_chunk: int, fuse_probes: bool = True
+    ):
         """Compile-once (init, segment, quad, slq-chunk) programs for
         :meth:`log_likelihood_segmented` — the NLML analog of
         :meth:`_build_step_programs`.  Hyperparameters and the evaluation's
@@ -831,6 +868,22 @@ class GPSKIRegression(BaseModel):
 
             return slq_fn
 
+        def make_fused(rr):
+            # SLQ probe chunk + CG advance sharing every operator apply
+            # (ops/fused.py) — same Rademacher draw as make_slq's
+            # slq_logdet, so the log-det estimator family is unchanged.
+            from gp_grief_tpu.ops.fused import fused_cg_slq_segment
+
+            def fused_fn(aux, state, k):
+                op = build_op(aux)
+                Z = jax.random.rademacher(k, (rr, dim), dtype=self.y.dtype)
+                state2, ld = fused_cg_slq_segment(
+                    op, state, Z, int(o["lanczos_iters"])
+                )
+                return state2, _colnorm(state2[1]), state2[5], ld
+
+            return fused_fn
+
         sds = lambda t: jax.tree.map(  # noqa: E731
             lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t
         )
@@ -841,17 +894,28 @@ class GPSKIRegression(BaseModel):
         fp, fc = explicit_closure(fin_fn, aux_sds, rhs_sds, state_sds)
         key0 = jax.random.PRNGKey(0)
         key_sds = jax.ShapeDtypeStruct(key0.shape, key0.dtype)
-        slq_progs = {
-            rr: (lambda qp_qc: (jax.jit(qp_qc[0]), qp_qc[1]))(
-                explicit_closure(make_slq(rr), aux_sds, key_sds)
-            )
-            for rr in sorted(set(sizes))
-        }
+        slq_progs = None
+        fused_progs = None
+        if fuse_probes:
+            fused_progs = {
+                rr: (lambda qp_qc: (jax.jit(qp_qc[0]), qp_qc[1]))(
+                    explicit_closure(make_fused(rr), aux_sds, state_sds, key_sds)
+                )
+                for rr in sorted(set(sizes))
+            }
+        else:
+            slq_progs = {
+                rr: (lambda qp_qc: (jax.jit(qp_qc[0]), qp_qc[1]))(
+                    explicit_closure(make_slq(rr), aux_sds, key_sds)
+                )
+                for rr in sorted(set(sizes))
+            }
         return (
             (jax.jit(ip), ic),
             (jax.jit(sp), sc),
             (jax.jit(fp), fc),
             slq_progs,
+            fused_progs,
             sizes,
         )
 

@@ -397,6 +397,34 @@ def test_ski_log_likelihood_segmented_matches_monolithic(rng):
     assert abs(seg0 - mono0) / abs(mono0) < 3e-2
 
 
+def test_ski_segmented_fused_probes_match_unfused(rng):
+    """fuse_probes=True (SLQ chunks advancing CG through shared operator
+    applies — ops/fused.py) must reproduce the separate-pass segmented NLML:
+    identical probe draws and recurrence arithmetic, CG converged either
+    way."""
+    n = 160
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    for kwargs in (
+        dict(precond_rank=24),                     # whitened data-space
+        dict(precond_rank=0),                      # unpreconditioned
+        dict(solver="lattice"),                    # lattice dual
+    ):
+        m = GPSKIRegression(
+            x, y, make_kernel("rbf", lengthscale=0.6), xg,
+            noise_var=0.2, num_probes=32, lanczos_iters=25, cg_iters=300,
+            **kwargs,
+        )
+        unf = m.log_likelihood_segmented(
+            cg_segment_iters=25, probe_chunk=16, fuse_probes=False
+        )
+        fus = m.log_likelihood_segmented(
+            cg_segment_iters=25, probe_chunk=16, fuse_probes=True
+        )
+        assert abs(fus - unf) / abs(unf) < 1e-8
+
+
 def test_ski_segmented_nlml_programs_cached(rng):
     """Repeated segmented NLML evaluations reuse the compile-once program set
     (no per-call rebuild — the rebuild cost ~15 s of host time per 1M-point
