@@ -23,6 +23,7 @@ from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.grid import cov_grid
 from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel
+from gp_grief_tpu.ops.batching import safe_batch_op
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.interp import (
     build_corner_stream,
@@ -434,7 +435,10 @@ class GPSKIRegression(BaseModel):
             u = msqrt(v_bm)
             return v_bm + msqrt(wtw(u) - cbar * u)
 
-        return msqrt, white
+        # Unsafe sublane extents (B > 8, B % 8 != 0) make this composed
+        # apply nondeterministic under iteration on TPU — pad-and-slice
+        # through ops/batching.py (exact: linear operators, zero rows).
+        return safe_batch_op(msqrt), safe_batch_op(white)
 
     def _solve_bm_lattice(self, factors, sigma2, rhs_bm):
         """Data-space solve ``Â⁻¹ rhs`` via the whitened lattice dual:
@@ -786,12 +790,13 @@ class GPSKIRegression(BaseModel):
             factors, sigma2, U, lam = aux
             mv = self._matvec_bm(factors, sigma2)
             if U is None:
-                return mv
+                return safe_batch_op(mv)
             _, M_inv_sqrt, _ = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
             # Whitened-basis operator — data-space PCG freezes whenever
             # σ² < ε_f32·λmax (RESULTS_r5.md §7), the exact regime this
-            # method targets; same composition as _solve_bm.
-            return lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))
+            # method targets; same composition as _solve_bm.  safe_batch_op:
+            # ops/batching.py (unsafe sublane extents nondeterministic).
+            return safe_batch_op(lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))))
 
         def init_fn(params):
             sigma2 = jnp.exp(params["log_noise"])
@@ -1085,7 +1090,9 @@ class GPSKIRegression(BaseModel):
         _colsum, _colnorm, _bc = _reducers("bm", None)
 
         def build_op(aux):
-            """(operator, unwhiten) from the step's spectra pytree."""
+            """(operator, unwhiten) from the step's spectra pytree.
+            safe_batch_op: ops/batching.py (unsafe sublane extents are
+            nondeterministic under iteration on TPU)."""
             if lattice:
                 Qs, wjs = aux
                 _, white = self._make_lattice_ops(Qs, wjs)
@@ -1093,9 +1100,12 @@ class GPSKIRegression(BaseModel):
             factors, sigma2, U, lam = aux
             mv = self._matvec_bm(factors, sigma2)
             if U is None:
-                return mv, (lambda s: s)
+                return safe_batch_op(mv), (lambda s: s)
             _, M_inv_sqrt, _ = lowrank_sqrt_ops(U, lam, sigma2, layout="bm")
-            return (lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))), M_inv_sqrt
+            return (
+                safe_batch_op(lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))),
+                M_inv_sqrt,
+            )
 
         def init_fn(params, key):
             sigma2 = jnp.exp(params["log_noise"])
