@@ -39,6 +39,7 @@ from gp_grief_tpu.ops.interp import (
     interp_weights,
     make_onehot_rmatvec,
 )
+from gp_grief_tpu.ops.interp_stencil import build_wtw_stencil, make_wtw_stencil_op
 from gp_grief_tpu.ops.interp_windowed import build_windowed_plan, make_windowed_ops
 from gp_grief_tpu.ops.kron import kron_eigh
 from gp_grief_tpu.ops.kron_fast import kron_matvec_fast
@@ -98,6 +99,7 @@ class GPSKIRegression(BaseModel):
         cg_precision: str = "exact",
         precond_rank: int = 256,
         solver: str = "data",
+        wtw_stencil: bool = True,
         key=None,
     ):
         x = jnp.asarray(x)
@@ -136,6 +138,10 @@ class GPSKIRegression(BaseModel):
         if solver not in ("data", "lattice"):
             raise ValueError("solver must be 'data' or 'lattice'")
         self.solver = solver
+        # WᵀW-as-stencil fusion for the lattice dual's hot loop (built
+        # lazily; ops/interp_stencil.py).  The builder self-gates on table
+        # memory (3^d · M · 4 bytes).
+        self._use_wtw_stencil = bool(wtw_stencil)
         if solver == "lattice":
             m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
             if x.shape[0] < m_total // 4:
@@ -164,7 +170,16 @@ class GPSKIRegression(BaseModel):
         )
         self.params = {"kernels": kerns, "log_noise": inverse_positive(noise_var).astype(x.dtype)}
 
-    _LAZY_PLANS = ("_cstream", "_plan", "_oplan", "_wt_onehot", "_wplan", "_w_ops")
+    _LAZY_PLANS = (
+        "_cstream",
+        "_plan",
+        "_oplan",
+        "_wt_onehot",
+        "_wplan",
+        "_w_ops",
+        "_wtw_stencil",
+        "_wtw_op",
+    )
 
     def __getattr__(self, name):
         # Lazy interpolation plans (see __init__) — fires only while the
@@ -230,6 +245,24 @@ class GPSKIRegression(BaseModel):
                 else None
             )
             return self._w_ops
+        if name == "_wtw_stencil":
+            # WᵀW collapsed to ≤3^d shifted multiply-adds on the lattice —
+            # removes BOTH gather-bound point↔lattice maps from the lattice
+            # dual's hot loop (ops/interp_stencil.py).  Geometry-only: never
+            # rebuilds during training.
+            self._wtw_stencil = (
+                build_wtw_stencil(self.iw, stream=self._cstream)
+                if self._use_wtw_stencil
+                else None
+            )
+            return self._wtw_stencil
+        if name == "_wtw_op":
+            self._wtw_op = (
+                make_wtw_stencil_op(self._wtw_stencil)
+                if self._wtw_stencil is not None
+                else None
+            )
+            return self._wtw_op
         raise AssertionError(name)  # pragma: no cover - _LAZY_PLANS gate
 
     # -- structured operator ---------------------------------------------------
@@ -417,7 +450,11 @@ class GPSKIRegression(BaseModel):
             t = t * wjs[None, :]
             return kron_matvec_fast((eyeB, *Qs), t.reshape(-1)).reshape(B, -1)
 
-        if self._w_ops is not None:
+        if self._wtw_op is not None:
+            # Fused lattice stencil: the point dimension disappears from
+            # the hot loop entirely (ops/interp_stencil.py).
+            wtw = self._wtw_op
+        elif self._w_ops is not None:
             # Sorted-point composition: W's output order is internal to
             # WᵀW, so the windowed pair composes with ZERO permutation
             # gathers in the hot loop (ops/interp_windowed.py docstring).

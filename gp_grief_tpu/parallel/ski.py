@@ -332,6 +332,7 @@ class ShardedGPSKIRegression(BaseModel):
         cg_iters: int = 500,
         precond_rank: int = 256,
         solver: str = "data",
+        wtw_stencil: bool = True,
         mesh: Optional[Mesh] = None,
         axis_name: str = "data",
         key=None,
@@ -374,14 +375,25 @@ class ShardedGPSKIRegression(BaseModel):
         self._plan, self._sidx, self._sw = build_sharded_interp(
             xp, self.xg, n_dev, with_plan=not self._use_windowed
         )
+        self._wtw_stencil = None
         if solver == "lattice":
             # Whitener shift from the REAL rows only (pad rows are masked out
             # of Ŵ, so diag(ŴᵀŴ) is the real-data mass² — the log-det
             # identity then assembles with n_real; see GPSKIRegression.
             from gp_grief_tpu.models.gp_ski import lattice_cbar
-            from gp_grief_tpu.ops.interp import interp_weights
+            from gp_grief_tpu.ops.interp import build_corner_stream, interp_weights
+            from gp_grief_tpu.ops.interp_stencil import build_wtw_stencil
 
-            self._cbar = lattice_cbar(interp_weights(jnp.asarray(x), self.xg))
+            iw_real = interp_weights(jnp.asarray(x), self.xg)
+            stream_real = build_corner_stream(iw_real)
+            self._cbar = lattice_cbar(iw_real, stream=stream_real)
+            if wtw_stencil:
+                # ŴᵀŴ (real rows only — pad rows carry no corner updates) as
+                # a replicated lattice stencil: the hot dual apply loses its
+                # per-iteration psum AND both gather-bound point maps
+                # (ops/interp_stencil.py).  Tables are replicated; the
+                # builder self-gates on 3^d·M memory.
+                self._wtw_stencil = build_wtw_stencil(iw_real, stream=stream_real)
         self.dim_noise_var = float(dim_noise_var)
         m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
         self._opts = dict(
@@ -515,8 +527,20 @@ class ShardedGPSKIRegression(BaseModel):
             t = t * wjs[None, :]
             return kron_matvec_fast((eyeB, *Qs), t.reshape(-1)).reshape(B, -1)
 
-        def wtw(v_bm):
-            return lax.psum(self._wtw_apply(plan, v_bm, mk), axis_name)
+        if self._wtw_stencil is not None:
+            from gp_grief_tpu.ops.interp_stencil import wtw_stencil_bm
+
+            stn = self._wtw_stencil
+
+            def wtw(v_bm):
+                # Replicated stencil: identical local compute, no collective
+                # (the psum'd point-space form is the fallback below).
+                return wtw_stencil_bm(stn, v_bm)
+
+        else:
+
+            def wtw(v_bm):
+                return lax.psum(self._wtw_apply(plan, v_bm, mk), axis_name)
 
         def white(v_bm):
             u = msqrt(v_bm)

@@ -381,3 +381,12 @@ def test_sharded_ski_lattice_matches_single_device(rng, mesh):
     mh, vh = sh.predict(xs)
     np.testing.assert_allclose(mh, ms, rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(vh, vs, rtol=1e-6, atol=1e-9)
+    # The replicated-stencil ŴᵀŴ (default) vs the psum'd point-space form:
+    # same operator, so the dual NLML agrees to solve tolerance.
+    assert sh._wtw_stencil is not None
+    sh_pt = ShardedGPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.6), xg, mesh=mesh,
+        wtw_stencil=False, **kw
+    )
+    assert sh_pt._wtw_stencil is None
+    assert abs(sh_pt.log_likelihood() - lls) / abs(lls) < 1e-6

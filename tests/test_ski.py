@@ -452,6 +452,30 @@ def test_ski_segmented_nlml_programs_cached(rng):
         assert m._nlml_progs is not progs      # geometry change → rebuild
 
 
+def test_ski_lattice_stencil_matches_windowed_path(rng):
+    """The WᵀW stencil fusion (wtw_stencil=True, the default) must reproduce
+    the point-space composition's solves and NLML (same operator, fused)."""
+    n = 250
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    kw = dict(noise_var=0.2, num_probes=8, lanczos_iters=30, cg_iters=500,
+              cg_tol=1e-12, solver="lattice")
+    ms = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.6), xg, **kw)
+    mw = GPSKIRegression(x, y, make_kernel("rbf", lengthscale=0.6), xg,
+                         wtw_stencil=False, **kw)
+    assert ms._wtw_op is not None and mw._wtw_op is None
+    from gp_grief_tpu.kernels.grid import cov_grid
+
+    factors = cov_grid(ms.params["kernels"], ms.xg, dim_noise_var=0.0)
+    s_s = np.asarray(ms._solve(factors, jnp.asarray(0.2), jnp.asarray(y)))
+    s_w = np.asarray(mw._solve(factors, jnp.asarray(0.2), jnp.asarray(y)))
+    np.testing.assert_allclose(s_s, s_w, rtol=1e-7, atol=1e-9)
+    ll_s = ms.log_likelihood()
+    ll_w = mw.log_likelihood()
+    assert abs(ll_s - ll_w) / abs(ll_w) < 1e-5
+
+
 def test_ski_lattice_solver_matches_dense(rng):
     """solver='lattice' (Woodbury dual on the whitened lattice operator):
     the data-space solve must equal the dense solve to solver precision, and
