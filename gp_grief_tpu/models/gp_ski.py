@@ -436,19 +436,37 @@ class GPSKIRegression(BaseModel):
         return Qs, wjs, ld_MK
 
     def _make_lattice_ops(self, Qs, wjs):
-        """Batch-major ``(B, M)`` closures ``(msqrt, white)`` from concrete
-        spectra: ``msqrt = M^{-1/2}`` (two Kron matvecs + an eigen-scale) and
-        the whitened dual operator ``white(v) = v + msqrt(WᵀW·u − c̄·u)``,
-        ``u = msqrt(v)`` — 4 Kron matvecs + one W/Wᵀ pair per application."""
+        """Batch-major ``(B, M)`` closures ``(to_dual, from_dual, white)``
+        with the whitened dual solved in the **Kron eigenbasis**.
+
+        ``M^{-1/2} = Q·D·Qᵀ`` (``D = diag(wjs)``), so rotating the CG/SLQ
+        state to eigen-coordinates ``ṽ = Qᵀv`` turns the whitener diagonal
+        there and the operator into ``W̃ₑ = QᵀW̃Q = I + D·Qᵀ(WᵀW − c̄I)Q·D``
+        — an orthogonal similarity: same spectrum, same log-det, and every
+        inner product the NLML uses is invariant.  Each application is then
+        **2** Kron matvecs + one WᵀW (vs 4 for the unrotated ``W̃``):
+
+        - ``to_dual(u) = D ⊙ (Qᵀu)``  — lattice rhs (e.g. ``Wᵀy``) → dual
+          eigen-coordinates (one Kron matvec);
+        - ``from_dual(ṽ) = Q(D ⊙ ṽ)`` — dual solution → lattice vector to
+          feed ``W`` (one Kron matvec; note ``M^{-1/2} = from_dual∘Qᵀ ==
+          Q∘to_dual``);
+        - ``white(ṽ) = ṽ + to_dual(WᵀW·u − c̄·u)``, ``u = from_dual(ṽ)``.
+        """
         cbar = self._lattice_cbar()
         QsT = tuple(Q.T for Q in Qs)
 
-        def msqrt(v_bm):
+        def to_dual(v_bm):
             B = v_bm.shape[0]
             eyeB = jnp.eye(B, dtype=v_bm.dtype)
             t = kron_matvec_fast((eyeB, *QsT), v_bm.reshape(-1)).reshape(B, -1)
-            t = t * wjs[None, :]
-            return kron_matvec_fast((eyeB, *Qs), t.reshape(-1)).reshape(B, -1)
+            return t * wjs[None, :]
+
+        def from_dual(v_bm):
+            B = v_bm.shape[0]
+            eyeB = jnp.eye(B, dtype=v_bm.dtype)
+            t = (v_bm * wjs[None, :]).reshape(-1)
+            return kron_matvec_fast((eyeB, *Qs), t).reshape(B, -1)
 
         if self._wtw_op is not None:
             # Fused lattice stencil: the point dimension disappears from
@@ -469,26 +487,30 @@ class GPSKIRegression(BaseModel):
                 return self._rmatvec_bm(interp_matvec_bm_fast(self._plan, v_bm))
 
         def white(v_bm):
-            u = msqrt(v_bm)
-            return v_bm + msqrt(wtw(u) - cbar * u)
+            u = from_dual(v_bm)
+            return v_bm + to_dual(wtw(u) - cbar * u)
 
         # Unsafe sublane extents (B > 8, B % 8 != 0) make this composed
         # apply nondeterministic under iteration on TPU — pad-and-slice
         # through ops/batching.py (exact: linear operators, zero rows).
-        return safe_batch_op(msqrt), safe_batch_op(white)
+        return (
+            safe_batch_op(to_dual),
+            safe_batch_op(from_dual),
+            safe_batch_op(white),
+        )
 
     def _solve_bm_lattice(self, factors, sigma2, rhs_bm):
         """Data-space solve ``Â⁻¹ rhs`` via the whitened lattice dual:
         ``Â⁻¹r = (r − W M^{-1/2} W̃⁻¹ M^{-1/2} Wᵀ r)/σ²``."""
         o = self._opts
         Qs, wjs, _ = self._lattice_spectra(factors, sigma2)
-        msqrt, white = self._make_lattice_ops(Qs, wjs)
-        u = msqrt(self._rmatvec_bm(rhs_bm))  # (B, M)
+        to_dual, from_dual, white = self._make_lattice_ops(Qs, wjs)
+        u = to_dual(self._rmatvec_bm(rhs_bm))  # (B, M) eigen-coordinates
         gam = cg_solve(
             white, u, tol=o["cg_tol"], max_iters=o["cg_iters"], layout="bm",
             implicit_diff=False,
         )
-        corr = self._w_bm(msqrt(gam))  # (B, n)
+        corr = self._w_bm(from_dual(gam))  # (B, n)
         return (rhs_bm - corr) / sigma2
 
     def _loss_lattice(self, params):
@@ -502,9 +524,9 @@ class GPSKIRegression(BaseModel):
         sigma2 = jnp.exp(params["log_noise"])
         factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
         Qs, wjs, ld_MK = self._lattice_spectra(factors, sigma2)
-        msqrt, white = self._make_lattice_ops(Qs, wjs)
+        to_dual, _, white = self._make_lattice_ops(Qs, wjs)
 
-        vt = msqrt(self._rmatvec_bm(self.y[None, :]))  # ṽ = M^{-1/2} Wᵀ y
+        vt = to_dual(self._rmatvec_bm(self.y[None, :]))  # ṽ = D·Qᵀ(Wᵀy)
         z = jax.random.rademacher(
             self._key, (o["num_probes"], M), dtype=self.y.dtype
         )
@@ -822,7 +844,7 @@ class GPSKIRegression(BaseModel):
             """The CG/SLQ operator (whitened where applicable) from ``aux``."""
             if lattice:
                 _, Qs, wjs, _ = aux
-                _, white = self._make_lattice_ops(Qs, wjs)
+                _, _, white = self._make_lattice_ops(Qs, wjs)
                 return white
             factors, sigma2, U, lam = aux
             mv = self._matvec_bm(factors, sigma2)
@@ -843,8 +865,8 @@ class GPSKIRegression(BaseModel):
             if lattice:
                 Qs, wjs, ld_MK = self._lattice_spectra(factors, sigma2)
                 aux = (sigma2, Qs, wjs, ld_MK)
-                msqrt, _ = self._make_lattice_ops(Qs, wjs)
-                rhs = msqrt(self._rmatvec_bm(self.y[None, :]))  # ṽ = M^{-1/2}Wᵀy
+                to_dual, _, _ = self._make_lattice_ops(Qs, wjs)
+                rhs = to_dual(self._rmatvec_bm(self.y[None, :]))  # ṽ = D·Qᵀ(Wᵀy)
             else:
                 U, lam = (
                     self._precond_spectral(factors, r) if r > 0 else (None, None)
@@ -876,7 +898,7 @@ class GPSKIRegression(BaseModel):
             """Quadratic-form pieces from the converged solve."""
             if lattice:
                 sigma2, Qs, wjs, ld_MK = aux
-                _, white = self._make_lattice_ops(Qs, wjs)
+                _, _, white = self._make_lattice_ops(Qs, wjs)
                 gam = state[0]
                 quad = (
                     jnp.dot(self.y, self.y)
@@ -1012,8 +1034,8 @@ class GPSKIRegression(BaseModel):
             yy = jnp.dot(self.y, self.y)
             if lattice:
                 Qs, wjs, ld_MK = self._lattice_spectra(factors, sigma2)
-                msqrt, white = self._make_lattice_ops(Qs, wjs)
-                vt = msqrt(self._rmatvec_bm(self.y[None, :]))
+                to_dual, _, white = self._make_lattice_ops(Qs, wjs)
+                vt = to_dual(self._rmatvec_bm(self.y[None, :]))
                 gam, S = sol[0], sol[1:]
                 quad = (
                     yy - 2.0 * jnp.dot(vt[0], gam)
@@ -1132,7 +1154,7 @@ class GPSKIRegression(BaseModel):
             nondeterministic under iteration on TPU)."""
             if lattice:
                 Qs, wjs = aux
-                _, white = self._make_lattice_ops(Qs, wjs)
+                _, _, white = self._make_lattice_ops(Qs, wjs)
                 return white, (lambda s: s)
             factors, sigma2, U, lam = aux
             mv = self._matvec_bm(factors, sigma2)
@@ -1153,9 +1175,9 @@ class GPSKIRegression(BaseModel):
             if lattice:
                 Qs, wjs, _ = self._lattice_spectra(factors, sigma2)
                 aux = (Qs, wjs)
-                msqrt, _ = self._make_lattice_ops(Qs, wjs)
+                to_dual, _, _ = self._make_lattice_ops(Qs, wjs)
                 rhs = jnp.concatenate(
-                    [msqrt(self._rmatvec_bm(self.y[None, :])), z], axis=0
+                    [to_dual(self._rmatvec_bm(self.y[None, :])), z], axis=0
                 )
             else:
                 U, lam = (

@@ -241,6 +241,12 @@ def _apply_pallas(statics, tables, v_bm):
 
     deltas, d0s, shape, block_cells, interpret = statics
     M = math.prod(shape)
+    # Mosaic sublane alignment: the manual window DMA slices B rows, which
+    # must be a multiple of the (8, 128) tile's sublane count (measured: B=5
+    # fails at "Slice shape along dimension 0 must be aligned to tiling (8)").
+    B_in = v_bm.shape[0]
+    if B_in % 8:
+        v_bm = jnp.pad(v_bm, ((0, 8 - B_in % 8), (0, 0)))
     B = v_bm.shape[0]
     itemsize = jnp.dtype(v_bm.dtype).itemsize
     C = int(block_cells)
@@ -303,7 +309,7 @@ def _apply_pallas(statics, tables, v_bm):
         ],
         interpret=bool(interpret),
     )(v_pad, tab_pad)
-    return out[:, :M]
+    return out[:B_in, :M]
 
 
 def _impl(statics, arrays, v_bm):

@@ -520,12 +520,20 @@ class ShardedGPSKIRegression(BaseModel):
         ld_MK = jnp.sum(jnp.log(sigma2 + cbar * lam))
         QsT = tuple(Q.T for Q in Qs)
 
-        def msqrt(v_bm):
+        # Eigen-coordinate dual (see GPSKIRegression._make_lattice_ops):
+        # the CG/SLQ state lives in Qᵀ-coordinates where the whitener is
+        # diagonal — 2 Kron matvecs per white() instead of 4.
+        def to_dual(v_bm):
             B = v_bm.shape[0]
             eyeB = jnp.eye(B, dtype=v_bm.dtype)
             t = kron_matvec_fast((eyeB, *QsT), v_bm.reshape(-1)).reshape(B, -1)
-            t = t * wjs[None, :]
-            return kron_matvec_fast((eyeB, *Qs), t.reshape(-1)).reshape(B, -1)
+            return t * wjs[None, :]
+
+        def from_dual(v_bm):
+            B = v_bm.shape[0]
+            eyeB = jnp.eye(B, dtype=v_bm.dtype)
+            t = (v_bm * wjs[None, :]).reshape(-1)
+            return kron_matvec_fast((eyeB, *Qs), t).reshape(B, -1)
 
         if self._wtw_stencil is not None:
             from gp_grief_tpu.ops.interp_stencil import wtw_stencil_bm
@@ -543,15 +551,15 @@ class ShardedGPSKIRegression(BaseModel):
                 return lax.psum(self._wtw_apply(plan, v_bm, mk), axis_name)
 
         def white(v_bm):
-            u = msqrt(v_bm)
-            return v_bm + msqrt(wtw(u) - cbar * u)
+            u = from_dual(v_bm)
+            return v_bm + to_dual(wtw(u) - cbar * u)
 
         def wt_masked(v_loc_bm):  # Ŵᵀ on local data rows → replicated (B, M)
             return lax.psum(
                 self._wt_apply(plan, v_loc_bm * mk[None, :]), axis_name
             )
 
-        return msqrt, white, wt_masked, ld_MK
+        return to_dual, from_dual, white, wt_masked, ld_MK
 
     def _loss_lattice(self, params):
         """Sharded lattice-dual NLML — the GPSKIRegression._loss_lattice
@@ -571,10 +579,10 @@ class ShardedGPSKIRegression(BaseModel):
             factors = cov_grid(
                 params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
             )
-            msqrt, white, wt_masked, ld_MK = self._lattice_local_ops(
+            to_dual, _, white, wt_masked, ld_MK = self._lattice_local_ops(
                 plan, mk, factors, sigma2
             )
-            vt = msqrt(wt_masked(y_loc[None, :]))
+            vt = to_dual(wt_masked(y_loc[None, :]))
             z = jax.random.rademacher(key, (o["num_probes"], M), dtype=y_loc.dtype)
             sol = cg_solve(
                 white, jnp.concatenate([vt, z], axis=0), tol=o["cg_tol"],
@@ -744,16 +752,16 @@ class ShardedGPSKIRegression(BaseModel):
         def _local_solver(plan, mk, idx_st, w_st, factors, sigma2):
             """Data-space solve closure honoring the solver choice."""
             if self.solver == "lattice":
-                msqrt, white, wt_masked, _ = self._lattice_local_ops(
-                    plan, mk, factors, sigma2
+                to_dual, from_dual, white, wt_masked, _ = (
+                    self._lattice_local_ops(plan, mk, factors, sigma2)
                 )
 
                 def solve(rhs_bm):
                     gam = cg_solve(
-                        white, msqrt(wt_masked(rhs_bm)), tol=o["cg_tol"],
+                        white, to_dual(wt_masked(rhs_bm)), tol=o["cg_tol"],
                         max_iters=o["cg_iters"], layout="bm", implicit_diff=False,
                     )
-                    corr = self._w_apply(plan, msqrt(gam)) * mk[None, :]
+                    corr = self._w_apply(plan, from_dual(gam)) * mk[None, :]
                     return (rhs_bm - corr) / sigma2
 
                 return solve
