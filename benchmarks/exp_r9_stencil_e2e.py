@@ -47,7 +47,7 @@ def run(stencil: bool, x, y, xg, d):
     m.optimize_segmented(max_iters=1, learning_rate=0.05, num_probes=4)
     t_step1 = time.time() - t0
     t0 = time.time()
-    m.optimize_segmented(max_iters=3, learning_rate=0.05, num_probes=4)
+    m.optimize_segmented(max_iters=3, learning_rate=0.05, num_probes=4, verbose=True)
     t_steps = (time.time() - t0) / 3
     print(
         f"stencil={stencil}: train step cold {t_step1:.1f} s, warm "

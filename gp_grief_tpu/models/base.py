@@ -29,7 +29,29 @@ import jax.numpy as jnp
 from gp_grief_tpu.optimize import FitResult, checkgrad, fit
 from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol
 
-__all__ = ["BaseModel", "BasisStats", "basis_nlml", "basis_posterior"]
+__all__ = ["BaseModel", "BasisStats", "basis_nlml", "basis_posterior", "check_xy"]
+
+
+def check_xy(x, y, what: str = "x"):
+    """Shape-validate a training pair: ``x (n, d)`` (1-D auto-promoted) against
+    ``y`` with exactly ``n`` responses.  Raises ``ValueError`` (the reference's
+    BaseModel did equivalent guards in ``__init__`` — SURVEY.md §2 #15); every
+    model constructor funnels through this so a transposed/truncated ``y``
+    fails loudly instead of broadcasting into a wrong-answer fit."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2:
+        raise ValueError(f"{what} must be (n, d); got shape {x.shape}")
+    if y.ndim != 1:
+        y = y.reshape(-1) if y.size == x.shape[0] else y
+    if y.ndim != 1 or y.shape[0] != x.shape[0]:
+        raise ValueError(
+            f"y must have one response per row of {what}: "
+            f"{what} has {x.shape[0]} rows, y has shape {jnp.asarray(y).shape}"
+        )
+    return x, y
 
 
 class BaseModel:

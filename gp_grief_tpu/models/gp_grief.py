@@ -30,7 +30,7 @@ from gp_grief_tpu.grid import InducingGrid
 from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.grief import GriefBasis, build_basis, phi
 from gp_grief_tpu.kernels.stationary import Stationary
-from gp_grief_tpu.models.base import BaseModel, BasisStats, basis_nlml, basis_posterior
+from gp_grief_tpu.models.base import BaseModel, BasisStats, basis_nlml, basis_posterior, check_xy
 
 __all__ = ["GPGriefModel", "init_grief_state"]
 
@@ -41,10 +41,7 @@ def init_grief_state(x, y, kern_list, grid, n_eigs, noise_var, mbar, dtype):
     sharded): coerce data, default the grid, clamp ``n_eigs`` to the
     realizable lattice, broadcast/validate/cast the kernel list, and build the
     parameter pytree.  Returns ``(x, y, grid, xg, n_eigs, dims, params)``."""
-    x = jnp.asarray(x, dtype=dtype)
-    y = jnp.asarray(y, dtype=dtype).reshape(-1)
-    if x.ndim == 1:
-        x = x[:, None]
+    x, y = check_xy(jnp.asarray(x, dtype=dtype), jnp.asarray(y, dtype=dtype))
     if grid is None:
         grid = InducingGrid.build(np.asarray(x), mbar=mbar)
     xg = tuple(jnp.asarray(g, dtype=x.dtype) for g in grid.xg)

@@ -89,7 +89,11 @@ class GPKroneckerRegression(BaseModel):
             )
         y = jnp.asarray(y).reshape(-1)
         m = int(np.prod([g.shape[0] for g in self.xg]))
-        assert y.shape[0] == m, f"y must have {m} grid responses"
+        if y.shape[0] != m:
+            raise ValueError(
+                f"y must have one response per grid point: grid has {m} "
+                f"points, y has {y.shape[0]}"
+            )
         self.y = y
         self.m = m
         self.dim_noise_var = float(dim_noise_var)

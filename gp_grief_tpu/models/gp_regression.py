@@ -24,7 +24,7 @@ from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.diag import cov_diag
 from gp_grief_tpu.kernels.grid import product_cov
 from gp_grief_tpu.kernels.stationary import Stationary
-from gp_grief_tpu.models.base import BaseModel
+from gp_grief_tpu.models.base import BaseModel, check_xy
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.lanczos import slq_logdet
 from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor, pivoted_cholesky
@@ -186,11 +186,7 @@ class GPRegression(BaseModel):
         steps (sample-average approximation): the optimized surface is
         deterministic and ``fit``'s convergence checks stay meaningful;
         pass a fresh ``key`` between ``optimize`` calls to redraw."""
-        x = jnp.asarray(x)
-        y = jnp.asarray(y).reshape(-1)
-        if x.ndim == 1:
-            x = x[:, None]
-        assert x.shape[0] == y.shape[0]
+        x, y = check_xy(x, y)
         if solver not in ("cholesky", "iterative"):
             raise ValueError("solver must be 'cholesky' or 'iterative'")
         self.x, self.y = x, y

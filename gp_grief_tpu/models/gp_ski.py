@@ -22,7 +22,7 @@ from gp_grief_tpu.grid import InducingGrid
 from gp_grief_tpu.kernels.base import inverse_positive
 from gp_grief_tpu.kernels.grid import cov_grid
 from gp_grief_tpu.kernels.stationary import Stationary
-from gp_grief_tpu.models.base import BaseModel
+from gp_grief_tpu.models.base import BaseModel, check_xy
 from gp_grief_tpu.ops.batching import safe_batch_op
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.interp import (
@@ -49,6 +49,23 @@ from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
 __all__ = ["GPSKIRegression", "lattice_cbar"]
 
+
+
+def _lattice_mv_precision(x3: bool):
+    """Precision for the lattice dual's Q/Qᵀ Kron matvecs.
+
+    On TPU with ``x3`` (the default), a ``DotAlgorithmPreset`` routes
+    :func:`~gp_grief_tpu.ops.kron_fast.kron_matvec_fast` to the Pallas
+    slab's hi/lo-split path (rel err ~4e-6, ~2× the exact cyclic chain's
+    bandwidth).  The whitened dual is the bounded-arithmetic regime (the
+    operator clusters near I; CG reaches ~1e-13 in tens of iterations), so
+    an X3-grade operator is solver-safe where raw data-space solves are not
+    (the r5 HIGHEST rule targets ill-conditioned un-whitened applies).
+    Elsewhere — CPU tests, or ``lattice_x3=False`` — exact HIGHEST.
+    """
+    if x3 and jax.default_backend() in ("tpu", "axon"):
+        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    return jax.lax.Precision.HIGHEST
 
 
 def lattice_cbar(iw, stream=None) -> float:
@@ -100,12 +117,10 @@ class GPSKIRegression(BaseModel):
         precond_rank: int = 256,
         solver: str = "data",
         wtw_stencil: bool = True,
+        lattice_x3: bool = True,
         key=None,
     ):
-        x = jnp.asarray(x)
-        y = jnp.asarray(y).reshape(-1)
-        if x.ndim == 1:
-            x = x[:, None]
+        x, y = check_xy(x, y)
         if grid is None:
             grid = InducingGrid.build(np.asarray(x), mbar=mbar)
         xg = grid.xg if isinstance(grid, InducingGrid) else grid
@@ -142,6 +157,9 @@ class GPSKIRegression(BaseModel):
         # lazily; ops/interp_stencil.py).  The builder self-gates on table
         # memory (3^d · M · 4 bytes).
         self._use_wtw_stencil = bool(wtw_stencil)
+        # X3-grade slab for the dual's Q/Qᵀ applies (see
+        # _lattice_mv_precision); False forces exact HIGHEST everywhere.
+        self._lattice_x3 = bool(lattice_x3)
         if solver == "lattice":
             m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
             if x.shape[0] < m_total // 4:
@@ -435,6 +453,23 @@ class GPSKIRegression(BaseModel):
         ld_MK = jnp.sum(jnp.log(sigma2 + cbar * lam))
         return Qs, wjs, ld_MK
 
+    def _wtw_bm_op(self):
+        """Batch-major ``WᵀW`` lattice apply ``(B, M) → (B, M)``, fastest
+        available form: the 3^d stencil (point dimension eliminated —
+        ops/interp_stencil.py), else the permutation-free windowed
+        composition (ops/interp_windowed.py), else the flat-plan pair."""
+        if self._wtw_op is not None:
+            return self._wtw_op
+        if self._w_ops is not None:
+            # Sorted-point composition: W's output order is internal to
+            # WᵀW, so the windowed pair composes with ZERO permutation
+            # gathers in the hot loop (ops/interp_windowed.py docstring).
+            mv_s, rmv_s = self._w_ops
+            return lambda v_bm: rmv_s(mv_s(v_bm))
+        return lambda v_bm: self._rmatvec_bm(
+            interp_matvec_bm_fast(self._plan, v_bm)
+        )
+
     def _make_lattice_ops(self, Qs, wjs):
         """Batch-major ``(B, M)`` closures ``(to_dual, from_dual, white)``
         with the whitened dual solved in the **Kron eigenbasis**.
@@ -455,36 +490,25 @@ class GPSKIRegression(BaseModel):
         """
         cbar = self._lattice_cbar()
         QsT = tuple(Q.T for Q in Qs)
+        prec = _lattice_mv_precision(self._lattice_x3)
 
         def to_dual(v_bm):
             B = v_bm.shape[0]
             eyeB = jnp.eye(B, dtype=v_bm.dtype)
-            t = kron_matvec_fast((eyeB, *QsT), v_bm.reshape(-1)).reshape(B, -1)
+            t = kron_matvec_fast(
+                (eyeB, *QsT), v_bm.reshape(-1), precision=prec
+            ).reshape(B, -1)
             return t * wjs[None, :]
 
         def from_dual(v_bm):
             B = v_bm.shape[0]
             eyeB = jnp.eye(B, dtype=v_bm.dtype)
             t = (v_bm * wjs[None, :]).reshape(-1)
-            return kron_matvec_fast((eyeB, *Qs), t).reshape(B, -1)
+            return kron_matvec_fast(
+                (eyeB, *Qs), t, precision=prec
+            ).reshape(B, -1)
 
-        if self._wtw_op is not None:
-            # Fused lattice stencil: the point dimension disappears from
-            # the hot loop entirely (ops/interp_stencil.py).
-            wtw = self._wtw_op
-        elif self._w_ops is not None:
-            # Sorted-point composition: W's output order is internal to
-            # WᵀW, so the windowed pair composes with ZERO permutation
-            # gathers in the hot loop (ops/interp_windowed.py docstring).
-            mv_s, rmv_s = self._w_ops
-
-            def wtw(v_bm):
-                return rmv_s(mv_s(v_bm))
-
-        else:
-
-            def wtw(v_bm):
-                return self._rmatvec_bm(interp_matvec_bm_fast(self._plan, v_bm))
+        wtw = self._wtw_bm_op()
 
         def white(v_bm):
             u = from_dual(v_bm)
@@ -1059,14 +1083,23 @@ class GPSKIRegression(BaseModel):
         )
         sol_sds = jax.ShapeDtypeStruct((1 + R, dim), self.y.dtype)
         z_sds = jax.ShapeDtypeStruct((R, dim), self.y.dtype)
-        sur_pure, sur_consts = explicit_closure(
-            surrogate, sds(self.params), sol_sds, z_sds
-        )
-        vg = jax.jit(
-            lambda consts, p, sol, z: jax.value_and_grad(
-                lambda pp: sur_pure(consts, pp, sol, z)
-            )(p)
-        )
+        # The surrogate value_and_grad program is cached on the model like
+        # the step-solve programs: rebuilding it per optimize_segmented call
+        # costs a retrace + (persistent-cache) compile lookup per call.
+        if getattr(self, "_segvg_key", None) != (R, lattice):
+            sur_pure, sur_consts = explicit_closure(
+                surrogate, sds(self.params), sol_sds, z_sds
+            )
+            self._segvg_key = (R, lattice)
+            self._segvg = (
+                jax.jit(
+                    lambda consts, p, sol, z: jax.value_and_grad(
+                        lambda pp: sur_pure(consts, pp, sol, z)
+                    )(p)
+                ),
+                sur_consts,
+            )
+        vg, sur_consts = self._segvg
 
         opt = optax.adam(learning_rate)
         state = opt.init(self.params)
@@ -1076,17 +1109,22 @@ class GPSKIRegression(BaseModel):
         t0 = _time.perf_counter()
         for it in range(max_iters):
             key_t = jax.random.fold_in(self._key, 1000 + it)
+            t_s = _time.perf_counter()
             sol, z = self._segmented_step_solves(
                 self.params, key_t, R, cg_segment_iters
             )
+            t_solve = _time.perf_counter() - t_s
+            t_s = _time.perf_counter()
             val, grad = vg(sur_consts, self.params, sol, z)
+            losses.append(float(val))  # sync point: vg wall is honest
+            t_vg = _time.perf_counter() - t_s
             updates, state = opt.update(grad, state, self.params)
             self.params = optax.apply_updates(self.params, updates)
-            losses.append(float(val))
             if verbose:
                 print(
                     f"[optimize_segmented] iter {it + 1:3d} "
-                    f"surrogate {losses[-1]:.4f}",
+                    f"surrogate {losses[-1]:.4f} "
+                    f"(solves {t_solve:.2f} s, grad {t_vg:.2f} s)",
                     flush=True,
                 )
         from gp_grief_tpu.optimize import FitResult
@@ -1277,7 +1315,18 @@ class GPSKIRegression(BaseModel):
         lattice rows at the test points — no CG per chunk, O(c·r·2^d).
         Approximate from below (variances are over-estimated by the
         truncation, never negative-biased), converging in ``var_rank``;
-        the mean is unaffected."""
+        the mean is unaffected.
+
+        Under ``solver='lattice'`` both paths run entirely in the whitened
+        dual (no σ² division, no data-space operator): the mean representer
+        is ``K Wᵀ Â⁻¹ y ≡ B⁻¹ Wᵀy`` and the exact variance reduction is
+        ``w*ᵀ K (WᵀW) B⁻¹ w*`` — identities verified to 1e-14 (see _prep).
+        Dual LOVE models the off-span inverse as the identity (the whitened
+        cluster value); exact at ``var_rank = M``, but at small ranks on
+        large lattices the residual is a fraction of the PRIOR variance set
+        by the whitened spectral spread — prefer ``variance='exact'`` (an
+        M-dim whitened CG per chunk, cheaper than the old n-dim form) when
+        variance accuracy matters."""
         if variance not in ("exact", "lanczos"):
             raise ValueError("variance must be 'exact' or 'lanczos'")
         x_new = jnp.asarray(x_new, dtype=self.x.dtype)
@@ -1286,7 +1335,9 @@ class GPSKIRegression(BaseModel):
         n_star = int(x_new.shape[0])
         n = int(self.x.shape[0])
         m = int(np.prod([g.shape[0] for g in self.xg]))
-        var_rank = int(min(var_rank, n))
+        # LOVE's Krylov space is n-dimensional for the data solver but
+        # M-dimensional in the whitened dual.
+        var_rank = int(min(var_rank, m if self.solver == "lattice" else n))
         if chunk <= 0:
             if variance == "lanczos" and compute_var:
                 chunk = int(max(1, min(n_star, 4096)))
@@ -1304,26 +1355,60 @@ class GPSKIRegression(BaseModel):
         if getattr(self, "_predict_key", None) != cache_key:
             self._predict_key = cache_key
 
+            o = self._opts
+
             def _prep(params):
                 sigma2 = jnp.exp(params["log_noise"])
                 factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
-                alpha = self._solve(factors, sigma2, self.y)
-                Kw_alpha = kron_matvec_fast(factors, interp_rmatvec(self.iw, alpha))
-                if variance != "lanczos" or not compute_var:
-                    return Kw_alpha, sigma2, None, None
-                # LOVE precompute: Lanczos basis of Ã from v0 = y, then the
-                # projected lattice rows S = (Qᵀ W) K  (r, M).
-                from gp_grief_tpu.ops.lanczos import lanczos
+                if self.solver == "lattice":
+                    # Mean representer WITHOUT the data-space correction:
+                    # K Wᵀ Â⁻¹ y ≡ B⁻¹ (Wᵀy), B = σ²K⁻¹ + WᵀW  (from
+                    # Bγ = Wᵀy ⟹ KWᵀ(y − WB⁻¹Wᵀy)/σ² = K·σ²K⁻¹γ/σ² = γ).
+                    # The data-space form (r − corr)/σ² cancels catastrophically
+                    # at f32 when σ² ≪ κ(K̂)·ε (measured: rmse 0.17 vs 0.009 at
+                    # n=200k/32³) — the dual solve is the bounded-arithmetic
+                    # regime and is also one W apply + one Kron matvec cheaper.
+                    Qs, wjs, _ = self._lattice_spectra(factors, sigma2)
+                    to_dual, from_dual, white = self._make_lattice_ops(Qs, wjs)
+                    vt = to_dual(self._rmatvec_bm(self.y[None, :]))
+                    gam = cg_solve(
+                        white, vt, tol=o["cg_tol"], max_iters=o["cg_iters"],
+                        layout="bm", implicit_diff=False,
+                    )
+                    Kw_alpha = from_dual(gam)[0]
+                    if variance != "lanczos" or not compute_var:
+                        return Kw_alpha, sigma2, None, None
+                    # Dual LOVE precompute: Lanczos basis of the WHITENED dual
+                    # W̃ₑ from ṽ₀ = to_dual(Wᵀy); per-chunk variances project
+                    # onto it (see _chunk_prog).  S := Q̃ᵀ (r, M).
+                    from gp_grief_tpu.ops.lanczos import lanczos
 
-                mv = self._matvec(factors, sigma2)
-                res = lanczos(
-                    mv, self.y, var_rank, full_reorth=True, store_basis=True
-                )
-                QW = self._rmatvec_bm(res.Q.T)  # (r, M)
-                eyeR = jnp.eye(var_rank, dtype=self.y.dtype)
-                S = kron_matvec_fast((eyeR, *factors), QW.reshape(-1)).reshape(
-                    var_rank, -1
-                )
+                    # lanczos's matvec contract is column-layout (M, 1).
+                    res = lanczos(
+                        lambda v: white(v.T).T, vt[0], var_rank,
+                        full_reorth=True, store_basis=True,
+                    )
+                    S = res.Q.T  # (r, M) whitened-dual Krylov basis
+                else:
+                    alpha = self._solve(factors, sigma2, self.y)
+                    Kw_alpha = kron_matvec_fast(
+                        factors, interp_rmatvec(self.iw, alpha)
+                    )
+                    if variance != "lanczos" or not compute_var:
+                        return Kw_alpha, sigma2, None, None
+                    # LOVE precompute: Lanczos basis of Ã from v0 = y, then
+                    # the projected lattice rows S = (Qᵀ W) K  (r, M).
+                    from gp_grief_tpu.ops.lanczos import lanczos
+
+                    mv = self._matvec(factors, sigma2)
+                    res = lanczos(
+                        mv, self.y, var_rank, full_reorth=True, store_basis=True
+                    )
+                    QW = self._rmatvec_bm(res.Q.T)  # (r, M)
+                    eyeR = jnp.eye(var_rank, dtype=self.y.dtype)
+                    S = kron_matvec_fast((eyeR, *factors), QW.reshape(-1)).reshape(
+                        var_rank, -1
+                    )
                 # Dense T; identity rows past breakdown (their Q columns are
                 # exactly zero, so the identity block never contributes).
                 valid = jnp.arange(var_rank) < res.num_valid
@@ -1345,6 +1430,59 @@ class GPSKIRegression(BaseModel):
                 if not compute_var:
                     return mean, jnp.zeros_like(mean)
                 prior_diag = self._prior_diag(factors, iw_c)
+                c = int(xc.shape[0])
+                if self.solver == "lattice":
+                    # Entirely in the whitened dual: the exact variance
+                    # reduction is c_tᵀÂ⁻¹c_t ≡ w*ᵀ K (WᵀW) B⁻¹ w*  (from
+                    # B⁻¹(WᵀW) = I − σ²B⁻¹K⁻¹ ⟹ (WKw*)ᵀÂ⁻¹(WKw*) =
+                    # w*ᵀKG·B⁻¹w*) — no σ² division, no (c, n) data-space
+                    # cross-covariance, and the CG runs on the bounded
+                    # whitened operator (M-dim, not n-dim).
+                    Qs, wjs, _ = self._lattice_spectra(factors, sigma2)
+                    to_dual, from_dual, white = self._make_lattice_ops(Qs, wjs)
+                    Wst_bm = interp_rmatvec_bm(
+                        iw_c, jnp.eye(c, dtype=self.x.dtype)
+                    )  # (c, M) test interp rows w*_t
+                    eyeC = jnp.eye(c, dtype=self.x.dtype)
+                    wtw = self._wtw_bm_op()
+                    if variance == "lanczos":
+                        # Dual LOVE with the whitener as the off-span inverse:
+                        # W̃⁻¹ ≈ I + Q̃(T⁻¹ − I)Q̃ᵀ  (exact on the Krylov span,
+                        # the cluster value 1 elsewhere — the whitened spectrum
+                        # clusters at 1, so the identity is the right tail
+                        # model where plain LOVE's zero badly under-reduces).
+                        # reduction_t = u2·u1 + p2ᵀT⁻¹p1 − p2ᵀp1 with
+                        # u1 = to_dual(w*_t), u2 = to_dual(GKw*_t), p = Q̃ᵀu.
+                        u1 = to_dual(Wst_bm)  # (c, M)
+                        KW = kron_matvec_fast(
+                            (eyeC, *factors), Wst_bm.reshape(-1)
+                        ).reshape(c, -1)
+                        u2 = to_dual(wtw(KW))  # (c, M)
+                        proj1 = u1 @ S.T  # (c, r)
+                        proj2 = u2 @ S.T
+                        Z1 = jax.scipy.linalg.solve_triangular(
+                            Tchol, proj1.T, lower=True
+                        )
+                        Z2 = jax.scipy.linalg.solve_triangular(
+                            Tchol, proj2.T, lower=True
+                        )
+                        var = prior_diag - (
+                            jnp.sum(u1 * u2, axis=1)
+                            + jnp.sum(Z1 * Z2, axis=0)
+                            - jnp.sum(proj1 * proj2, axis=1)
+                        )
+                        return mean, jnp.maximum(var, 0.0)
+                    gam = cg_solve(
+                        white, to_dual(Wst_bm), tol=o["cg_tol"],
+                        max_iters=o["cg_iters"], layout="bm",
+                        implicit_diff=False,
+                    )
+                    Ggam = wtw(from_dual(gam))  # G B⁻¹ w*_t rows (c, M)
+                    KG = kron_matvec_fast(
+                        (eyeC, *factors), Ggam.reshape(-1)
+                    ).reshape(c, -1)
+                    var = prior_diag - jnp.sum(Wst_bm * KG, axis=1)
+                    return mean, jnp.maximum(var, 0.0)
                 if variance == "lanczos":
                     # g_t = Qᵀ c_t = S w*_t ; var = prior − g_tᵀ T⁻¹ g_t
                     G = interp_matvec_bm(iw_c, S)  # (r, c)
@@ -1355,7 +1493,6 @@ class GPSKIRegression(BaseModel):
                     return mean, jnp.maximum(var, 0.0)
                 # Exact: c_t = k̂(X, x*_t); var_t = k̂** − c_tᵀ Ã⁻¹ c_t.
                 # Batch-major through the lattice (RESULTS_r2.md §7 hazard 2).
-                c = int(xc.shape[0])
                 Wst_bm = interp_rmatvec_bm(iw_c, jnp.eye(c, dtype=self.x.dtype))
                 eyeC = jnp.eye(c, dtype=self.x.dtype)
                 u = kron_matvec_fast((eyeC, *factors), Wst_bm.reshape(-1))

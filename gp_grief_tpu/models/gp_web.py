@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gp_grief_tpu.kernels.base import inverse_positive
-from gp_grief_tpu.models.base import BaseModel, BasisStats, basis_nlml, basis_posterior
+from gp_grief_tpu.models.base import BaseModel, BasisStats, basis_nlml, basis_posterior, check_xy
 
 __all__ = ["GPweb"]
 
@@ -24,9 +24,7 @@ class GPweb(BaseModel):
     """Reference API: ``GPweb(Phi, y, noise_var)``."""
 
     def __init__(self, Phi, y, noise_var: float = 1.0):
-        Phi = jnp.asarray(Phi)
-        y = jnp.asarray(y).reshape(-1)
-        assert Phi.shape[0] == y.shape[0]
+        Phi, y = check_xy(Phi, y, what="Phi")
         n, p = Phi.shape
         self.stats = BasisStats(C=Phi.T @ Phi, v=Phi.T @ y, yy=jnp.dot(y, y), n=n)
         self.p = p

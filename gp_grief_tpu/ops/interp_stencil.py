@@ -119,25 +119,63 @@ def build_wtw_stencil(
     )
     nonzero_k = [bool(np.any(w_sorted[k])) for k in range(nc)]
 
-    acc: dict[int, np.ndarray] = {}
+    # Symmetry halves the accumulation: (WᵀW)ᵀ = WᵀW ⟹
+    # A_{-δ}[c] = (WᵀW)[c, c−δ] = A_δ[c−δ] — every negative-offset table is
+    # a zero-filled flat right-shift of its positive sibling, so only pairs
+    # with δ = consts[kp] − consts[k] ≥ 0 are accumulated directly.
+    pairs = [
+        (k, kp, int(consts[kp] - consts[k]), int(off0[kp] - off0[k]))
+        for k in range(nc)
+        if nonzero_k[k]
+        for kp in range(nc)
+        if nonzero_k[kp] and consts[kp] >= consts[k]
+    ]
     d0_of: dict[int, int] = {}
-    for k in range(nc):
-        if not nonzero_k[k]:
+    for _, _, delta, d0 in pairs:
+        d0_of.setdefault(delta, d0)
+        d0_of.setdefault(-delta, -d0)
+    deltas_pos = sorted({delta for _, _, delta, _ in pairs})
+
+    on_device = jax.default_backend() in ("tpu", "axon")
+    if pairs and on_device and len(pairs) * w_sorted.shape[1] >= (1 << 25):
+        # Device build: ONE jitted fori_loop of per-pair n-element
+        # scatter-adds (XLA TPU scatter ≈ 143M elem/s, RESULTS_r3.md) —
+        # ~1 s at n=1M/32⁴ where the host bincount loop took ~200 s.
+        # Data-sized operands ride as program ARGUMENTS (closure-capture
+        # rule, utils/closure.py docs); the tables never leave the device.
+        cand = sorted({s * dl for dl in deltas_pos for s in (1, -1)})
+        tables, keep = _build_tables_device(
+            base_sorted, w_sorted, consts, pairs, deltas_pos, cand, M, dtype
+        )
+        keep = np.asarray(keep)
+        deltas = [dl for dl, kp_ in zip(cand, keep) if kp_]
+        if not deltas:
+            deltas = [0]
+            tables = jnp.zeros((1, M), dtype)
+        else:
+            tables = tables[np.flatnonzero(keep)]
+        return WtWStencil(
+            tables=tables,
+            deltas=tuple(deltas),
+            d0s=tuple(int(d0_of[dl]) for dl in deltas),
+            shape=tuple(st.shape),
+        )
+
+    acc: dict[int, np.ndarray] = {}
+    for k, kp, delta, _ in pairs:
+        wprod = (w_sorted[k] * w_sorted[kp]).astype(np.float64)
+        if not np.any(wprod):
             continue
-        cells_k = base_sorted + consts[k]
-        for kp in range(nc):
-            if not nonzero_k[kp]:
-                continue
-            wprod = (w_sorted[k] * w_sorted[kp]).astype(np.float64)
-            if not np.any(wprod):
-                continue
-            delta = int(consts[kp] - consts[k])
-            tab = np.bincount(cells_k, weights=wprod, minlength=M)
-            if delta in acc:
-                acc[delta] += tab
-            else:
-                acc[delta] = tab
-                d0_of[delta] = int(off0[kp] - off0[k])
+        tab = np.bincount(base_sorted + consts[k], weights=wprod, minlength=M)
+        if delta in acc:
+            acc[delta] += tab
+        else:
+            acc[delta] = tab
+    for delta in list(acc):
+        if delta > 0:
+            acc[-delta] = np.concatenate(
+                [np.zeros(delta), acc[delta][: M - delta]]
+            )
     deltas = sorted(dl for dl, tab in acc.items() if np.any(tab))
     if not deltas:  # n == 0 degenerate
         deltas = [0]
@@ -149,6 +187,52 @@ def build_wtw_stencil(
         deltas=tuple(int(dl) for dl in deltas),
         d0s=tuple(int(d0_of[dl]) for dl in deltas),
         shape=tuple(st.shape),
+    )
+
+
+def _build_tables_device(
+    base_sorted, w_sorted, consts, pairs, deltas_pos, cand, M, dtype
+):
+    """Whole table build as ONE jitted device program (eager per-delta ops
+    each cost a relay dispatch + compile on the remote TPU — measured 97 s
+    for ~85 of them): δ ≥ 0 scatter-add accumulation into a flat
+    ``(D⁺·M,)`` buffer, negative rows derived by the symmetry shift, plus
+    the per-row keep mask.  f32 accumulation (per-cell contribution counts
+    are ~n/M·2^d — far below f32's ~2^24 integer grain, and the operator
+    feeds f32 CG anyway)."""
+    row_of = {dl: i for i, dl in enumerate(deltas_pos)}
+    k_idx = jnp.asarray([k for k, _, _, _ in pairs], jnp.int32)
+    kp_idx = jnp.asarray([kp for _, kp, _, _ in pairs], jnp.int32)
+    offset = jnp.asarray(
+        [row_of[delta] * M + int(consts[k]) for k, _, delta, _ in pairs],
+        jnp.int32,
+    )
+    P, D = len(pairs), len(deltas_pos)
+
+    def build(base, w):
+        def body(p, out):
+            wprod = w[k_idx[p]] * w[kp_idx[p]]
+            return out.at[base + offset[p]].add(wprod)
+
+        pos = jax.lax.fori_loop(
+            0, P, body, jnp.zeros((D * M,), w.dtype)
+        ).reshape(D, M)
+        rows = []
+        for dl in cand:
+            if dl >= 0:
+                rows.append(pos[row_of[dl]])
+            else:  # A_{-δ}[c] = A_δ[c − δ]: zero-filled flat right-shift
+                rows.append(
+                    jnp.concatenate(
+                        [jnp.zeros((-dl,), pos.dtype), pos[row_of[-dl], : M + dl]]
+                    )
+                )
+        tables = jnp.stack(rows).astype(dtype)
+        return tables, jnp.any(tables != 0, axis=1)
+
+    return jax.jit(build)(
+        jnp.asarray(base_sorted, jnp.int32),
+        jnp.asarray(w_sorted, jnp.float32),
     )
 
 
@@ -241,19 +325,34 @@ def _apply_pallas(statics, tables, v_bm):
 
     deltas, d0s, shape, block_cells, interpret = statics
     M = math.prod(shape)
+    # Large batches (predict pushes (c, M) test chunks through WᵀW) are
+    # slabbed: VMEM liveness scales with B·C, so past 128 rows no block
+    # size fits the scoped limit.  Tables re-read once per slab — a
+    # once-per-predict precompute cost, not a training hot-loop one.
+    B_in = v_bm.shape[0]
+    if B_in > 128:
+        return jnp.concatenate(
+            [
+                _apply_pallas(statics, tables, v_bm[i : i + 128])
+                for i in range(0, B_in, 128)
+            ],
+            axis=0,
+        )
     # Mosaic sublane alignment: the manual window DMA slices B rows, which
     # must be a multiple of the (8, 128) tile's sublane count (measured: B=5
     # fails at "Slice shape along dimension 0 must be aligned to tiling (8)").
-    B_in = v_bm.shape[0]
     if B_in % 8:
         v_bm = jnp.pad(v_bm, ((0, 8 - B_in % 8), (0, 0)))
     B = v_bm.shape[0]
     itemsize = jnp.dtype(v_bm.dtype).itemsize
     C = int(block_cells)
     plan = _plan_windows((deltas, d0s, shape, C, interpret), B, itemsize)
-    while plan[-1] > 12 * 1024 * 1024 and C > 512:
+    while plan[-1] > 12 * 1024 * 1024 and C > 128:
         C //= 2
         plan = _plan_windows((deltas, d0s, shape, C, interpret), B, itemsize)
+    if plan[-1] > 14 * 1024 * 1024:
+        # No fitting block plan (huge D·B at tiny grids) — correctness first.
+        return _apply_xla(statics, tables, v_bm)[:B_in]
     C, fs, off_f, o_of_delta, Wv, Z, N_pad, M_pad, T, _ = plan
     D = len(deltas)
 

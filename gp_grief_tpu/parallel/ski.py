@@ -333,14 +333,15 @@ class ShardedGPSKIRegression(BaseModel):
         precond_rank: int = 256,
         solver: str = "data",
         wtw_stencil: bool = True,
+        lattice_x3: bool = True,
         mesh: Optional[Mesh] = None,
         axis_name: str = "data",
         key=None,
     ):
-        x = np.asarray(x)
-        y = np.asarray(y).reshape(-1)
-        if x.ndim == 1:
-            x = x[:, None]
+        from gp_grief_tpu.models.base import check_xy
+
+        x, y = check_xy(x, y)
+        x, y = np.asarray(x), np.asarray(y)
         if solver not in ("data", "lattice"):
             raise ValueError("solver must be 'data' or 'lattice'")
         self.solver = solver
@@ -376,6 +377,7 @@ class ShardedGPSKIRegression(BaseModel):
             xp, self.xg, n_dev, with_plan=not self._use_windowed
         )
         self._wtw_stencil = None
+        self._lattice_x3 = bool(lattice_x3)
         if solver == "lattice":
             # Whitener shift from the REAL rows only (pad rows are masked out
             # of Ŵ, so diag(ŴᵀŴ) is the real-data mass² — the log-det
@@ -522,18 +524,26 @@ class ShardedGPSKIRegression(BaseModel):
 
         # Eigen-coordinate dual (see GPSKIRegression._make_lattice_ops):
         # the CG/SLQ state lives in Qᵀ-coordinates where the whitener is
-        # diagonal — 2 Kron matvecs per white() instead of 4.
+        # diagonal — 2 Kron matvecs per white() instead of 4, X3-slab on TPU.
+        from gp_grief_tpu.models.gp_ski import _lattice_mv_precision
+
+        prec = _lattice_mv_precision(self._lattice_x3)
+
         def to_dual(v_bm):
             B = v_bm.shape[0]
             eyeB = jnp.eye(B, dtype=v_bm.dtype)
-            t = kron_matvec_fast((eyeB, *QsT), v_bm.reshape(-1)).reshape(B, -1)
+            t = kron_matvec_fast(
+                (eyeB, *QsT), v_bm.reshape(-1), precision=prec
+            ).reshape(B, -1)
             return t * wjs[None, :]
 
         def from_dual(v_bm):
             B = v_bm.shape[0]
             eyeB = jnp.eye(B, dtype=v_bm.dtype)
             t = (v_bm * wjs[None, :]).reshape(-1)
-            return kron_matvec_fast((eyeB, *Qs), t).reshape(B, -1)
+            return kron_matvec_fast(
+                (eyeB, *Qs), t, precision=prec
+            ).reshape(B, -1)
 
         if self._wtw_stencil is not None:
             from gp_grief_tpu.ops.interp_stencil import wtw_stencil_bm
@@ -559,7 +569,7 @@ class ShardedGPSKIRegression(BaseModel):
                 self._wt_apply(plan, v_loc_bm * mk[None, :]), axis_name
             )
 
-        return to_dual, from_dual, white, wt_masked, ld_MK
+        return to_dual, from_dual, white, wt_masked, wtw, ld_MK
 
     def _loss_lattice(self, params):
         """Sharded lattice-dual NLML — the GPSKIRegression._loss_lattice
@@ -579,7 +589,7 @@ class ShardedGPSKIRegression(BaseModel):
             factors = cov_grid(
                 params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
             )
-            to_dual, _, white, wt_masked, ld_MK = self._lattice_local_ops(
+            to_dual, _, white, wt_masked, _, ld_MK = self._lattice_local_ops(
                 plan, mk, factors, sigma2
             )
             vt = to_dual(wt_masked(y_loc[None, :]))
@@ -750,21 +760,10 @@ class ShardedGPSKIRegression(BaseModel):
         r = o["precond_rank"]
 
         def _local_solver(plan, mk, idx_st, w_st, factors, sigma2):
-            """Data-space solve closure honoring the solver choice."""
-            if self.solver == "lattice":
-                to_dual, from_dual, white, wt_masked, _ = (
-                    self._lattice_local_ops(plan, mk, factors, sigma2)
-                )
-
-                def solve(rhs_bm):
-                    gam = cg_solve(
-                        white, to_dual(wt_masked(rhs_bm)), tol=o["cg_tol"],
-                        max_iters=o["cg_iters"], layout="bm", implicit_diff=False,
-                    )
-                    corr = self._w_apply(plan, from_dual(gam)) * mk[None, :]
-                    return (rhs_bm - corr) / sigma2
-
-                return solve
+            """Data-space solve closure (solver='data' paths only: the
+            lattice branches below never leave the dual — the data-space
+            correction ``(r − corr)/σ²`` cancels catastrophically at f32
+            when σ² ≪ κ(K̂)·ε, same as the single-device model)."""
             mv = self._mv_local(plan, mk, factors, sigma2)
             if r > 0:
                 _, M_inv_sqrt, _ = self._precond_local(
@@ -797,6 +796,18 @@ class ShardedGPSKIRegression(BaseModel):
             factors = cov_grid(
                 params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
             )
+            if self.solver == "lattice":
+                # Dual mean representer: K Wᵀ Â⁻¹ y ≡ B⁻¹(Ŵᵀy) — see
+                # GPSKIRegression.predict (no σ² division, bounded whitened
+                # CG).  Replicated apart from the psums inside the ops.
+                to_dual, from_dual, white, wt_masked, _, _ = (
+                    self._lattice_local_ops(plan, mk, factors, sigma2)
+                )
+                gam = cg_solve(
+                    white, to_dual(wt_masked(y_loc[None, :])), tol=o["cg_tol"],
+                    max_iters=o["cg_iters"], layout="bm", implicit_diff=False,
+                )
+                return from_dual(gam)[0]
             solve = _local_solver(plan, mk, idx_st, w_st, factors, sigma2)
             alpha = solve(y_loc[None, :])[0]
             Wt_a = lax.psum(
@@ -806,12 +817,30 @@ class ShardedGPSKIRegression(BaseModel):
             return Kw_alpha
 
         def var_local(params, y_loc, mk, plan_st, idx_st, w_st, u_bm):
-            # u_bm: (c, M) replicated lattice rows K Wᵀ* of the test chunk.
+            # u_bm (c, M) replicated: K Wᵀ* rows of the test chunk for
+            # solver='data'; the RAW test interp rows W*ᵀ for 'lattice'.
             plan = self._resolve_plan(plan_st)
             sigma2 = jnp.exp(params["log_noise"])
             factors = cov_grid(
                 params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
             )
+            if self.solver == "lattice":
+                # Exact variance reduction in the dual:
+                # c_tᵀÂ⁻¹c_t ≡ w*ᵀ K (ŴᵀŴ) B⁻¹ w* — see GPSKIRegression.
+                to_dual, from_dual, white, _, wtw, _ = (
+                    self._lattice_local_ops(plan, mk, factors, sigma2)
+                )
+                gam = cg_solve(
+                    white, to_dual(u_bm), tol=o["cg_tol"],
+                    max_iters=o["cg_iters"], layout="bm", implicit_diff=False,
+                )
+                Ggam = wtw(from_dual(gam))  # (c, M)
+                c = u_bm.shape[0]
+                eyeC = jnp.eye(c, dtype=u_bm.dtype)
+                KG = kron_matvec_fast(
+                    (eyeC, *factors), Ggam.reshape(-1)
+                ).reshape(c, -1)
+                return jnp.sum(u_bm * KG, axis=1)  # (c,)
             solve = _local_solver(plan, mk, idx_st, w_st, factors, sigma2)
             C_loc = self._w_apply(plan, u_bm) * mk[None, :]  # (c, n_loc)
             Sol = solve(C_loc)
@@ -848,8 +877,13 @@ class ShardedGPSKIRegression(BaseModel):
             if compute_var:
                 c = int(xc.shape[0])
                 Wst = interp_rmatvec_bm(iw_c, jnp.eye(c, dtype=self.x.dtype))
-                eyeC = jnp.eye(c, dtype=self.x.dtype)
-                u = kron_matvec_fast((eyeC, *factors), Wst.reshape(-1)).reshape(c, -1)
+                if self.solver == "lattice":
+                    u = Wst  # the dual form consumes the raw interp rows
+                else:
+                    eyeC = jnp.eye(c, dtype=self.x.dtype)
+                    u = kron_matvec_fast(
+                        (eyeC, *factors), Wst.reshape(-1)
+                    ).reshape(c, -1)
                 qf = varp(self.params, self.y, self.mask, plan_arg, self._sidx, self._sw, u)
                 prior = GPSKIRegression._prior_diag(factors, iw_c)
                 vars_.append(np.maximum(np.asarray(prior) - np.asarray(qf), 0.0))

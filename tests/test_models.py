@@ -435,3 +435,27 @@ def test_gpkron_segmented_whitened_and_cached(rng):
     assert m._nlml_progs is progs and seg2 == seg
     m.log_likelihood_segmented(cg_segment_iters=40)
     assert m._nlml_progs is not progs
+
+
+def test_constructors_reject_mismatched_xy(rng):
+    """Every model constructor must raise ValueError on an x/y length
+    mismatch instead of broadcasting into a wrong-answer fit (reference
+    BaseModel guards — SURVEY.md §2 #15; found by a round-2 verify probe)."""
+    from gp_grief_tpu import GPSKIRegression
+
+    x = rng.uniform(0, 1, size=(50, 2))
+    y = rng.standard_normal(50)
+    xg = [np.linspace(0, 1, 8)[:, None]] * 2
+    kerns = [make_kernel("rbf", lengthscale=0.3)] * 2
+    # (n, 1) responses auto-flatten (the reference accepted column vectors)
+    GPSKIRegression(x, y[:, None], kerns, xg)
+    with pytest.raises(ValueError):
+        GPSKIRegression(x, y[:10], kerns, xg)
+    with pytest.raises(ValueError):
+        GPRegression(x, y[:10], make_kernel("rbf"))
+    with pytest.raises(ValueError):
+        GPGriefModel(x, y[:10], kerns, n_eigs=5)
+    with pytest.raises(ValueError):
+        GPweb(rng.standard_normal((50, 4)), y[:10])
+    with pytest.raises(ValueError):
+        GPKroneckerRegression(xg, y, kerns)  # 64 grid points, 50 responses

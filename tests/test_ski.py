@@ -366,6 +366,32 @@ def test_ski_lanczos_variance_close_to_exact(rng):
     assert np.mean(np.abs(var_40 - var_e)) < 0.3 * np.mean(var_e) + 1e-6
 
 
+def test_ski_lattice_lanczos_variance_close_to_exact(rng):
+    """Dual LOVE (variance='lanczos' under solver='lattice'): the whitened
+    dual's Krylov space is M-dimensional, so full rank (var_rank=M) must
+    match the exact dual variance; truncation converges with rank."""
+    n = 400
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + 0.05 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 3.1, 8)[:, None]] * 2
+    m = GPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.8), xg, solver="lattice",
+        noise_var=0.2, num_probes=16, lanczos_iters=30, cg_iters=400,
+        cg_tol=1e-12,
+    )
+    xs = rng.uniform(0.2, 2.8, size=(40, 2))
+    mu_e, var_e = m.predict(xs, variance="exact")
+    mu_l, var_l = m.predict(xs, variance="lanczos", var_rank=10**9)  # → M
+    np.testing.assert_allclose(mu_l, mu_e, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(var_l, var_e, rtol=5e-3, atol=1e-6)
+    _, var_16 = m.predict(xs, variance="lanczos", var_rank=16)
+    assert np.all(np.isfinite(var_16)) and np.all(var_16 >= 0)
+    # Truncated dual LOVE models the off-span inverse as the identity (the
+    # whitened cluster value) — the residual is a small fraction of the
+    # PRIOR variance (~1 here), not of the tiny posterior variance.
+    assert np.mean(np.abs(var_16 - var_e)) < 0.03
+
+
 def test_ski_log_likelihood_segmented_matches_monolithic(rng):
     """Host-segmented NLML (segmented CG + probe-chunked whitened SLQ) agrees
     with the monolithic jitted NLML: identical quadratic form, log-det within
