@@ -502,8 +502,13 @@ class GPSKIRegression(BaseModel):
 
         def from_dual(v_bm):
             B = v_bm.shape[0]
-            eyeB = jnp.eye(B, dtype=v_bm.dtype)
+            # eyeB must match the CONTRACTED vector's dtype, which is the
+            # v_bm·wjs product's (promoted — a bf16 solver-state input still
+            # yields an f32 t here): a factor whose dtype is narrower than
+            # the vector's fails Mosaic's contract-precision check in the
+            # slab ("Bad lhs type", benchmarks/exp_r11_bf16_dual.py).
             t = (v_bm * wjs[None, :]).reshape(-1)
+            eyeB = jnp.eye(B, dtype=t.dtype)
             return kron_matvec_fast(
                 (eyeB, *Qs), t, precision=prec
             ).reshape(B, -1)

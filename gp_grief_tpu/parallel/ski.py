@@ -539,8 +539,10 @@ class ShardedGPSKIRegression(BaseModel):
 
         def from_dual(v_bm):
             B = v_bm.shape[0]
-            eyeB = jnp.eye(B, dtype=v_bm.dtype)
+            # eyeB matches the CONTRACTED vector's (promoted) dtype — see
+            # GPSKIRegression._make_lattice_ops.from_dual.
             t = (v_bm * wjs[None, :]).reshape(-1)
+            eyeB = jnp.eye(B, dtype=t.dtype)
             return kron_matvec_fast(
                 (eyeB, *Qs), t, precision=prec
             ).reshape(B, -1)

@@ -611,3 +611,35 @@ def test_ski_optimize_segmented_improves(rng):
     ll0 = m.log_likelihood()
     m.optimize_segmented(max_iters=12, learning_rate=0.1, num_probes=8)
     assert m.log_likelihood() > ll0
+
+
+def test_ski_lattice_ops_accept_bf16_state(rng):
+    """ops/cg.py's ``state_dtype`` contract hands operators their input in
+    the (narrow) state dtype.  The lattice ops must then keep every Kron
+    factor's dtype matched to the CONTRACTED vector's promoted dtype —
+    from_dual's batch-eye following the raw bf16 input while the v·wjs
+    product promotes to f32 fails Mosaic's contract-precision check on TPU
+    ("Bad lhs type", benchmarks/exp_r11_bf16_dual.py)."""
+    import jax.numpy as jnp
+
+    from gp_grief_tpu.kernels.grid import cov_grid
+
+    n = 300
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    m = GPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.8), xg, solver="lattice",
+        noise_var=0.2,
+    )
+    sigma2 = jnp.exp(m.params["log_noise"])
+    factors = cov_grid(m.params["kernels"], m.xg, dim_noise_var=m.dim_noise_var)
+    Qs, wjs, _ = m._lattice_spectra(factors, sigma2)
+    _, _, white = m._make_lattice_ops(Qs, wjs)
+    v = jnp.asarray(rng.standard_normal((2, 64)), wjs.dtype)
+    ref = white(v)
+    out = white(v.astype(jnp.bfloat16))
+    assert out.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
+    )
