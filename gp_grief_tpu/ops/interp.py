@@ -63,8 +63,16 @@ def interp_weights(x: jax.Array, xg: Sequence[jax.Array]) -> InterpWeights:
 
     Points outside the grid clamp to the boundary cell (constant
     extrapolation of the cell's linear model).  Jittable: ``searchsorted`` +
-    arithmetic only.
+    arithmetic only.  CONCRETE inputs take a host-numpy fast path: run
+    eagerly, the ~8 jax ops per dimension each dispatch as a separate
+    device program — 135 s at n=1M/32⁴ through the axon relay, vs ~0.2 s
+    in numpy — and every consumer of an eager build is a host-side plan
+    builder anyway (:func:`build_corner_stream`).
     """
+    if not any(
+        isinstance(a, jax.core.Tracer) for a in (x, *xg)
+    ):
+        return _interp_weights_np(x, xg)
     if x.ndim == 1:
         x = x[:, None]
     idxs, ws = [], []
@@ -87,6 +95,36 @@ def interp_weights(x: jax.Array, xg: Sequence[jax.Array]) -> InterpWeights:
         t = jnp.clip((xi - g0) / jnp.where(span > 0, span, 1.0), 0.0, 1.0)
         idxs.append(left.astype(jnp.int32))
         ws.append(jnp.stack([1.0 - t, t], axis=1).astype(x.dtype))
+    return InterpWeights(
+        idx=tuple(idxs), w=tuple(ws), shape=tuple(int(g.shape[0]) for g in xg)
+    )
+
+
+def _interp_weights_np(x, xg) -> InterpWeights:
+    """Host-numpy :func:`interp_weights` (same math, same clamping)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    idxs, ws = [], []
+    for d, g in enumerate(xg):
+        gd = np.asarray(g).reshape(-1)
+        m = gd.shape[0]
+        xi = x[:, d]
+        if m == 1:
+            idxs.append(np.zeros(xi.shape, np.int32))
+            ws.append(
+                np.stack([np.ones_like(xi), np.zeros_like(xi)], axis=1).astype(x.dtype)
+            )
+            continue
+        left = np.clip(np.searchsorted(gd, xi, side="right") - 1, 0, m - 2)
+        g0 = gd[left]
+        g1 = gd[left + 1]
+        span = g1 - g0
+        t = np.clip((xi - g0) / np.where(span > 0, span, 1.0), 0.0, 1.0)
+        idxs.append(left.astype(np.int32))
+        ws.append(np.stack([1.0 - t, t], axis=1).astype(x.dtype))
     return InterpWeights(
         idx=tuple(idxs), w=tuple(ws), shape=tuple(int(g.shape[0]) for g in xg)
     )
