@@ -118,6 +118,7 @@ class GPSKIRegression(BaseModel):
         solver: str = "data",
         wtw_stencil: bool = True,
         lattice_x3: bool = True,
+        train_mixed16: bool = False,
         key=None,
     ):
         x, y = check_xy(x, y)
@@ -160,6 +161,13 @@ class GPSKIRegression(BaseModel):
         # X3-grade slab for the dual's Q/Qᵀ applies (see
         # _lattice_mv_precision); False forces exact HIGHEST everywhere.
         self._lattice_x3 = bool(lattice_x3)
+        # bf16 state + bf16 matvec inputs for the TRAINING step solves only
+        # (optimize_segmented; lattice dual).  The whitened dual's CG
+        # stagnates at ~3.6e-3 relative there — far below the Hutchinson
+        # probe noise the gradient already carries — for 4.16 → 3.39 ms/iter
+        # at 1M/32⁴ (benchmarks/exp_r11_bf16_dual.py).  Reported NLML
+        # (log_likelihood*) and prediction always solve in f32.
+        self._train_mixed16 = bool(train_mixed16)
         if solver == "lattice":
             m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
             if x.shape[0] < m_total // 4:
@@ -470,9 +478,15 @@ class GPSKIRegression(BaseModel):
             interp_matvec_bm_fast(self._plan, v_bm)
         )
 
-    def _make_lattice_ops(self, Qs, wjs):
+    def _make_lattice_ops(self, Qs, wjs, mixed16: bool = False):
         """Batch-major ``(B, M)`` closures ``(to_dual, from_dual, white)``
         with the whitened dual solved in the **Kron eigenbasis**.
+
+        ``mixed16`` casts each Kron matvec's INPUT vector to bf16 (one bf16
+        MXU dot per slab pass; operator rel err ~2.5e-3) while every
+        diagonal scaling, the WᵀW stencil, and the returned arrays stay
+        f32 — the training-solve operating point of
+        benchmarks/exp_r11_bf16_dual.py (variant C).
 
         ``M^{-1/2} = Q·D·Qᵀ`` (``D = diag(wjs)``), so rotating the CG/SLQ
         state to eigen-coordinates ``ṽ = Qᵀv`` turns the whitener diagonal
@@ -491,14 +505,15 @@ class GPSKIRegression(BaseModel):
         cbar = self._lattice_cbar()
         QsT = tuple(Q.T for Q in Qs)
         prec = _lattice_mv_precision(self._lattice_x3)
+        wd = wjs.dtype
+        _mv_in = (lambda t: t.astype(jnp.bfloat16)) if mixed16 else (lambda t: t)
 
         def to_dual(v_bm):
             B = v_bm.shape[0]
-            eyeB = jnp.eye(B, dtype=v_bm.dtype)
-            t = kron_matvec_fast(
-                (eyeB, *QsT), v_bm.reshape(-1), precision=prec
-            ).reshape(B, -1)
-            return t * wjs[None, :]
+            t = _mv_in(v_bm.reshape(-1))
+            eyeB = jnp.eye(B, dtype=t.dtype)
+            t = kron_matvec_fast((eyeB, *QsT), t, precision=prec).reshape(B, -1)
+            return t.astype(wd) * wjs[None, :]
 
         def from_dual(v_bm):
             B = v_bm.shape[0]
@@ -507,11 +522,11 @@ class GPSKIRegression(BaseModel):
             # yields an f32 t here): a factor whose dtype is narrower than
             # the vector's fails Mosaic's contract-precision check in the
             # slab ("Bad lhs type", benchmarks/exp_r11_bf16_dual.py).
-            t = (v_bm * wjs[None, :]).reshape(-1)
+            t = _mv_in((v_bm * wjs[None, :]).reshape(-1))
             eyeB = jnp.eye(B, dtype=t.dtype)
             return kron_matvec_fast(
                 (eyeB, *Qs), t, precision=prec
-            ).reshape(B, -1)
+            ).reshape(B, -1).astype(wd)
 
         wtw = self._wtw_bm_op()
 
@@ -1156,7 +1171,7 @@ class GPSKIRegression(BaseModel):
         happens per step (round-2 review finding)."""
         o = self._opts
         lattice = self.solver == "lattice"
-        cache_key = (R, cg_segment_iters, lattice)
+        cache_key = (R, cg_segment_iters, lattice, self._train_mixed16)
         if getattr(self, "_segtrain_key", None) != cache_key:
             self._segtrain_key = cache_key
             self._segtrain_progs = self._build_step_programs(R, cg_segment_iters)
@@ -1174,8 +1189,15 @@ class GPSKIRegression(BaseModel):
         for _ in range(max_segments):
             if not np.any((rnorm_h > stop) & ~dead_h):
                 break
+            prev = rnorm_h
             state, rnorm, dead = seg_fn(seg_c, aux, state)
             rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+            # Stagnation stop: a segment that shrinks no column's residual
+            # by ≥1.2× is at its arithmetic floor (bf16 training solves sit
+            # at ~3.6e-3 relative, unreachable by the f32-grade stop above)
+            # — further segments only burn wall time.
+            if not np.any(rnorm_h < prev / 1.2):
+                break
         return fin_fn(fin_c, aux, state), z
 
     def _build_step_programs(self, R, segment_iters):
@@ -1187,6 +1209,11 @@ class GPSKIRegression(BaseModel):
         n = int(self.x.shape[0])
         M = int(np.prod([int(g.shape[0]) for g in self.xg]))
         lattice = self.solver == "lattice"
+        # Mixed16 training solves apply only to the lattice dual: its
+        # whitened operator clusters at 1, so a bf16 stagnation floor of
+        # ~3e-3 is benign; the raw data-space operator is κ ≳ 1/ε_f32 where
+        # mixed precision and deflation do not compose (RESULTS_r5 §12).
+        mixed = self._train_mixed16 and lattice
         dim = M if lattice else n
         r = 0 if lattice else self._precond_rank()
         _colsum, _colnorm, _bc = _reducers("bm", None)
@@ -1197,7 +1224,7 @@ class GPSKIRegression(BaseModel):
             nondeterministic under iteration on TPU)."""
             if lattice:
                 Qs, wjs = aux
-                _, _, white = self._make_lattice_ops(Qs, wjs)
+                _, _, white = self._make_lattice_ops(Qs, wjs, mixed16=mixed)
                 return white, (lambda s: s)
             factors, sigma2, U, lam = aux
             mv = self._matvec_bm(factors, sigma2)
@@ -1239,12 +1266,19 @@ class GPSKIRegression(BaseModel):
 
         def seg_fn(aux, state):
             op, _ = build_op(aux)
-            step = _make_pcg_step(op, lambda rr: rr, _colsum, _bc)
+            if mixed:
+                from gp_grief_tpu.ops.cg import _segment_scan_mixed
 
-            def body(s, _):
-                return step(*s), None
+                state = _segment_scan_mixed(
+                    op, state, segment_iters, _colsum, _bc, jnp.bfloat16
+                )
+            else:
+                step = _make_pcg_step(op, lambda rr: rr, _colsum, _bc)
 
-            state, _ = lax.scan(body, state, None, length=segment_iters)
+                def body(s, _):
+                    return step(*s), None
+
+                state, _ = lax.scan(body, state, None, length=segment_iters)
             return state, _colnorm(state[1]), state[5]
 
         def fin_fn(aux, state):

@@ -147,6 +147,48 @@ def _make_pcg_step(matvec, precond, _colsum, _bc):
     return step
 
 
+def _segment_scan_mixed(matvec, state, segment_iters, _colsum, _bc, state_dtype):
+    """Run ``segment_iters`` unpreconditioned-CG iterations on a 6-tuple
+    ``(x, r, z, p, rz, dead)`` state, carrying ``r``/``p`` — and handing the
+    matvec its input — in ``state_dtype`` INSIDE the scan (the
+    :func:`_cg_fixed` mixed16 body).  The state enters and leaves in its
+    original dtype with ``z`` kept ``== r``, so callers segmenting a solve
+    across host dispatches (:meth:`GPSKIRegression._build_step_programs`)
+    swap this in for the f32 segment scan without changing the state
+    signature.  Measured on the whitened 1M/32⁴ lattice dual: 4.16 →
+    3.39 ms/iter, stagnation floor ~3.6e-3 relative
+    (benchmarks/exp_r11_bf16_dual.py, variant C with mixed lattice ops)."""
+    x, r, z, p, rz, dead = state
+    wd = x.dtype
+    sd = jnp.dtype(state_dtype)
+    _st = lambda a: a.astype(sd)  # noqa: E731
+
+    def body(s, _):
+        x, r, p, rz, dead = s
+        Ap = matvec(p)
+        p32 = p.astype(wd)
+        Ap32 = Ap.astype(wd)
+        pAp = _colsum(p32 * Ap32)
+        # Same permanent breakdown freeze as :func:`_cg_raw` — see there.
+        ok = (pAp > 0) & (rz > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz) & ~dead
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+        x = x + _bc(alpha) * p32
+        r32 = r.astype(wd) - _bc(alpha) * Ap32
+        rz_new = _colsum(r32 * r32)
+        dead = dead | ~ok | ~jnp.isfinite(rz_new)
+        beta = jnp.where(
+            dead | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz)
+        )
+        p_new = _st(r32 + _bc(beta) * p32)
+        return (x, _st(r32), p_new, rz_new, dead), None
+
+    (x, r_s, p_s, rz, dead), _ = lax.scan(
+        body, (x, _st(r), _st(p), rz, dead), None, length=segment_iters
+    )
+    r = r_s.astype(wd)
+    return (x, r, r, p_s.astype(wd), rz, dead)
+
+
 def _cg_fixed(
     matvec: Callable[[jax.Array], jax.Array],
     b: jax.Array,

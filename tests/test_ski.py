@@ -643,3 +643,30 @@ def test_ski_lattice_ops_accept_bf16_state(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
     )
+
+
+def test_ski_optimize_segmented_mixed16_lattice(rng):
+    """``train_mixed16`` (bf16 CG state + bf16 matvec inputs in the lattice
+    dual's TRAINING solves, benchmarks/exp_r11_bf16_dual.py) must train to
+    the same neighborhood as the f32 step solves: same probe draws, so the
+    only delta is the ~3e-3 solve floor, far below Adam's step scale."""
+    n = 400
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 7)[:, None]] * 2
+
+    def train(mixed):
+        m = GPSKIRegression(
+            x, y, make_kernel("rbf", lengthscale=1.2), xg, noise_var=0.5,
+            solver="lattice", num_probes=8, lanczos_iters=30, cg_iters=300,
+            train_mixed16=mixed,
+        )
+        ll0 = m.log_likelihood()
+        m.optimize_segmented(max_iters=10, learning_rate=0.1, num_probes=8)
+        return ll0, m.log_likelihood(), m
+
+    ll0, ll_f32, _ = train(False)
+    _, ll_bf16, _ = train(True)
+    assert ll_bf16 > ll0  # training still improves the true NLML
+    # and lands within a tight relative band of the f32-trained NLML
+    assert abs(float(ll_bf16) - float(ll_f32)) <= 0.02 * abs(float(ll_f32))
