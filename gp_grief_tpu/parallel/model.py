@@ -52,14 +52,9 @@ class ShardedGPGriefModel(BaseModel):
         axis_name: str = "data",
         dtype=None,
     ):
-        x_j, y_j, grid, self.xg, self.n_eigs, dims, self.params = init_grief_state(
+        x_j, y_j, grid, self.xg, self.n_eigs, self.dims, self.params = init_grief_state(
             x, y, kern_list, grid, n_eigs, noise_var, mbar, dtype
         )
-        if dims is not None:
-            raise NotImplementedError(
-                "grouped grid dimensions (sub_dim > 1) are not wired through the "
-                "sharded reductions yet — use GPGriefModel"
-            )
         self.grid = grid
         self.mesh = mesh if mesh is not None else data_mesh(axis_name=axis_name)
         self.axis_name = axis_name
@@ -78,6 +73,7 @@ class ShardedGPGriefModel(BaseModel):
         stats = sharded_basis_stats(
             basis, params["kernels"], self.xg, self.x, self.y, self.mask,
             self.mesh, axis_name=self.axis_name, n_real=self.n_real,
+            dims=self.dims,
         )
         return basis, stats
 
@@ -95,7 +91,7 @@ class ShardedGPGriefModel(BaseModel):
             def _predict(params, x_new):
                 basis, stats = self._build_and_stats(params)
                 Lp, theta = basis_posterior(stats, params["log_w"], params["log_noise"])
-                Phis = phi(basis, params["kernels"], self.xg, x_new)
+                Phis = phi(basis, params["kernels"], self.xg, x_new, dims=self.dims)
                 mean = Phis @ theta
                 sigma2 = jnp.exp(params["log_noise"])
                 A = jax.scipy.linalg.solve_triangular(Lp, Phis.T, lower=True)

@@ -74,12 +74,18 @@ def sharded_basis_stats(
     *,
     axis_name: str = "data",
     n_real: Optional[int] = None,
+    dims=None,
 ) -> BasisStats:
-    """``BasisStats`` with rows of ``(x, y)`` sharded over ``axis_name``."""
+    """``BasisStats`` with rows of ``(x, y)`` sharded over ``axis_name``.
+
+    ``dims``: optional grouping of input columns into grid dimensions (the
+    reference's ``sub_dim`` capability) — forwarded to the local ``phi``
+    evaluation; the psum reductions are unchanged.
+    """
     n = int(n_real if n_real is not None else x.shape[0])
 
     def local(xk, yk, mk):
-        Phik = phi(basis, kernels, xg, xk) * mk[:, None]
+        Phik = phi(basis, kernels, xg, xk, dims=dims) * mk[:, None]
         yk = yk * mk
         C = lax.psum(Phik.T @ Phik, axis_name)
         v = lax.psum(Phik.T @ yk, axis_name)
@@ -109,6 +115,7 @@ def sharded_grief_nlml(
     dim_noise_var: float = 1e-12,
     axis_name: str = "data",
     n_real: Optional[int] = None,
+    dims=None,
 ) -> jax.Array:
     """Full data-parallel NLML: replicated basis build + sharded reductions.
 
@@ -119,7 +126,7 @@ def sharded_grief_nlml(
     basis = build_basis(params["kernels"], xg, n_eigs, dim_noise_var=dim_noise_var)
     stats = sharded_basis_stats(
         basis, params["kernels"], xg, x, y, row_mask, mesh,
-        axis_name=axis_name, n_real=n_real,
+        axis_name=axis_name, n_real=n_real, dims=dims,
     )
     return basis_nlml(stats, params["log_w"], params["log_noise"])
 
