@@ -87,3 +87,23 @@ def test_dryrun_multichip_subprocess_fallback():
     )
     assert r.returncode == 0, f"stderr:\n{r.stderr}\nstdout:\n{r.stdout}"
     assert "dryrun_multichip OK" in r.stdout
+
+
+def test_cli_checkgrad_smoke():
+    """``python -m gp_grief_tpu checkgrad`` (SURVEY §5: the reference's
+    checkgrad parity table kept as a CLI subcommand) exits 0 and prints OK."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "gp_grief_tpu", "checkgrad"],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, f"stderr:\n{r.stderr}\nstdout:\n{r.stdout}"
+    assert "checkgrad table" in r.stdout and "OK" in r.stdout
