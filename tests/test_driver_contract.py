@@ -9,6 +9,7 @@ from contextlib import redirect_stdout
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,6 +38,7 @@ def test_graft_entry_contract():
     ge.dryrun_multichip(2)  # 1-D data mesh on the 8 virtual devices
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_exact():
     """The driver's EXACT invocation — ``dryrun_multichip(8)`` in a fresh
     subprocess with NO inherited virtual-device flags (this is what crashed in
@@ -62,6 +64,7 @@ def test_dryrun_multichip_driver_exact():
     assert "'data': 4" in r.stdout and "'model': 2" in r.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess_fallback():
     """When jax is ALREADY initialized with too few devices, the entry must
     fall back to a fresh subprocess (the axon-driver scenario: one real TPU)."""
@@ -89,6 +92,7 @@ def test_dryrun_multichip_subprocess_fallback():
     assert "dryrun_multichip OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_cli_checkgrad_smoke():
     """``python -m gp_grief_tpu checkgrad`` (SURVEY §5: the reference's
     checkgrad parity table kept as a CLI subcommand) exits 0 and prints OK."""

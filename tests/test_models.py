@@ -186,6 +186,7 @@ def test_gp_web_equals_grief_given_same_basis(rng):
     assert web.log_likelihood() >= ll0
 
 
+@pytest.mark.slow
 def test_gp_grief_d100_stress(rng):
     # BASELINE.json config 5: d=100 grid → 10^100+ virtual inducing points;
     # basis build + predict must succeed.
