@@ -290,6 +290,7 @@ def test_gp_ski_onehot_model_nlml(rng):
     assert abs(l1 - l2) / abs(l2) < 1e-7
 
 
+@pytest.mark.slow
 def test_gp_ski_precond_nlml_matches_dense(rng):
     """precond_rank>0: deflated CG + whitened SLQ NLML ≈ the dense-operator
     NLML oracle, and the preconditioned quadratic term matches the dense
@@ -327,6 +328,7 @@ def test_gp_ski_precond_nlml_matches_dense(rng):
     assert abs(nlml - nlml_dense) / abs(nlml_dense) < 2e-3
 
 
+@pytest.mark.slow
 def test_gp_ski_mixed_matches_exact_nlml(rng):
     """cg_precision='mixed' (fast-interp inner loop + SLQ) ≈ 'exact' NLML."""
     n = 300
@@ -339,6 +341,7 @@ def test_gp_ski_mixed_matches_exact_nlml(rng):
     assert abs(lm - le) / abs(le) < 1e-4
 
 
+@pytest.mark.slow
 def test_ski_lanczos_variance_close_to_exact(rng):
     """LOVE-style variance (variance='lanczos') vs the exact CG variance.
 
@@ -392,6 +395,7 @@ def test_ski_lattice_lanczos_variance_close_to_exact(rng):
     assert np.mean(np.abs(var_16 - var_e)) < 0.03
 
 
+@pytest.mark.slow
 def test_ski_log_likelihood_segmented_matches_monolithic(rng):
     """Host-segmented NLML (segmented CG + probe-chunked whitened SLQ) agrees
     with the monolithic jitted NLML: identical quadratic form, log-det within
@@ -423,6 +427,7 @@ def test_ski_log_likelihood_segmented_matches_monolithic(rng):
     assert abs(seg0 - mono0) / abs(mono0) < 3e-2
 
 
+@pytest.mark.slow
 def test_ski_segmented_fused_probes_match_unfused(rng):
     """fuse_probes=True (SLQ chunks advancing CG through shared operator
     applies — ops/fused.py) must reproduce the separate-pass segmented NLML:
@@ -502,6 +507,7 @@ def test_ski_lattice_stencil_matches_windowed_path(rng):
     assert abs(ll_s - ll_w) / abs(ll_w) < 1e-5
 
 
+@pytest.mark.slow
 def test_ski_lattice_solver_matches_dense(rng):
     """solver='lattice' (Woodbury dual on the whitened lattice operator):
     the data-space solve must equal the dense solve to solver precision, and
@@ -563,6 +569,7 @@ def test_ski_lattice_predict_matches_data_solver(rng):
     np.testing.assert_allclose(var_l, var_d, rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["data", "lattice"])
 def test_ski_optimize_segmented_matches_monolithic_step(rng, solver):
     """One optimize_segmented step == one Adam step on jax.grad(_loss) when

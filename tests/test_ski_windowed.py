@@ -45,6 +45,7 @@ def _force_flat(m):
     return m
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["data", "lattice"])
 def test_windowed_model_matches_flat(solver):
     # n=400 > M=216: the regime the windowed path targets.
