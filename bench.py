@@ -1,6 +1,7 @@
 """Headline benchmark: Kronecker matvec effective bandwidth (BASELINE.json:2).
 
-Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
+Prints ONE JSON line to stdout: ``{"metric", "value", "unit", "vs_baseline"}``.
+Progress/diagnostics go to stderr so a driver timeout tail shows the phase.
 
 The Kron matvec is the reference's hot primitive (SURVEY.md §3.4) and the
 north-star target is ≥70% of HBM bandwidth (BASELINE.json:5).  ``vs_baseline``
@@ -10,54 +11,71 @@ achievable HBM bandwidth (speed-of-light proxy) and
 met on whatever chip the driver runs.
 
 Timing methodology: the remote-tunneled TPU backend (axon) does not
-synchronize on ``block_until_ready``, so each measurement chains ``ITERS``
-dependent applications of the op inside one jitted ``lax.fori_loop`` and
-fetches a scalar — one host round-trip per measurement, real device time.
+synchronize on ``block_until_ready``, so each measurement chains dependent
+applications of the op inside one jitted loop and fetches a scalar — one host
+round-trip per measurement; per-iteration time is the slope between two
+chained-loop lengths (cancels fixed dispatch/tunnel overhead).
+
+Runtime budget (the round-2 driver capture timed out at rc=124 with a warm
+compile cache): the loop length is a *traced argument*, so each op costs ONE
+compiled program (round 2 used two per op); the stream phase reuses the
+matvec's device-resident input (one 134 MB relay upload total, round 2
+shipped three); reps are 1 warm + 3 timed per loop length (each run costs
+only milliseconds of device time — compile is the wall-clock cost).  The
+X3-grade extra point (~2× the program count) only runs with ``BENCH_X3=1``.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-ITERS = 50
+ITERS = 25
 
 
-def _timed_loop(step, init, iters=ITERS, warmup=1):
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def _timed_loop(step, init, iters=ITERS, reps=3):
     """Per-iteration wall time via the slope between two chained-loop lengths
-    (cancels fixed dispatch/tunnel overhead)."""
+    (cancels fixed dispatch/tunnel overhead).  The loop length is a traced
+    scalar argument so short and long runs share ONE compiled program."""
     import jax
     import jax.numpy as jnp
 
-    def make(n):
-        @jax.jit
-        def run(v):
-            # optimization_barrier stops XLA from unrolling+fusing trivial
-            # bodies across iterations (observed: a bare saxpy chain collapsed
-            # into one pass, reporting 1.5 TB/s "stream").
-            def body(i, vv):
-                return jax.lax.optimization_barrier(step(vv))
+    @jax.jit
+    def run(v, n):
+        # optimization_barrier stops XLA from unrolling+fusing trivial
+        # bodies across iterations (observed: a bare saxpy chain collapsed
+        # into one pass, reporting 1.5 TB/s "stream").
+        def body(i, vv):
+            return jax.lax.optimization_barrier(step(vv))
 
-            v = jax.lax.fori_loop(0, n, body, v)
-            return jnp.sum(v[:8])  # tiny fetch forces execution
+        v = jax.lax.fori_loop(0, n, body, v, unroll=False)
+        return jnp.sum(v[:8])  # tiny fetch forces execution
 
-        return run
+    short_n, long_n = 5, 5 + iters
+    _ = float(run(init, long_n))  # compile + warm (relay paths, cache)
 
-    short, long = make(10), make(10 + iters)
-
-    def best_of(run, reps=3):
-        _ = float(run(init))  # compile + warm
+    def best_of(n):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            _ = float(run(init))
+            _ = float(run(init, n))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max((best_of(long) - best_of(short)) / iters, 1e-9)
+    t_long, t_short = best_of(long_n), best_of(short_n)
+    return max((t_long - t_short) / iters, 1e-9)
 
 
-def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
+def main(d: int = 5, m_d: int = 32, iters: int = ITERS, x3: bool | None = None):
     from gp_grief_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -66,19 +84,29 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
 
     from gp_grief_tpu.ops import kron_matvec_fast as kron_matvec
 
+    if x3 is None:
+        x3 = os.environ.get("BENCH_X3", "") == "1"
+
     dtype = jnp.float32
     # Default shape is bandwidth-bound: d=5 dims of 32 → m = 33.5M (134 MB
     # vectors f32) — the matvec streams from HBM.
     m = m_d**d
     rng = np.random.default_rng(0)
-    # Normalize factors to ~unit spectral radius so 50 chained matvecs stay finite.
+    # Normalize factors to ~unit spectral radius so chained matvecs stay finite.
     factors = tuple(
         jnp.asarray(
             rng.standard_normal((m_d, m_d)) / (2.2 * np.sqrt(m_d)), dtype=dtype
         )
         for _ in range(d)
     )
-    v = jnp.asarray(rng.standard_normal((m,)), dtype=dtype)
+    # Generate the 134 MB test vector ON DEVICE: uploading it through the
+    # axon relay measured 4.6-65 s (throughput weather); a jitted normal()
+    # costs milliseconds and removes the variance from the driver's window.
+    v = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(0), (m,), dtype)
+    )()
+    v.block_until_ready()
+    _log(f"device={jax.devices()[0]}, m={m}, input generated on device")
 
     # Production hot-loop operating point: Precision.DEFAULT is what the
     # refined-CG inner loop runs (ops/cg.py:cg_solve_refined — bf16 matvecs,
@@ -88,33 +116,43 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
     t_mv = _timed_loop(
         lambda vv: kron_matvec(factors, vv, precision=jax.lax.Precision.DEFAULT),
         v,
-        iters=iters,
+        iters=2 * iters,
     )
     # Algorithmic traffic: each of the d passes reads and writes the lattice
     # once (factor matrices are negligible).
     kron_gbs = 2 * d * m * v.dtype.itemsize / t_mv / 1e9
-
-    # X3-grade point (rel err ~4e-6): the 3-pass slab at Mosaic HIGHEST.
-    from gp_grief_tpu.ops.pallas.kron_pallas import (
-        kron_matvec_slab,
-        slab_schedule_applicable,
-    )
-
-    x3_gbs = None
-    if jax.default_backend() == "tpu" and slab_schedule_applicable(factors, 1):
-        t_x3 = _timed_loop(
-            lambda vv: kron_matvec_slab(
-                factors, vv, precision=jax.lax.Precision.HIGHEST
-            ),
-            v,
-            iters=iters,
-        )
-        x3_gbs = 2 * d * m * v.dtype.itemsize / t_x3 / 1e9
+    _log(f"kron matvec: {t_mv * 1e3:.3f} ms → {kron_gbs:.1f} GB/s eff")
 
     # Stream speed-of-light proxy: y = 2y + 1 reads m + writes m per iter.
-    x = jnp.asarray(rng.standard_normal((m,)), dtype=dtype)
-    t_st = _timed_loop(lambda vv: 2.0 * vv + 1.0, x, iters=iters)
-    stream_gbs = 2 * m * x.dtype.itemsize / t_st / 1e9
+    # Reuses the matvec's device-resident buffer — no second relay upload.
+    # The stream body is ~9× cheaper per iteration than the matvec, so the
+    # slope needs a longer chain for the same signal-to-relay-jitter ratio
+    # (measured: ±5-10 ms per-call jitter vs a 10 ms signal at 25 iters gave
+    # a >spec 1068 GB/s artifact).  Device time stays trivial (~40 ms).
+    t_st = _timed_loop(lambda vv: 2.0 * vv + 1.0, v, iters=4 * iters)
+    stream_gbs = 2 * m * v.dtype.itemsize / t_st / 1e9
+    _log(f"stream: {t_st * 1e3:.3f} ms → {stream_gbs:.1f} GB/s")
+
+    # X3-grade extra point (rel err ~4e-6): the 3-pass slab at Mosaic HIGHEST.
+    # Opt-in (BENCH_X3=1): it roughly doubles program count and wall time, and
+    # the round-2 driver capture timed out paying for it.
+    x3_gbs = None
+    if x3:
+        from gp_grief_tpu.ops.pallas.kron_pallas import (
+            kron_matvec_slab,
+            slab_schedule_applicable,
+        )
+
+        if jax.default_backend() == "tpu" and slab_schedule_applicable(factors, 1):
+            t_x3 = _timed_loop(
+                lambda vv: kron_matvec_slab(
+                    factors, vv, precision=jax.lax.Precision.HIGHEST
+                ),
+                v,
+                iters=2 * iters,
+            )
+            x3_gbs = 2 * d * m * v.dtype.itemsize / t_x3 / 1e9
+            _log(f"x3-grade slab: {t_x3 * 1e3:.3f} ms → {x3_gbs:.1f} GB/s eff")
 
     target = 0.70 * stream_gbs
     print(
@@ -136,8 +174,10 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS):
                     "device": str(jax.devices()[0]),
                 },
             }
-        )
+        ),
+        flush=True,
     )
+    _log("headline JSON printed")
 
 
 if __name__ == "__main__":

@@ -14,9 +14,10 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def test_bench_emits_valid_json_line():
+def test_bench_emits_valid_json_line(monkeypatch):
     import bench
 
+    monkeypatch.delenv("BENCH_X3", raising=False)
     buf = io.StringIO()
     with redirect_stdout(buf):
         bench.main(d=3, m_d=4, iters=4)  # tiny CPU-friendly shape
@@ -27,6 +28,31 @@ def test_bench_emits_valid_json_line():
         assert key in rec
     assert rec["metric"] == "kron_matvec_bandwidth"
     assert np.isfinite(rec["value"]) and rec["value"] > 0
+
+
+def test_bench_program_budget(monkeypatch):
+    """The round-2 driver BENCH capture timed out (rc=124) because bench.py
+    compiled 6 programs and uploaded ~400 MB through the relay.  Guard the
+    fix: the default path may jit at most 3 programs (device-side input
+    generation, matvec loop, stream loop) and must never host-stage a
+    data-sized array (the relay upload was 4.6-65 s of wall weather)."""
+    import jax
+
+    import bench
+
+    monkeypatch.delenv("BENCH_X3", raising=False)
+    real_jit = jax.jit
+    jitted = []
+
+    def counting_jit(fn, *a, **kw):
+        jitted.append(getattr(fn, "__name__", "<lambda>"))
+        return real_jit(fn, *a, **kw)
+
+    monkeypatch.setattr(jax, "jit", counting_jit)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.main(d=3, m_d=4, iters=4)
+    assert len(jitted) <= 3, jitted
 
 
 def test_graft_entry_contract():
