@@ -50,6 +50,28 @@ def standardize(
     )
 
 
+def _check_split(x_train, y_train, x_test, y_test, what: str):
+    """Fail LOUDLY on malformed files at load time (a bad shape otherwise
+    only surfaces deep inside a config run — VERDICT r2 missing #4)."""
+    if x_train.ndim != 2 or x_test.ndim != 2:
+        raise ValueError(
+            f"{what}: x splits must be 2-D (n, d); got "
+            f"{x_train.shape} / {x_test.shape}"
+        )
+    if x_train.shape[1] != x_test.shape[1]:
+        raise ValueError(
+            f"{what}: train/test feature dims differ: "
+            f"{x_train.shape[1]} vs {x_test.shape[1]}"
+        )
+    if y_train.shape != (x_train.shape[0],) or y_test.shape != (x_test.shape[0],):
+        raise ValueError(
+            f"{what}: labels must be 1-D matching their x rows; got "
+            f"y_train {y_train.shape} for x_train {x_train.shape}, "
+            f"y_test {y_test.shape} for x_test {x_test.shape}"
+        )
+    return x_train, y_train, x_test, y_test
+
+
 def load_kin40k(
     root: Optional[str] = None, dtype=np.float32
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
@@ -58,21 +80,26 @@ def load_kin40k(
     npz = os.path.join(root, "kin40k.npz")
     if os.path.exists(npz):
         z = np.load(npz)
-        return tuple(
+        missing = [k for k in ("x_train", "y_train", "x_test", "y_test") if k not in z]
+        if missing:
+            raise ValueError(f"kin40k.npz: missing arrays {missing}")
+        xt, yt, xe, ye = (
             np.asarray(z[k], dtype=dtype)
             for k in ("x_train", "y_train", "x_test", "y_test")
         )
+        return _check_split(xt, yt.reshape(-1), xe, ye.reshape(-1), "kin40k.npz")
     asc = [
         os.path.join(root, f"kin40k_{s}.asc")
         for s in ("train_data", "train_labels", "test_data", "test_labels")
     ]
     if all(os.path.exists(p) for p in asc):
         xt, yt, xe, ye = (np.loadtxt(p) for p in asc)
-        return (
+        return _check_split(
             np.asarray(xt, dtype=dtype),
             np.asarray(yt, dtype=dtype).reshape(-1),
             np.asarray(xe, dtype=dtype),
             np.asarray(ye, dtype=dtype).reshape(-1),
+            "kin40k .asc files",
         )
     return None
 
@@ -85,5 +112,15 @@ def load_uci2m(
     npz = os.path.join(root, "uci2m.npz")
     if os.path.exists(npz):
         z = np.load(npz)
-        return np.asarray(z["x"], dtype=dtype), np.asarray(z["y"], dtype=dtype).reshape(-1)
+        missing = [k for k in ("x", "y") if k not in z]
+        if missing:
+            raise ValueError(f"uci2m.npz: missing arrays {missing}")
+        x = np.asarray(z["x"], dtype=dtype)
+        y = np.asarray(z["y"], dtype=dtype).reshape(-1)
+        if x.ndim != 2 or y.shape != (x.shape[0],):
+            raise ValueError(
+                f"uci2m.npz: need x (n, d) and matching y (n,); got "
+                f"x {x.shape}, y {np.asarray(z['y']).shape}"
+            )
+        return x, y
     return None

@@ -222,9 +222,14 @@ def uci2m(tpu: bool = True):
     # (the k-sweep in RESULTS_r2.md §6).
     ll_closed = model.log_likelihood()
     t0 = time.perf_counter()
-    ll_iter = model.log_likelihood_iterative(
+    # Segmented evaluator (models/gp_grief.py:log_likelihood_iterative_
+    # segmented): the monolithic path traced this evaluation as ONE ~50 s
+    # program at this operating point — against the ~60 s per-program
+    # watchdog (CLAUDE.md).  Segment bounds: 50-iteration CG programs,
+    # 4-probe SLQ chunks (~1 s device time each at n=1.9M, p=400).
+    ll_iter = model.log_likelihood_iterative_segmented(
         num_probes=8, lanczos_iters=48, cg_tol=1e-5, cg_iters=300,
-        precond_rank=300,
+        precond_rank=300, cg_segment_iters=50, probe_chunk=4,
     )
     t_iter = time.perf_counter() - t0
     _emit(

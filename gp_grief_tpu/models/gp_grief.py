@@ -307,11 +307,9 @@ class GPGriefModel(BaseModel):
                 # two-stage build orthonormalizes Phi FIRST so the Cholesky
                 # sees κ(Φ)² only — baking the weights in re-introduces the
                 # w₁/w_r conditioning the build exists to avoid.
-                U_all, lam_all = lowrank_spectral_factor(Phi, weights=w)
-                lam_r = jnp.maximum(
-                    lam_all[-r:], jnp.finfo(lam_all.dtype).tiny
-                )
-                U = U_all[:, -r:]  # (n, r) orthonormal to working eps
+                U, lam_r = lowrank_spectral_factor(Phi, weights=w, top_r=r)
+                lam_r = jnp.maximum(lam_r, jnp.finfo(lam_r.dtype).tiny)
+                # U: (n, r) orthonormal to working eps
                 M_inv, M_inv_sqrt, logdet_M = lowrank_sqrt_ops(
                     U, lam_r, sigma2, layout="bm"
                 )
@@ -353,6 +351,136 @@ class GPGriefModel(BaseModel):
             return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
 
         return -float(_nlml(self.params, key))
+
+    def log_likelihood_iterative_segmented(
+        self,
+        *,
+        key=None,
+        num_probes: int = 32,
+        lanczos_iters: int = 64,
+        cg_tol: float = 1e-8,
+        cg_iters: int = 1000,
+        precond_rank: int = 0,
+        cg_segment_iters: int = 50,
+        probe_chunk: int = 8,
+        verbose: bool = False,
+    ) -> float:
+        """Watchdog-safe iterative NLML: the same estimator as
+        :meth:`log_likelihood_iterative` (CG quadratic term + [whitened] SLQ
+        log-det on the n×n operator — reference ``linalg.py`` CG + stochastic
+        Lanczos, SURVEY.md §3.2), executed as a HOST loop of bounded device
+        programs instead of one monolithic jitted evaluation.
+
+        Why: the monolithic path traces every CG iteration and every SLQ
+        probe into ONE program — 50.7 s device time at the 1.9M-point uci2m
+        operating point (RESULTS_r5.md §8), against the ~60 s per-program
+        execution watchdog that kills the axon TPU worker (CLAUDE.md).  Here
+        each program is one of: the basis/preconditioner prep (compile-once,
+        cached on the model), a ``cg_segment_iters``-iteration CG segment
+        (:func:`gp_grief_tpu.ops.cg.cg_solve_segmented`), or a
+        ``probe_chunk``-probe SLQ chunk
+        (:func:`gp_grief_tpu.ops.lanczos.slq_logdet_segmented`).  Operator
+        operands (``Φ`` is 3 GB at uci2m) travel as device buffers, never as
+        baked program constants (utils/closure.py relay rule).
+
+        The CG quadratic term is the same recurrence as the monolithic path
+        (identical up to stopping granularity); the SLQ chunks draw their
+        probes from ``fold_in(key, chunk)``, so with ``precond_rank`` high
+        enough that the whitened spectrum clusters at 1 the two paths agree
+        to quadrature accuracy (~1e-6 at uci2m rank 300), and unwhitened they
+        agree within Hutchinson sampling noise.
+        """
+        from gp_grief_tpu.kernels.grief import phi as _phi
+        from gp_grief_tpu.ops.cg import cg_solve_segmented
+        from gp_grief_tpu.ops.lanczos import slq_logdet_segmented
+        from gp_grief_tpu.ops.precond import (
+            lowrank_spectral_factor,
+            lowrank_sqrt_ops,
+        )
+        from gp_grief_tpu.utils.closure import explicit_closure
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        self._ensure_cache()
+        n = self.x.shape[0]
+        r = int(min(precond_rank, self.n_eigs))
+
+        # Compile-once prep: Φ + (optionally) the rank-r deflation factor in
+        # ONE jitted program (the O(n·p²) CholeskyQR2 build is the expensive
+        # part; the same f32-robustness rules as the monolithic path apply —
+        # see the comments there).
+        if getattr(self, "_iter_prep_key", None) != (r, self._cached_for):
+            self._iter_prep_key = (r, self._cached_for)
+
+            def _prep(params):
+                Phi = _phi(
+                    self._basis, params["kernels"], self.xg, self.x,
+                    dims=self.dims, impl=self.phi_impl,
+                )
+                w = jnp.exp(params["log_w"])
+                sigma2 = jnp.exp(params["log_noise"])
+                if r > 0:
+                    U, lam_r = lowrank_spectral_factor(
+                        Phi, weights=w, top_r=r
+                    )
+                    lam_r = jnp.maximum(
+                        lam_r, jnp.finfo(lam_r.dtype).tiny
+                    )
+                else:
+                    U = lam_r = None
+                return Phi, w, sigma2, U, lam_r
+
+            sds = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+                self.params,
+            )
+            pure, consts = explicit_closure(_prep, sds)
+            self._iter_prep = (jax.jit(pure), consts)
+        prep_fn, prep_consts = self._iter_prep
+        Phi, w, sigma2, U, lam_r = prep_fn(prep_consts, self.params)
+
+        hi = jax.lax.Precision.HIGHEST
+
+        def mv(vv):  # batch-major (B, n) rows — see the monolithic path
+            t = jnp.matmul(vv, Phi, precision=hi)
+            return jnp.matmul(t * w[None, :], Phi.T, precision=hi) + sigma2 * vv
+
+        max_segments = max(1, -(-int(cg_iters) // int(cg_segment_iters)))
+        if r > 0:
+            M_inv, M_inv_sqrt, logdet_M = lowrank_sqrt_ops(
+                U, lam_r, sigma2, layout="bm"
+            )
+
+            def mv_white(vv):
+                return M_inv_sqrt(mv(M_inv_sqrt(vv)))
+
+            # Whitened-basis solve (NOT data-space PCG) — the thrice-learned
+            # f32 rule; rationale in the monolithic path's comments.
+            vt = M_inv_sqrt(self.y[None, :])
+            gam = cg_solve_segmented(
+                mv_white, vt, tol=cg_tol,
+                segment_iters=int(cg_segment_iters),
+                max_segments=max_segments, layout="bm", verbose=verbose,
+            )
+            quad = float(jnp.sum(vt * gam))
+            ld = float(logdet_M) + slq_logdet_segmented(
+                mv_white, n, key=key, num_probes=num_probes,
+                lanczos_iters=lanczos_iters, dtype=self.y.dtype,
+                layout="bm", probe_chunk=probe_chunk,
+            )
+        else:
+            rhs = self.y[None, :]
+            alpha = cg_solve_segmented(
+                mv, rhs, tol=cg_tol, segment_iters=int(cg_segment_iters),
+                max_segments=max_segments, layout="bm", verbose=verbose,
+            )
+            quad = float(jnp.sum(rhs * alpha))
+            ld = slq_logdet_segmented(
+                mv, n, key=key, num_probes=num_probes,
+                lanczos_iters=lanczos_iters, dtype=self.y.dtype,
+                layout="bm", probe_chunk=probe_chunk,
+            )
+        return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 
     # -- prediction ----------------------------------------------------------
 

@@ -79,6 +79,8 @@ class GPKroneckerRegression(BaseModel):
         precond_rank: int = 0,
         cg_precision: str = "exact",
         cg_whiten="auto",
+        mesh=None,
+        model_axis: str = "model",
     ):
         self.xg = tuple(jnp.asarray(g) for g in xg)
         if any(g.ndim == 2 and g.shape[1] > 1 for g in self.xg):
@@ -126,6 +128,33 @@ class GPKroneckerRegression(BaseModel):
         if cg_whiten == "auto":
             cg_whiten = float(noise_var) < 1e-4
         self.cg_whiten = bool(cg_whiten)
+        # Model parallelism (SURVEY §2 parallelism row 2): shard the
+        # lattice's leading axis over `model_axis` of `mesh` — every CG
+        # matvec in _loss runs through parallel.sharded.kron_matvec_sharded
+        # (one psum_scatter over ICI per matvec).  The eigh, log-det, and
+        # preconditioner algebra stay replicated (small factors); predict
+        # and log_likelihood_segmented run the local matvec.
+        self.mesh = mesh
+        self.model_axis = str(model_axis)
+        if mesh is not None:
+            if solver != "cg":
+                raise ValueError(
+                    "mesh= (model-parallel matvec) requires solver='cg' — "
+                    "the schur path has no large matvec to shard"
+                )
+            if model_axis not in mesh.shape:
+                raise ValueError(
+                    f"mesh has no axis {model_axis!r}: {dict(mesh.shape)}"
+                )
+            km = int(mesh.shape[model_axis])
+            m1 = int(self.xg[0].shape[0])
+            if m1 % km:
+                raise ValueError(
+                    f"leading grid dimension ({m1} points) must divide the "
+                    f"{model_axis!r} mesh axis ({km} devices) — pad the "
+                    "first grid dimension or reorder dimensions so the "
+                    "largest is first"
+                )
         kerns = (
             list(kern_list)
             if isinstance(kern_list, (list, tuple))
@@ -167,9 +196,22 @@ class GPKroneckerRegression(BaseModel):
             _w = M_inv_sqrt if whiten else (lambda v: v)
             M_inv_hook = None if whiten else M_inv
 
+            if self.mesh is not None:
+                from gp_grief_tpu.parallel.sharded import kron_matvec_sharded
+
+                def _kmv(u, precision=jax.lax.Precision.HIGHEST):
+                    return kron_matvec_sharded(
+                        factors, u, self.mesh, axis_name=self.model_axis,
+                        precision=precision,
+                    )
+            else:
+
+                def _kmv(u, precision=jax.lax.Precision.HIGHEST):
+                    return kron_matvec_fast(factors, u, precision=precision)
+
             def mv_exact_w(v):
                 u = _w(v)
-                return _w(kron_matvec_fast(factors, u) + sigma2 * u)
+                return _w(_kmv(u) + sigma2 * u)
 
             rhs_w = _w(self.y)
             # Deflation + refined-mixed DO NOT COMPOSE on this operator: the
@@ -190,9 +232,7 @@ class GPKroneckerRegression(BaseModel):
                 def mv_fast_w(v):
                     u = _w(v)
                     return _w(
-                        kron_matvec_fast(
-                            factors, u, precision=jax.lax.Precision.DEFAULT
-                        )
+                        _kmv(u, precision=jax.lax.Precision.DEFAULT)
                         + sigma2 * u
                     )
 

@@ -47,8 +47,27 @@ from gp_grief_tpu.ops.lanczos import slq_logdet
 from gp_grief_tpu.ops.precond import lowrank_spectral_factor, lowrank_sqrt_ops
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 
-__all__ = ["GPSKIRegression", "lattice_cbar"]
+__all__ = ["GPSKIRegression", "lattice_cbar", "warn_lattice_small_n"]
 
+
+def warn_lattice_small_n(n: int, xg) -> None:
+    """Warn when ``solver='lattice'`` is requested at n << m — shared by the
+    single-chip and sharded SKI constructors (capability parity, SURVEY §2
+    parallelism row 1)."""
+    m_total = int(np.prod([int(g.shape[0]) for g in xg]))
+    if n < m_total // 4:
+        import warnings
+
+        warnings.warn(
+            "solver='lattice' at n << m: the dual log-det assembles "
+            "O(M·log σ²)-scale terms whose SLQ quadrature bias can "
+            "dominate the NLML (measured: 100k points on a 1M lattice "
+            "was off by ~1e5 at lanczos_iters=30 while solver='data' "
+            "converges fine there).  Prefer solver='data' when "
+            "n < m/4; the dual is for n ≳ m where the data-space "
+            "operator exceeds f32 CG conditioning.",
+            stacklevel=3,
+        )
 
 
 def _lattice_mv_precision(x3: bool):
@@ -169,20 +188,7 @@ class GPSKIRegression(BaseModel):
         # (log_likelihood*) and prediction always solve in f32.
         self._train_mixed16 = bool(train_mixed16)
         if solver == "lattice":
-            m_total = int(np.prod([int(g.shape[0]) for g in self.xg]))
-            if x.shape[0] < m_total // 4:
-                import warnings
-
-                warnings.warn(
-                    "solver='lattice' at n << m: the dual log-det assembles "
-                    "O(M·log σ²)-scale terms whose SLQ quadrature bias can "
-                    "dominate the NLML (measured: 100k points on a 1M lattice "
-                    "was off by ~1e5 at lanczos_iters=30 while solver='data' "
-                    "converges fine there).  Prefer solver='data' when "
-                    "n < m/4; the dual is for n ≳ m where the data-space "
-                    "operator exceeds f32 CG conditioning.",
-                    stacklevel=2,
-                )
+            warn_lattice_small_n(int(x.shape[0]), self.xg)
         self._opts = dict(
             num_probes=num_probes, lanczos_iters=lanczos_iters,
             cg_tol=cg_tol, cg_iters=cg_iters, cg_precision=cg_precision,

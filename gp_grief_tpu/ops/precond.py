@@ -211,12 +211,21 @@ def lowrank_spectral_factor(
     F: jax.Array,
     *,
     weights: jax.Array | None = None,
+    top_r: int | None = None,
 ):
     """f32-robust spectral form of ``F diag(w) Fᵀ``: returns ``(U, lam)``
     with ORTHONORMAL ``U (n, r)`` and ``lam ≥ 0`` such that
     ``F diag(w) Fᵀ = U diag(lam) Uᵀ`` — the input :func:`lowrank_sqrt_ops`
     needs (concrete arrays, so they can be computed once in one jitted
     program and shared across separately-dispatched segment programs).
+
+    ``top_r``: keep only the ``top_r`` LARGEST eigenpairs (``lam`` stays
+    ascending, so these are the trailing columns — the slicing convention
+    the deflation callers use).  Slicing *before* the final ``Ut·V`` GEMM
+    skips materializing the discarded columns: at the uci2m operating point
+    (n=1.84M, p=400, r=300) every (n, p) f32 buffer is 2.9 GB and the full
+    build peaked over the v5e's 16 GB HBM (measured RESOURCE_EXHAUSTED,
+    RESULTS_r13.md).
 
     Why the two-stage build (measured at the n=100k SKI config,
     RESULTS_r4.md §6):
@@ -241,7 +250,13 @@ def lowrank_spectral_factor(
         for _ in range(2):
             G = jnp.matmul(Ut.T, Ut, precision=hi)
             L, _ = stable_cholesky(G)
-            Ut = jax.scipy.linalg.solve_triangular(L, Ut.T, lower=True).T
+            # Right-sided solve Ut ← Ut·L⁻ᵀ directly (x·Lᵀ = Ut): the
+            # left-sided jax.scipy form materializes TWO (p, n) transposes
+            # of the tall operand per iteration — 4 extra data-sized
+            # buffers at the 1.9M-point scale (the HBM peak above).
+            Ut = lax.linalg.triangular_solve(
+                L, Ut, left_side=False, lower=True, transpose_a=True
+            )
             Ls.append(L)
         # F = Ut·(L2ᵀL1ᵀ)  ⇒  F W Fᵀ = Ut (L2ᵀL1ᵀ W L1L2) Utᵀ.
         mid = jnp.matmul(Ls[1].T, Ls[0].T, precision=hi)
@@ -249,6 +264,9 @@ def lowrank_spectral_factor(
             mid = mid * jnp.sqrt(weights)[None, :]
         s, V = jnp.linalg.eigh(jnp.matmul(mid, mid.T, precision=hi))
         lam = jnp.maximum(s, 0.0)
+        if top_r is not None:
+            r = int(min(top_r, lam.shape[0]))
+            V, lam = V[:, -r:], lam[-r:]
         U = jnp.matmul(Ut, V, precision=hi)
     return U, lam
 

@@ -354,6 +354,10 @@ class ShardedGPSKIRegression(BaseModel):
                 "multi-column (sub_dim > 1) grid dimensions are not supported by "
                 "linear grid interpolation"
             )
+        if solver == "lattice":
+            from gp_grief_tpu.models.gp_ski import warn_lattice_small_n
+
+            warn_lattice_small_n(int(x.shape[0]), self.xg)
         self.mesh = mesh if mesh is not None else data_mesh(axis_name=axis_name)
         self.axis_name = axis_name
         n_dev = int(np.prod(self.mesh.devices.shape))
