@@ -405,39 +405,54 @@ class GPGriefModel(BaseModel):
         n = self.x.shape[0]
         r = int(min(precond_rank, self.n_eigs))
 
-        # Compile-once prep: Φ + (optionally) the rank-r deflation factor in
-        # ONE jitted program (the O(n·p²) CholeskyQR2 build is the expensive
-        # part; the same f32-robustness rules as the monolithic path apply —
-        # see the comments there).
+        # Compile-once prep, split into TWO cached programs: (a) the Φ build,
+        # (b) the O(n·p²) CholeskyQR2 deflation factor taking Φ as an
+        # ARGUMENT.  One fused program keeping both (n, p) Φ and (n, r) U as
+        # outputs peaks at Φ-build intermediates + the QR chain's two Ut
+        # buffers + both outputs ≈ 5 data-sized buffers — measured
+        # RESOURCE_EXHAUSTED at uci2m (n=1.9M, p=400, r=300) where either
+        # half alone fits (RESULTS_r13.md); the same f32-robustness rules as
+        # the monolithic path apply (see the comments there).
         if getattr(self, "_iter_prep_key", None) != (r, self._cached_for):
             self._iter_prep_key = (r, self._cached_for)
 
-            def _prep(params):
+            def _prep_phi(params):
                 Phi = _phi(
                     self._basis, params["kernels"], self.xg, self.x,
                     dims=self.dims, impl=self.phi_impl,
                 )
                 w = jnp.exp(params["log_w"])
                 sigma2 = jnp.exp(params["log_noise"])
-                if r > 0:
-                    U, lam_r = lowrank_spectral_factor(
-                        Phi, weights=w, top_r=r
-                    )
-                    lam_r = jnp.maximum(
-                        lam_r, jnp.finfo(lam_r.dtype).tiny
-                    )
-                else:
-                    U = lam_r = None
-                return Phi, w, sigma2, U, lam_r
+                return Phi, w, sigma2
 
             sds = jax.tree.map(
                 lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
                 self.params,
             )
-            pure, consts = explicit_closure(_prep, sds)
+            pure, consts = explicit_closure(_prep_phi, sds)
+            phi_sds = jax.eval_shape(pure, consts, sds)
             self._iter_prep = (jax.jit(pure), consts)
+            if r > 0:
+
+                def _prep_factor(Phi, w):
+                    U, lam_r = lowrank_spectral_factor(
+                        Phi, weights=w, top_r=r
+                    )
+                    return U, jnp.maximum(
+                        lam_r, jnp.finfo(lam_r.dtype).tiny
+                    )
+
+                fpure, fconsts = explicit_closure(
+                    _prep_factor, phi_sds[0], phi_sds[1]
+                )
+                self._iter_prep_factor = (jax.jit(fpure), fconsts)
         prep_fn, prep_consts = self._iter_prep
-        Phi, w, sigma2, U, lam_r = prep_fn(prep_consts, self.params)
+        Phi, w, sigma2 = prep_fn(prep_consts, self.params)
+        if r > 0:
+            fac_fn, fac_consts = self._iter_prep_factor
+            U, lam_r = fac_fn(fac_consts, Phi, w)
+        else:
+            U = lam_r = None
 
         hi = jax.lax.Precision.HIGHEST
 
