@@ -17,15 +17,23 @@ from gp_grief_tpu.kernels.stationary import Stationary
 __all__ = ["cov_diag"]
 
 
-def cov_diag(kern, x: jax.Array) -> jax.Array:
-    """``diag k(x, x)`` for any kernel object or per-dim kernel list."""
+def cov_diag(kern, x: jax.Array, dims=None) -> jax.Array:
+    """``diag k(x, x)`` for any kernel object or per-dim kernel list.
+
+    ``dims[d]`` selects the input columns belonging to per-dim kernel ``d``
+    (grouped grid dimensions — default: kernel ``d`` ↦ column ``d``)."""
     if x.ndim == 1:
         x = x[:, None]
     n = x.shape[0]
     if isinstance(kern, (list, tuple)):
         out = jnp.ones((n,), dtype=x.dtype)
         for d, k in enumerate(kern):
-            out = out * cov_diag(k, x[:, d : d + 1])
+            cols = (
+                x[:, jnp.asarray(list(dims[d]))]
+                if dims is not None
+                else x[:, d : d + 1]
+            )
+            out = out * cov_diag(k, cols)
         return out
     if isinstance(kern, (Stationary, extra.RatQuad, extra.Periodic)):
         return jnp.broadcast_to(positive(kern.log_variance), (n,)).astype(x.dtype)

@@ -61,8 +61,13 @@ def _clamp_psd(lams):
 class GPKroneckerRegression(BaseModel):
     """Exact GP on a Cartesian grid: ``GPKroneckerRegression(xg, y, kern_list)``.
 
-    ``xg``: per-dimension grid point arrays ``(m_d, 1)``; ``y``: responses on
-    the full lattice, C-order flattened, shape ``(Π m_d,)``.
+    ``xg``: per-dimension grid point arrays ``(m_d, s_d)`` (``s_d > 1`` =
+    grouped input columns per grid dimension, the reference's ``sub_dim``);
+    ``y``: responses on the full lattice, C-order flattened, shape
+    ``(Π m_d,)``.  ``dims[d]`` names the input columns of test points that
+    belong to grid dimension ``d`` (default: consecutive blocks of width
+    ``s_d`` in grid order — the :class:`~gp_grief_tpu.grid.InducingGrid`
+    convention).
     """
 
     def __init__(
@@ -81,14 +86,30 @@ class GPKroneckerRegression(BaseModel):
         cg_whiten="auto",
         mesh=None,
         model_axis: str = "model",
+        dims=None,
     ):
         self.xg = tuple(jnp.asarray(g) for g in xg)
-        if any(g.ndim == 2 and g.shape[1] > 1 for g in self.xg):
-            raise NotImplementedError(
-                "multi-column (sub_dim > 1) grid dimensions are not wired through "
-                "GPKroneckerRegression.predict's cross-covariances — use "
-                "GPGriefModel with grouped dims"
-            )
+        # Grouped dims (sub_dim > 1): predict's cross-covariances and prior
+        # diagonal select each grid dimension's input-column block.  Default
+        # mapping: consecutive blocks in grid order.
+        sub = [1 if g.ndim == 1 else int(g.shape[1]) for g in self.xg]
+        if dims is None:
+            off = 0
+            dims = []
+            for s in sub:
+                dims.append(tuple(range(off, off + s)))
+                off += s
+        else:
+            dims = [tuple(int(c) for c in cols) for cols in dims]
+            if len(dims) != len(self.xg) or any(
+                len(cols) != s for cols, s in zip(dims, sub)
+            ):
+                raise ValueError(
+                    f"dims must give one column list per grid dimension with "
+                    f"widths {sub}; got {[len(c) for c in dims]}"
+                )
+        self.dims = tuple(dims)
+        self._n_cols = sum(sub)
         y = jnp.asarray(y).reshape(-1)
         m = int(np.prod([g.shape[0] for g in self.xg]))
         if y.shape[0] != m:
@@ -433,6 +454,11 @@ class GPKroneckerRegression(BaseModel):
         x_new = jnp.asarray(x_new)
         if x_new.ndim == 1:
             x_new = x_new[:, None]
+        if int(x_new.shape[1]) != self._n_cols:
+            raise ValueError(
+                f"test points must have {self._n_cols} columns (the grid's "
+                f"total sub_dim width); got {int(x_new.shape[1])}"
+            )
         n_star = int(x_new.shape[0])
         if chunk <= 0:
             # ~512 MB f32 of (m, c) columns, at least 16, at most n*.
@@ -461,11 +487,11 @@ class GPKroneckerRegression(BaseModel):
             def _chunk_prog(params, Qs, lams, alpha, xc):
                 kerns = params["kernels"]
                 sigma2 = jnp.exp(params["log_noise"])
-                Kx = cross_cov_grid(kerns, xc, self.xg)  # (c, m_d) per dim
+                Kx = cross_cov_grid(kerns, xc, self.xg, dims=self.dims)  # (c, m_d) per dim
                 mean = kr_matvec(list(Kx), alpha)
                 if not compute_var:
                     return mean, jnp.zeros_like(mean)
-                prior_diag = cov_diag(kerns, xc)
+                prior_diag = cov_diag(kerns, xc, dims=self.dims)
                 # Batch-major: a (m, c) column block lane-pads c → 128 under
                 # the T(8,128) tiling (17 GB at m=33.5M, c=16); keep the test
                 # chunk LEADING and fold it into the Kronecker structure as

@@ -460,3 +460,62 @@ def test_constructors_reject_mismatched_xy(rng):
         GPweb(rng.standard_normal((50, 4)), y[:10])
     with pytest.raises(ValueError):
         GPKroneckerRegression(xg, y, kerns)  # 64 grid points, 50 responses
+
+
+def test_gp_kron_grouped_dims_predict(rng):
+    """Grouped grid dimensions (sub_dim > 1) through GPKroneckerRegression
+    NLML *and* predict (VERDICT r2 next-step #10) against a dense f64
+    oracle: K = K_0 ⊗ K_1 with a 2-column second grid dimension; cross-covs
+    are the row-Khatri-Rao of per-group kernels."""
+    from gp_grief_tpu.kernels.grid import cov_grid, cross_cov_grid
+    from gp_grief_tpu.models.gp_kron import GPKroneckerRegression
+
+    m0, m1 = 6, 20
+    xg = [
+        np.linspace(0, 1, m0)[:, None],
+        rng.uniform(0, 1, size=(m1, 2)),  # one grid dim spanning 2 columns
+    ]
+    m = m0 * m1
+    y = rng.standard_normal(m)
+    kerns = [
+        make_kernel("rbf", lengthscale=0.4),
+        make_kernel("matern52", lengthscale=0.6, input_dim=2),
+    ]
+    sigma2 = 0.3
+    model = GPKroneckerRegression(xg, y, kerns, noise_var=sigma2)
+    assert model.dims == ((0,), (1, 2))
+
+    # dense oracle
+    K0, K1 = (np.asarray(K) for K in cov_grid(kerns, [jnp.asarray(g) for g in xg]))
+    K = np.kron(K0, K1)
+    A = K + sigma2 * np.eye(m)
+    Ainv_y = np.linalg.solve(A, y)
+    ll_oracle = -0.5 * (
+        y @ Ainv_y + np.linalg.slogdet(A)[1] + m * np.log(2 * np.pi)
+    )
+    np.testing.assert_allclose(model.log_likelihood(), ll_oracle, rtol=1e-8)
+
+    c = 7
+    x_new = rng.uniform(0, 1, size=(c, 3))
+    Kx0, Kx1 = (
+        np.asarray(K)
+        for K in cross_cov_grid(
+            kerns, jnp.asarray(x_new), [jnp.asarray(g) for g in xg],
+            dims=model.dims,
+        )
+    )
+    KxU = np.stack([np.kron(Kx0[i], Kx1[i]) for i in range(c)])  # (c, m)
+    mean_o = KxU @ Ainv_y
+    prior = np.array(
+        [np.exp(kerns[0].log_variance) * np.exp(kerns[1].log_variance)] * c
+    )
+    var_o = prior - np.einsum("cm,cm->c", KxU, np.linalg.solve(A, KxU.T).T)
+    mean, var = model.predict(x_new)
+    np.testing.assert_allclose(mean, mean_o, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(var, var_o, rtol=1e-5, atol=1e-8)
+
+    # wrong test-point width fails loudly; explicit dims= validates widths
+    with pytest.raises(ValueError, match="columns"):
+        model.predict(x_new[:, :2])
+    with pytest.raises(ValueError, match="widths"):
+        GPKroneckerRegression(xg, y, kerns, dims=[[0], [1]])
