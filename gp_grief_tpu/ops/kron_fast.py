@@ -103,8 +103,9 @@ def kron_matvec_fast(
       exact-residual refreshes restore full solution accuracy.
     - a ``lax.DotAlgorithmPreset`` (e.g. ``BF16_BF16_F32_X3``): on TPU,
       slab-applicable shapes upgrade to the slab's HIGHEST path (rel err
-      ~4e-6 — at least as accurate as X3, faster); others run the cyclic
-      chain with the requested algorithm.
+      ~4e-6 — at least as accurate as X3, faster; 2-pass fused-mid schedule,
+      355 GB/s eff at the d=5×32 headline — RESULTS_r13.md); others run the
+      cyclic chain with the requested algorithm.
 
     ``impl``: ``"auto"`` (dispatch as above), ``"xla"`` (force the grouped
     cyclic chain), ``"slab"`` (force the Pallas slab; raises if inapplicable).

@@ -243,8 +243,8 @@ def kron_matvec_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Rotation-free 3-pass schedule (round 2): layout-preserving, >=128-lane
-# passes, minimal pass count.
+# Rotation-free slab schedule (round 2; 2-pass at every precision since
+# round 3): layout-preserving, >=128-lane passes, minimal pass count.
 #
 # Measured on v5e this round (stream 587 GB/s): EVERY well-formed Pallas
 # matmul pass — strided or contiguous blocks, 128- or 1024-wide, bf16 or
@@ -256,9 +256,13 @@ def kron_matvec_pallas(
 #       Mosaic HIGHEST — exact and still DMA-bound) + the trailing
 #       (m_{d-2}, m_{d-1}) pair contracted on the LANE axis with
 #       W_p = K_{d-2} (x) K_{d-1} (<=2048-wide dense)
-#   P2..P_{d-3}  widened mid passes for factors 1..d-4 at Mosaic HIGHEST
+#   P2..  remaining mids: at DEFAULT, adjacent mids merge into one wide bf16
+#       dot (K_i (x) K_{i+1}); at exact grades they merge into one fused
+#       VMEM visit of two sequential Mosaic-HIGHEST dots (_mid2_fused_pass)
 #
-# d=5 collapses 5 algorithmic passes into 3 physical ones.
+# d=5 collapses 5 algorithmic passes into 2 physical ones at every
+# precision (r13: exact-grade 3.78 ms = 355 GB/s eff at rel 4.4e-6, within
+# 3% of the serialized-DMA+compute roofline — RESULTS_r13.md).
 #
 # Orientation/precision rules (all measured, benchmarks/exp_r2_sweep*.py):
 #   * Mosaic HIGHEST (x6 bf16 emulation) is exact (1e-7) and free for
@@ -428,6 +432,63 @@ def _fused_mid_pair_pass(
         compiler_params=_SLAB_VMEM,
         interpret=interpret,
     )(x3, W0, Wp_h, Wp_l)
+
+
+def _mid2_fused_pass(
+    x4: jax.Array, K1: jax.Array, K2: jax.Array, interpret: bool,
+    out_dtype=None,
+) -> jax.Array:
+    """(pre, m1, m2, L) → (pre, m1', m2', L): contract BOTH middle axes in one
+    VMEM visit — two sequential Mosaic-HIGHEST dots (exact f32; orientation
+    does not matter for HIGHEST, only for bf16 hi/lo splits).
+
+    Contracting m2 first then m1, each as a W-left position-contraction, the
+    free-dimension ordering restores itself and the lane axis (L-blocks)
+    never moves.  One read + one write of the lattice instead of two passes:
+    at the d=5×32 headline this is the difference between the 3-pass and
+    2-pass exact-grade schedules (RESULTS_r13.md roofline).
+    """
+    pre, m1, m2, L = x4.shape
+    o1, o2 = int(K1.shape[0]), int(K2.shape[0])
+    out_dtype = x4.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    itemsize = (x4.dtype.itemsize + jnp.dtype(out_dtype).itemsize) // 2
+    BL = _pick_BL(L, (m1 * m2 + o1 * o2) * itemsize // 2)
+
+    def kernel(x_ref, k1_ref, k2_ref, o_ref):
+        t = x_ref[0]  # (m1, m2, BL)
+        # contract m2: free dims (o2) + (m1, BL) → (o2, m1, BL)
+        t = lax.dot_general(
+            k2_ref[:], t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        # contract m1: free dims (o1) + (o2, BL) → (o1, o2, BL) — canonical
+        t = lax.dot_general(
+            k1_ref[:], t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        o_ref[0] = t.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(pre, L // BL),
+        in_specs=[
+            pl.BlockSpec(
+                (1, m1, m2, BL), lambda i, j: (i, 0, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, o1, o2, BL), lambda i, j: (i, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((pre, o1, o2, L), out_dtype),
+        compiler_params=_SLAB_VMEM,
+        interpret=interpret,
+    )(x4, K1, K2)
 
 
 def _tail3_pass(
@@ -610,12 +671,19 @@ def _slab_primal(precision, interpret, mid_dtype, factors, v):
     Wp = jnp.kron(factors[-2], factors[-1])
     if B > 1:
         Wp = jnp.kron(Wp, jnp.eye(B, dtype=Wp.dtype))
-    # Inter-pass intermediates may be stored bf16 (mid_dtype): halves the
-    # write+read traffic of every pass boundary — each pass's cost is its
-    # serialized DMA (RESULTS_r2.md §1), so at the d=5 headline this cuts
-    # total traffic 4·m → 3·m words.  Accumulation is always f32; only the
-    # HBM storage between passes rounds.
-    n_passes_left = 1  # passes after P1 (computed below)
+    # Schedule the remaining middle factors (1..d-3).  Every pass costs its
+    # DMA (~0.84 ms at the headline shape) PLUS its MXU time — they serialize
+    # through this runtime (measured, benchmarks/exp_r2_passes_today2.py +
+    # exp_r2_dma_overlap.py: even a manual DMA pipeline cannot overlap
+    # read+write).  So adjacent mids merge into ONE physical pass whenever
+    # possible:
+    #   * ``Precision.DEFAULT``: one wide bf16 MXU dot over ``K_i ⊗ K_{i+1}``
+    #     (≤2048-wide) — the bandwidth operating point;
+    #   * exact grades: one fused VMEM visit doing TWO sequential Mosaic-
+    #     HIGHEST dots (``_mid2_fused_pass`` — exact f32; the x-left accuracy
+    #     rule only constrains bf16 splits, not HIGHEST).
+    # d=5 runs in 2 physical passes at every precision.
+    steps = []
     i_probe = 1
     while i_probe < d - 2:
         pair_w = ms[i_probe] * ms[i_probe + 1] if i_probe + 1 < d - 2 else 0
@@ -625,12 +693,20 @@ def _slab_primal(precision, interpret, mid_dtype, factors, v):
             and 128 <= pair_w <= 2048
             and post_i // ms[i_probe + 1] >= 128
         ):
+            steps.append(("pair_bf16", i_probe))
+            i_probe += 2
+        elif precision != lax.Precision.DEFAULT and i_probe + 1 < d - 2:
+            steps.append(("mid2", i_probe))
             i_probe += 2
         else:
+            steps.append(("mid", i_probe))
             i_probe += 1
-        n_passes_left += 1
-    n_passes_left -= 1  # P1 itself was counted
 
+    # Inter-pass intermediates may be stored bf16 (mid_dtype): halves the
+    # write+read traffic of every pass boundary — each pass's cost is its
+    # serialized DMA (RESULTS_r2.md §1), so at the d=5 headline this cuts
+    # total traffic 4·m → 3·m words.  Accumulation is always f32; only the
+    # HBM storage between passes rounds.
     def _inter(dt_when_more):  # storage dtype for a non-final pass output
         return mid_dtype if (mid_dtype is not None and dt_when_more) else None
 
@@ -639,42 +715,31 @@ def _slab_primal(precision, interpret, mid_dtype, factors, v):
     x = _fused_mid_pair_pass(
         v.reshape(1, ms[0] * G0, (m // ms[0]) * B // G0),
         factors[0], G0, Wp, S, precision, interpret,
-        out_dtype=_inter(n_passes_left > 0),
+        out_dtype=_inter(len(steps) > 0),
     )
-    # Remaining middle factors.  Every pass costs its DMA (~0.84 ms at the
-    # headline shape) PLUS its MXU time — they serialize through this runtime
-    # (measured, benchmarks/exp_r2_passes_today2.py + exp_r2_dma_overlap.py:
-    # even a manual DMA pipeline cannot overlap read+write).  So at
-    # ``Precision.DEFAULT`` adjacent mids are merged into ONE wide bf16 pass
-    # (``K_i ⊗ K_{i+1}``, ≤2048-wide single MXU dot): d=5 runs in 2 physical
-    # passes total.  At HIGHEST each mid runs its own exact 128-wide pass.
-    i = 1
-    while i < d - 2:
+    for si, (kind, i) in enumerate(steps):
+        last = si == len(steps) - 1
+        odt = v.dtype if last else _inter(True)
         pre = math.prod(ms[:i])
         post_i = math.prod(ms[i + 1:]) * B
-        pair_w = ms[i] * ms[i + 1] if i + 1 < d - 2 else 0
-        if (
-            precision == lax.Precision.DEFAULT
-            and 128 <= pair_w <= 2048
-            and post_i // ms[i + 1] >= 128
-        ):
-            n_passes_left -= 1
+        if kind == "pair_bf16":
             W = jnp.kron(factors[i], factors[i + 1])
             x = _mid_widened_pass(
-                x.reshape(pre, pair_w, post_i // ms[i + 1]),
-                W, 1, lax.Precision.DEFAULT, interpret,
-                out_dtype=(v.dtype if n_passes_left == 0 else _inter(True)),
+                x.reshape(pre, ms[i] * ms[i + 1], post_i // ms[i + 1]),
+                W, 1, lax.Precision.DEFAULT, interpret, out_dtype=odt,
             )
-            i += 2
+        elif kind == "mid2":
+            x = _mid2_fused_pass(
+                x.reshape(pre, ms[i], ms[i + 1], post_i // ms[i + 1]),
+                factors[i], factors[i + 1], interpret, out_dtype=odt,
+            )
         else:
-            n_passes_left -= 1
             G = 128 // ms[i]
             x = _mid_widened_pass(
                 x.reshape(pre, ms[i] * G, post_i // G),
                 factors[i], G, lax.Precision.HIGHEST, interpret,
-                out_dtype=(v.dtype if n_passes_left == 0 else _inter(True)),
+                out_dtype=odt,
             )
-            i += 1
     return x.reshape(m, B).astype(v.dtype)
 
 
