@@ -181,9 +181,15 @@ class GPKroneckerRegression(BaseModel):
             if isinstance(kern_list, (list, tuple))
             else [kern_list] * len(self.xg)
         )
+        # Working-dtype cast (the grid's dtype): f64 kernel leaves under
+        # enable_x64 + f32 grid/y promote solver intermediates and break
+        # scan carries — same rule as the other model constructors.
+        kerns = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=self.y.dtype), kerns
+        )
         self.params = {
             "kernels": kerns,
-            "log_noise": inverse_positive(noise_var),
+            "log_noise": inverse_positive(noise_var).astype(self.y.dtype),
         }
 
     def _factors(self, kerns):

@@ -200,6 +200,11 @@ class GPSKIRegression(BaseModel):
             if isinstance(kern_list, (list, tuple))
             else [kern_list] * len(self.xg)
         )
+        # Keep every kernel leaf in the working dtype: under enable_x64,
+        # make_kernel's leaves default to f64 — mixed with f32 data they
+        # promote solver intermediates to f64 and break scan carries
+        # (measured: lanczos carry dtype mismatch, RESULTS_r13.md).
+        kerns = jax.tree.map(lambda a: jnp.asarray(a, dtype=x.dtype), kerns)
         self.params = {"kernels": kerns, "log_noise": inverse_positive(noise_var).astype(x.dtype)}
 
     _LAZY_PLANS = (

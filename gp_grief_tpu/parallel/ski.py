@@ -413,6 +413,11 @@ class ShardedGPSKIRegression(BaseModel):
             if isinstance(kern_list, (list, tuple))
             else [kern_list] * len(self.xg)
         )
+        # Working-dtype cast — same rationale as GPSKIRegression (f64 kernel
+        # leaves under enable_x64 + f32 data break solver scan carries).
+        kerns = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=self.x.dtype), kerns
+        )
         self.params = {
             "kernels": kerns,
             "log_noise": inverse_positive(noise_var).astype(self.x.dtype),

@@ -183,6 +183,7 @@ def test_sharded_model_matches_single_device(rng, mesh):
     np.testing.assert_allclose(sm, lm, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_sharded_model_grouped_dims_matches_single_device(rng, mesh):
     """Grouped grid dimensions (the reference's sub_dim capability) through
     the sharded reductions: NLML and predictions == GPGriefModel exactly."""
@@ -309,6 +310,7 @@ def test_full_sharded_train_step_2d_mesh(rng):
     assert np.isfinite(float(val))
 
 
+@pytest.mark.slow
 def test_sharded_ski_matches_single_device_and_dense(rng, mesh):
     """ShardedGPSKIRegression == GPSKIRegression == dense oracle.
 
@@ -382,6 +384,7 @@ def test_sharded_ski_optimize_improves(rng, mesh):
     assert np.all(np.isfinite(res.losses))
 
 
+@pytest.mark.slow
 def test_sharded_ski_lattice_matches_single_device(rng, mesh):
     """solver='lattice' on the mesh: replicated whitened lattice state with a
     psum-coupled ŴᵀŴ — identical probe draws make the sharded NLML equal the
@@ -460,3 +463,29 @@ def test_gp_kron_model_parallel_log_likelihood(rng):
         GPKroneckerRegression(xg, y, kerns, mesh=mesh2d, model_axis="nope", **kw)
     with pytest.raises(ValueError, match="solver='cg'"):
         GPKroneckerRegression(xg, y, kerns, mesh=mesh2d, solver="schur")
+
+
+def test_sharded_ski_nlml_smoke(rng, mesh):
+    """Quick-tier parity smoke for the sharded SKI models (the exhaustive
+    matches_single_device tests are compile-heavy and slow-marked): NLML of
+    both solvers agrees with the single-chip model at a small budget."""
+    from gp_grief_tpu.models.gp_ski import GPSKIRegression
+    from gp_grief_tpu.parallel import ShardedGPSKIRegression
+
+    n = 96
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 6)[:, None]] * 2
+    kern = make_kernel("rbf", lengthscale=0.6)
+    # Full-rank deflation (r = M = 36): the whitened SLQ term is exactly
+    # zero, so parity is deterministic (the exhaustive tests' trick).
+    kw = dict(noise_var=0.3, num_probes=4, lanczos_iters=10, cg_iters=60,
+              cg_tol=1e-10, precond_rank=36)
+    # Lattice dual only: the data solver's sharded path is quick-covered by
+    # test_sharded_ski_optimize_improves; compiling all four models here
+    # would cost ~22 s (this smoke exists to keep the quick tier quick).
+    local = GPSKIRegression(x, y, kern, xg, solver="lattice", **kw)
+    sh = ShardedGPSKIRegression(x, y, kern, xg, mesh=mesh, solver="lattice", **kw)
+    np.testing.assert_allclose(
+        sh.log_likelihood(), local.log_likelihood(), rtol=1e-6,
+    )

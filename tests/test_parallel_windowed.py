@@ -39,6 +39,7 @@ def _pair(rng, mesh, monkeypatch, solver, n=300, md=8, **kw):
     return flat, win, x
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["data", "lattice"])
 def test_sharded_windowed_matches_flat(rng, mesh, monkeypatch, solver):
     kw = dict(noise_var=0.2, num_probes=16, lanczos_iters=30, cg_iters=300,

@@ -82,6 +82,7 @@ def test_gp_ski_close_to_exact_gp(rng):
     np.testing.assert_allclose(sv, ev, atol=0.02)
 
 
+@pytest.mark.slow
 def test_gp_ski_optimize_improves(rng):
     n = 100
     x = rng.uniform(0, 1, size=(n, 1))
