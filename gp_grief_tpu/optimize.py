@@ -34,6 +34,10 @@ class FitResult(NamedTuple):
     iterations: int
     wall_time: float
     converged: bool
+    # Final optimizer state: checkpoint it alongside params
+    # (utils.checkpoint.save_pytree) and pass back via fit(opt_state=...) to
+    # resume a long optimization exactly (SURVEY §5 checkpoint/resume).
+    opt_state: Any = None
 
 
 def fit(
@@ -47,6 +51,7 @@ def fit(
     verbose: bool = False,
     callback: Optional[Callable[[int, float, float], None]] = None,
     fixed: Any = None,
+    opt_state: Any = None,
 ) -> FitResult:
     """Minimize ``loss_fn(params)`` over a parameter pytree.
 
@@ -61,6 +66,11 @@ def fit(
     reference's per-parameter fix/free surface (SURVEY.md §2 #10/#15).  Fixed
     leaves/components get zero gradient (``stop_gradient``) so every optimizer
     leaves them untouched.
+
+    ``opt_state``: resume from a previous :class:`FitResult`'s ``opt_state``
+    (e.g. restored with :func:`gp_grief_tpu.utils.checkpoint.load_pytree`) —
+    with the same optimizer/params, ``fit(n) then fit(m, opt_state=...)``
+    reproduces ``fit(n+m)`` exactly.
     """
     if fixed is not None:
         base_loss = loss_fn
@@ -126,7 +136,8 @@ def fit(
         )
         return params, opt_state, values, gnorms
 
-    opt_state = opt.init(params)
+    if opt_state is None:
+        opt_state = opt.init(params)
     losses, gnorms = [], []
     t0 = time.perf_counter()
     converged = False
@@ -172,6 +183,7 @@ def fit(
         losses=np.asarray(losses),
         grad_norms=np.asarray(gnorms),
         iterations=it,
+        opt_state=opt_state,
         wall_time=time.perf_counter() - t0,
         converged=converged,
     )

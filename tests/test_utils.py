@@ -75,3 +75,42 @@ def test_grief_iterative_nlml_and_matvec(rng):
     K = Phi * w @ Phi.T + np.exp(float(model.params["log_noise"])) * np.eye(len(y))
     v = rng.standard_normal(len(y))
     np.testing.assert_allclose(np.asarray(model.kernel_matvec(jnp.asarray(v))), K @ v, rtol=1e-8)
+
+
+def test_fit_resume_matches_uninterrupted(rng, tmp_path):
+    """SURVEY §5 checkpoint/resume: fit(n) + fit(m, opt_state=restored)
+    reproduces fit(n+m) exactly, with params AND optimizer state round-
+    tripped through the .npz checkpoint."""
+    import os
+
+    import jax.numpy as jnp
+
+    from gp_grief_tpu.optimize import fit
+    from gp_grief_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    A = jnp.asarray(rng.standard_normal((6, 3)))
+    b = jnp.asarray(rng.standard_normal(6))
+
+    def loss(p):
+        r = A @ p["w"] - b
+        return jnp.dot(r, r) + 0.1 * jnp.sum(p["w"] ** 2)
+
+    p0 = {"w": jnp.zeros(3)}
+    full = fit(loss, p0, optimizer="adam", max_iters=12, learning_rate=0.1,
+               tol=0.0)
+    half = fit(loss, p0, optimizer="adam", max_iters=6, learning_rate=0.1,
+               tol=0.0)
+    # checkpoint params + optimizer state, restore, resume
+    ck = os.path.join(str(tmp_path), "ck.npz")
+    save_pytree(ck, {"params": half.params, "opt": half.opt_state})
+    restored = load_pytree(ck, {"params": half.params, "opt": half.opt_state})
+    resumed = fit(loss, restored["params"], optimizer="adam", max_iters=6,
+                  learning_rate=0.1, tol=0.0, opt_state=restored["opt"])
+    np.testing.assert_allclose(
+        np.asarray(resumed.params["w"]), np.asarray(full.params["w"]),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.concatenate([half.losses, resumed.losses]), full.losses,
+        rtol=1e-12,
+    )
