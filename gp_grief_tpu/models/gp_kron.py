@@ -108,6 +108,17 @@ class GPKroneckerRegression(BaseModel):
                     f"dims must give one column list per grid dimension with "
                     f"widths {sub}; got {[len(c) for c in dims]}"
                 )
+            flat = [c for cols in dims for c in cols]
+            n_cols = sum(sub)
+            if len(set(flat)) != len(flat) or any(
+                c < 0 or c >= n_cols for c in flat
+            ):
+                # Out-of-range indices would otherwise be silently CLAMPED
+                # by the jitted gather in predict — wrong answers, no error.
+                raise ValueError(
+                    f"dims column indices must be distinct and in "
+                    f"[0, {n_cols}); got {dims}"
+                )
         self.dims = tuple(dims)
         self._n_cols = sum(sub)
         y = jnp.asarray(y).reshape(-1)
@@ -171,25 +182,29 @@ class GPKroneckerRegression(BaseModel):
             m1 = int(self.xg[0].shape[0])
             if m1 % km:
                 raise ValueError(
-                    f"leading grid dimension ({m1} points) must divide the "
-                    f"{model_axis!r} mesh axis ({km} devices) — pad the "
-                    "first grid dimension or reorder dimensions so the "
-                    "largest is first"
+                    f"leading grid dimension ({m1} points) must be divisible "
+                    f"by the {model_axis!r} mesh axis size ({km} devices) — "
+                    "pad the first grid dimension or reorder dimensions so "
+                    "a divisible one is first"
                 )
         kerns = (
             list(kern_list)
             if isinstance(kern_list, (list, tuple))
             else [kern_list] * len(self.xg)
         )
-        # Working-dtype cast (the grid's dtype): f64 kernel leaves under
-        # enable_x64 + f32 grid/y promote solver intermediates and break
-        # scan carries — same rule as the other model constructors.
-        kerns = jax.tree.map(
-            lambda a: jnp.asarray(a, dtype=self.y.dtype), kerns
+        # Working-dtype cast: f64 kernel leaves under enable_x64 + f32
+        # grid/y promote solver intermediates and break scan carries — same
+        # rule as the other model constructors.  Guard against non-float y
+        # (integer responses must not truncate hyperparameters).
+        wdt = (
+            self.y.dtype
+            if jnp.issubdtype(self.y.dtype, jnp.floating)
+            else jnp.result_type(float)
         )
+        kerns = jax.tree.map(lambda a: jnp.asarray(a, dtype=wdt), kerns)
         self.params = {
             "kernels": kerns,
-            "log_noise": inverse_positive(noise_var).astype(self.y.dtype),
+            "log_noise": inverse_positive(noise_var).astype(wdt),
         }
 
     def _factors(self, kerns):

@@ -203,9 +203,15 @@ class GPSKIRegression(BaseModel):
         # Keep every kernel leaf in the working dtype: under enable_x64,
         # make_kernel's leaves default to f64 — mixed with f32 data they
         # promote solver intermediates to f64 and break scan carries
-        # (measured: lanczos carry dtype mismatch, RESULTS_r13.md).
-        kerns = jax.tree.map(lambda a: jnp.asarray(a, dtype=x.dtype), kerns)
-        self.params = {"kernels": kerns, "log_noise": inverse_positive(noise_var).astype(x.dtype)}
+        # (measured: lanczos carry dtype mismatch, RESULTS_r13.md).  Guard
+        # against non-float inputs (ints must not truncate hyperparameters).
+        wdt = (
+            x.dtype
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.result_type(float)
+        )
+        kerns = jax.tree.map(lambda a: jnp.asarray(a, dtype=wdt), kerns)
+        self.params = {"kernels": kerns, "log_noise": inverse_positive(noise_var).astype(wdt)}
 
     _LAZY_PLANS = (
         "_cstream",

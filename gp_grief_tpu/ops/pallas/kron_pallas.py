@@ -451,6 +451,15 @@ def _mid2_fused_pass(
     pre, m1, m2, L = x4.shape
     o1, o2 = int(K1.shape[0]), int(K2.shape[0])
     out_dtype = x4.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    if x4.dtype == jnp.bfloat16:
+        # Same rule as _mid_widened_pass: Mosaic rejects fp32 contract
+        # precision on bf16 operands ("Bad lhs type") — cast the weights and
+        # run one bf16 MXU dot each; f32 accumulation is kept via
+        # preferred_element_type.
+        K1, K2 = K1.astype(jnp.bfloat16), K2.astype(jnp.bfloat16)
+        dot_prec = lax.Precision.DEFAULT
+    else:
+        dot_prec = lax.Precision.HIGHEST
     itemsize = (x4.dtype.itemsize + jnp.dtype(out_dtype).itemsize) // 2
     BL = _pick_BL(L, (m1 * m2 + o1 * o2) * itemsize // 2)
 
@@ -460,13 +469,15 @@ def _mid2_fused_pass(
         t = lax.dot_general(
             k2_ref[:], t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=dot_prec,
         )
-        # contract m1: free dims (o1) + (o2, BL) → (o1, o2, BL) — canonical
+        # contract m1: free dims (o1) + (o2, BL) → (o1, o2, BL) — canonical.
+        # Match operand dtypes first (the f32 accumulator meets a bf16
+        # weight on the bf16 path; no-op cast on the f32 path).
         t = lax.dot_general(
-            k1_ref[:], t, (((1,), (1,)), ((), ())),
+            k1_ref[:], t.astype(x_ref.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=dot_prec,
         )
         o_ref[0] = t.astype(o_ref.dtype)
 

@@ -265,8 +265,9 @@ def lowrank_spectral_factor(
         s, V = jnp.linalg.eigh(jnp.matmul(mid, mid.T, precision=hi))
         lam = jnp.maximum(s, 0.0)
         if top_r is not None:
-            r = int(min(top_r, lam.shape[0]))
-            V, lam = V[:, -r:], lam[-r:]
+            r = max(0, int(min(top_r, lam.shape[0])))
+            k = lam.shape[0] - r  # explicit start: -0 would slice ALL columns
+            V, lam = V[:, k:], lam[k:]
         U = jnp.matmul(Ut, V, precision=hi)
     return U, lam
 

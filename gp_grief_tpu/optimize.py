@@ -164,12 +164,15 @@ def fit(
                 converged = True
             continue
         it += 1
-        new_params, opt_state, value, gnorm = step(params, opt_state, loss_consts)
+        new_params, new_state, value, gnorm = step(params, opt_state, loss_consts)
         value_f, gnorm_f = float(value), float(gnorm)
         if not np.isfinite(value_f):
-            # Reject the step that evaluated at a bad point; keep last params.
+            # Reject the step that evaluated at a bad point: keep last params
+            # AND last optimizer state (the rejected step's moments carry the
+            # non-finite gradient — resuming from them would poison every
+            # later update).
             break
-        params = new_params
+        params, opt_state = new_params, new_state
         losses.append(value_f)
         gnorms.append(gnorm_f)
         if verbose:

@@ -413,14 +413,18 @@ class ShardedGPSKIRegression(BaseModel):
             if isinstance(kern_list, (list, tuple))
             else [kern_list] * len(self.xg)
         )
-        # Working-dtype cast — same rationale as GPSKIRegression (f64 kernel
-        # leaves under enable_x64 + f32 data break solver scan carries).
-        kerns = jax.tree.map(
-            lambda a: jnp.asarray(a, dtype=self.x.dtype), kerns
+        # Working-dtype cast — same rationale (and int guard) as
+        # GPSKIRegression: f64 kernel leaves under enable_x64 + f32 data
+        # break solver scan carries.
+        wdt = (
+            self.x.dtype
+            if jnp.issubdtype(self.x.dtype, jnp.floating)
+            else jnp.result_type(float)
         )
+        kerns = jax.tree.map(lambda a: jnp.asarray(a, dtype=wdt), kerns)
         self.params = {
             "kernels": kerns,
-            "log_noise": inverse_positive(noise_var).astype(self.x.dtype),
+            "log_noise": inverse_positive(noise_var).astype(wdt),
         }
 
     # -- sharded pieces (all run INSIDE shard_map) ---------------------------

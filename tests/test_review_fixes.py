@@ -132,3 +132,96 @@ def test_reweight_optimize_no_spurious_rebuild(rng):
     m.predict(x[:3])
     m.log_likelihood()
     assert calls["n"] == 0
+
+
+def test_gp_kron_integer_y_keeps_float_hyperparams(rng):
+    """r13 review: the working-dtype cast must not truncate hyperparameters
+    to int when y is integer-valued."""
+    from gp_grief_tpu.models.gp_kron import GPKroneckerRegression
+
+    xg = [np.linspace(0, 1, 5)[:, None]] * 2
+    y = np.arange(25)  # int64
+    m = GPKroneckerRegression(xg, y, [make_kernel("rbf", lengthscale=0.4)] * 2,
+                              noise_var=0.1)
+    assert jnp.issubdtype(m.params["log_noise"].dtype, jnp.floating)
+    for leaf in jax.tree_util.tree_leaves(m.params["kernels"]):
+        assert jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+    # noise_var round-trips (int truncation gave 0.135 for 0.1)
+    np.testing.assert_allclose(
+        float(jnp.exp(m.params["log_noise"])), 0.1, rtol=1e-6
+    )
+
+
+def test_gp_kron_dims_out_of_range_rejected(rng):
+    """r13 review: out-of-range/duplicate dims indices must raise (JAX's
+    clamped gather would silently mis-map columns in predict)."""
+    import pytest
+
+    from gp_grief_tpu.models.gp_kron import GPKroneckerRegression
+
+    xg = [np.linspace(0, 1, 4)[:, None], rng.uniform(0, 1, size=(5, 2))]
+    y = rng.standard_normal(20)
+    kerns = [make_kernel("rbf"), make_kernel("rbf", input_dim=2)]
+    with pytest.raises(ValueError, match="distinct and in"):
+        GPKroneckerRegression(xg, y, kerns, dims=[[0], [1, 3]])
+    with pytest.raises(ValueError, match="distinct and in"):
+        GPKroneckerRegression(xg, y, kerns, dims=[[1], [1, 2]])
+
+
+def test_fit_rejected_step_keeps_clean_opt_state(rng):
+    """r13 review: when a step evaluates non-finite, fit() must return the
+    LAST GOOD optimizer state (not the rejected step's NaN-carrying
+    moments) so resume stays usable."""
+    from gp_grief_tpu.optimize import fit
+
+    def loss(p):
+        # minimized toward w -> 2 where it is -inf/NaN beyond — big Adam
+        # steps overshoot into the NaN region
+        return jnp.log(2.0 - p["w"])
+
+    res = fit(loss, {"w": jnp.asarray(0.0)}, optimizer="adam",
+              max_iters=200, learning_rate=1.5, tol=0.0)
+    assert res.iterations < 200  # it did hit the NaN break
+    for leaf in jax.tree_util.tree_leaves(res.opt_state):
+        assert np.all(np.isfinite(np.asarray(leaf, dtype=np.float64)))
+    # resuming from the returned state stays finite for at least one step
+    res2 = fit(loss, res.params, optimizer="adam", max_iters=1,
+               learning_rate=1e-6, tol=0.0, opt_state=res.opt_state)
+    assert np.isfinite(res2.losses).all()
+
+
+def test_lowrank_spectral_factor_top_r_zero(rng):
+    """r13 review: top_r=0 must return an EMPTY basis (V[:, -0:] sliced all
+    columns)."""
+    from gp_grief_tpu.ops.precond import lowrank_spectral_factor
+
+    F = jnp.asarray(rng.standard_normal((20, 6)))
+    U, lam = lowrank_spectral_factor(F, top_r=0)
+    assert U.shape == (20, 0) and lam.shape == (0,)
+    U2, lam2 = lowrank_spectral_factor(F, top_r=2)
+    assert U2.shape == (20, 2) and lam2.shape == (2,)
+
+
+def test_slab_mid2_bf16_mid_dtype_interpret(rng):
+    """r13 review: exact-grade precision + mid_dtype=bf16 must not feed a
+    HIGHEST dot bf16 operands (Mosaic 'Bad lhs type'); the mid2 kernel now
+    downgrades to bf16 dots like _mid_widened_pass.  Interpret-mode checks
+    the dtype flow end to end."""
+    from gp_grief_tpu.ops.pallas.kron_pallas import kron_matvec_slab
+
+    fs = tuple(
+        jnp.asarray(rng.standard_normal((8, 8)) / 3.0, jnp.float32)
+        for _ in range(5)
+    )
+    m = 8 ** 5
+    v = jnp.asarray(rng.standard_normal((m, 2)), jnp.float32)
+    out = kron_matvec_slab(
+        fs, v, precision=jax.lax.Precision.HIGHEST,
+        mid_dtype=jnp.bfloat16, interpret=True,
+    )
+    ref = kron_matvec_slab(
+        fs, v, precision=jax.lax.Precision.HIGHEST, interpret=True
+    )
+    assert out.dtype == v.dtype
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 5e-2  # bf16 storage rounding only
