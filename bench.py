@@ -165,8 +165,9 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS, x3: bool | None = None):
                 "detail": {
                     "shape": f"(kron {d}x{m_d}^2)·v, m={m}",
                     "dtype": "float32 data, Precision.DEFAULT (refined-CG hot-loop"
-                    " operating point: bf16 MXU dots, rel err ~2e-3; exact outer"
-                    " refreshes give exact-grade solutions — RESULTS_r2.md)",
+                    " operating point: bf16 MXU dots, rel err ~4e-3; exact outer"
+                    " refreshes give exact-grade solutions — refined-CG verified"
+                    " to 6e-8 true residual at this grade, RESULTS_r13.md)",
                     "matvec_ms": round(t_mv * 1e3, 3),
                     "x3_grade_GBs(rel~4e-6)": None if x3_gbs is None else round(x3_gbs, 2),
                     "stream_GBs": round(stream_gbs, 2),

@@ -370,11 +370,17 @@ def _fused_mid_pair_pass(
     m0o = int(K0.shape[0])
     out_dtype = x3.dtype if out_dtype is None else jnp.dtype(out_dtype)
     bf16_in = x3.dtype == jnp.bfloat16
+    # The mid dot runs one bf16 MXU pass whenever (a) the input is bf16 (a
+    # bf16 solver-state vector — Mosaic rejects fp32 contract precision on
+    # bf16 operands), or (b) the caller asked for the DEFAULT operating
+    # point: Mosaic HIGHEST's x6 emulation costs ~0.26 ms SERIALIZED with
+    # the pass DMA, and one bf16 dot buys it back — measured 2.31 → 2.02 ms
+    # (582 → 664 GB/s eff) at rel 3.3e-3 → 4.1e-3, the same error order the
+    # pair's bf16 dot already sets (exp_r13_p1_mid_bf16.py).  f32
+    # accumulation is kept via preferred_element_type either way.
+    mid_bf16 = bf16_in or precision == lax.Precision.DEFAULT
     W0 = jnp.kron(K0, jnp.eye(G, dtype=K0.dtype))
-    if bf16_in:
-        # bf16 input (a bf16 solver-state vector): the mid dot must run one
-        # bf16 MXU pass (Mosaic rejects fp32 contract precision on bf16
-        # operands); f32 accumulation is kept via preferred_element_type.
+    if mid_bf16:
         W0 = W0.astype(jnp.bfloat16)
     Wp_h, Wp_l = _split_bf16(Wp)
     x3_mode = precision != lax.Precision.DEFAULT
@@ -390,13 +396,16 @@ def _fused_mid_pair_pass(
     n_chunks = BL // S
 
     def kernel(x_ref, w0_ref, ph_ref, pl_ref, o_ref):
+        xb = x_ref[0]
+        if mid_bf16 and not bf16_in:
+            xb = xb.astype(jnp.bfloat16)  # VPU cast; operands must match W0
         t = lax.dot_general(
-            w0_ref[:], x_ref[0], (((1,), (0,)), ((), ())),
+            w0_ref[:], xb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=(
-                lax.Precision.DEFAULT if bf16_in else lax.Precision.HIGHEST
+                lax.Precision.DEFAULT if mid_bf16 else lax.Precision.HIGHEST
             ),
-        )  # (m0o*G, BL) f32 accumulation (exact for f32 inputs)
+        )  # (m0o*G, BL) f32 accumulation (exact for f32 inputs at HIGHEST)
         for c in range(n_chunks):
             tc = t[:, S * c:S * (c + 1)]  # (m0o*G, S)
             th = tc.astype(jnp.bfloat16)
