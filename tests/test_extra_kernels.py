@@ -84,3 +84,26 @@ def test_composite_kernel_in_gp_regression(rng):
     assert model.log_likelihood() > ll0
     mean, var = model.predict(np.asarray([[4.5], [5.0]]))
     assert np.all(np.isfinite(mean)) and np.all(var > 0)
+
+
+def test_composite_kernel_on_grid_models(rng):
+    """Sum/Product composite kernels work as per-dimension grid kernels
+    (GridKernel capability, SURVEY §2 #12): gp_kron NLML matches a dense f64
+    oracle built from the same composite factors."""
+    from gp_grief_tpu.kernels.extra import Sum
+    from gp_grief_tpu.kernels.grid import cov_grid
+    from gp_grief_tpu.models.gp_kron import GPKroneckerRegression
+
+    k1 = Sum(make_kernel("rbf", lengthscale=0.3),
+             make_kernel("matern32", lengthscale=1.0))
+    k2 = make_ratquad(lengthscale=0.5)
+    xg = [np.linspace(0, 1, 7)[:, None], np.linspace(0, 1, 6)[:, None]]
+    y = rng.standard_normal(42)
+    m = GPKroneckerRegression(xg, y, [k1, k2], noise_var=0.2)
+    K0, K1 = (np.asarray(K) for K in cov_grid([k1, k2], m.xg))
+    A = np.kron(K0, K1) + 0.2 * np.eye(42)
+    ll = -0.5 * (y @ np.linalg.solve(A, y) + np.linalg.slogdet(A)[1]
+                 + 42 * np.log(2 * np.pi))
+    np.testing.assert_allclose(m.log_likelihood(), ll, rtol=1e-8)
+    mean, var = m.predict(rng.uniform(0, 1, size=(5, 2)))
+    assert np.all(np.isfinite(mean)) and np.all(var >= 0)

@@ -195,3 +195,29 @@ def test_kron_matvec_slab_bf16_mid_interpret(rng):
     exact = kron_matvec_slab(fs, v, interpret=True, precision=jax.lax.Precision.HIGHEST)
     rel_x3 = float(jnp.linalg.norm(exact - ref) / jnp.linalg.norm(ref))
     assert rel_x3 < 5e-5
+
+
+def test_slab_d6_mixed_schedule_interpret(rng):
+    """d=6 exact-grade schedule = P1 (lead+pair) + mid2 (factors 1,2) +
+    widened mid (factor 3): the r13 fused-mid2 must compose with a trailing
+    single mid.  Interpret-mode parity vs an f64 per-factor chain."""
+    from gp_grief_tpu.ops.pallas.kron_pallas import kron_matvec_slab
+
+    sizes = (4, 4, 4, 4, 16, 16)  # pair = 16*16 = 256 lanes
+    fs = tuple(
+        jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
+        for m in sizes
+    )
+    m = int(np.prod(sizes))
+    v = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    got = kron_matvec_slab(
+        fs, v, precision=jax.lax.Precision.HIGHEST, interpret=True
+    )
+    x = np.asarray(v, np.float64).reshape(sizes)
+    for i, K in enumerate(fs):
+        x = np.moveaxis(
+            np.tensordot(np.asarray(K, np.float64), x, axes=(1, i)), 0, i
+        )
+    ref = x.reshape(-1)
+    rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
