@@ -4,7 +4,7 @@ No reference counterpart (the reference is single-process — SURVEY.md §2);
 built entirely on ``jax.sharding`` + XLA collectives over ICI.
 """
 
-from gp_grief_tpu.parallel.mesh import NamedSharding, P, data_mesh, make_mesh
+from gp_grief_tpu.parallel.mesh import NamedSharding, P, data_mesh, init_distributed, make_mesh
 from gp_grief_tpu.parallel.model import ShardedGPGriefModel
 from gp_grief_tpu.parallel.ski import ShardedGPSKIRegression, build_sharded_interp
 from gp_grief_tpu.parallel.sharded import (
@@ -21,6 +21,7 @@ __all__ = [
     "build_sharded_interp",
     "make_mesh",
     "data_mesh",
+    "init_distributed",
     "P",
     "NamedSharding",
     "pad_to_multiple",

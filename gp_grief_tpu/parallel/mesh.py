@@ -14,7 +14,48 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_mesh", "P", "NamedSharding"]
+__all__ = ["make_mesh", "data_mesh", "init_distributed", "P", "NamedSharding"]
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host (DCN) initialization for multi-slice meshes.
+
+    SURVEY §5 distributed-comm row: ICI collectives cover a single slice;
+    crossing slices (or hosts) needs ``jax.distributed.initialize`` BEFORE
+    any backend use, after which ``jax.devices()`` spans every process and
+    the ordinary :func:`make_mesh` / model ``mesh=`` kwargs work unchanged —
+    shardings whose inner axis stays within a slice ride ICI, the outer axis
+    crosses DCN.
+
+    Single-process (the common case, and everything this environment can
+    exercise): a NO-OP returning 1.  Multi-process: pass the coordinator
+    address etc. explicitly or rely on the TPU pod environment's automatic
+    detection (all three arguments ``None``).  Returns
+    ``jax.process_count()``.
+    """
+    explicit = any(a is not None for a in (coordinator_address, num_processes, process_id))
+    if not explicit:
+        try:
+            if jax.process_count() > 1:  # already initialized by the runtime
+                return jax.process_count()
+        except Exception:
+            pass
+        import os
+
+        # Only auto-initialize where a multi-host TPU environment announces
+        # itself; a bare single process must stay a no-op.
+        if not any(k in os.environ for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")):
+            return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
 
 
 def make_mesh(

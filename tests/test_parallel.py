@@ -489,3 +489,12 @@ def test_sharded_ski_nlml_smoke(rng, mesh):
     np.testing.assert_allclose(
         sh.log_likelihood(), local.log_likelihood(), rtol=1e-6,
     )
+
+
+def test_init_distributed_single_process_noop():
+    """SURVEY §5 DCN row: init_distributed is a safe no-op in a single
+    process (returns 1 and leaves the backend usable)."""
+    from gp_grief_tpu.parallel import init_distributed
+
+    assert init_distributed() == 1
+    assert len(jax.devices()) >= 1  # backend still alive
