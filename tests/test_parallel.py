@@ -456,7 +456,7 @@ def test_gp_kron_model_parallel_log_likelihood(rng):
     assert np.isfinite(res.losses).all()
     # constructor guards: indivisible leading dim / missing axis / schur
     xg_bad = [np.linspace(0, 1, 7)[:, None]] + xg[1:]
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         GPKroneckerRegression(xg_bad, rng.standard_normal(7 * 6 * 4), kerns,
                               mesh=mesh2d, **kw)
     with pytest.raises(ValueError, match="no axis"):
