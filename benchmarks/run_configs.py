@@ -198,8 +198,12 @@ def uci2m(tpu: bool = True):
         f = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.4 * x[:, 2] * x[:, 3] + np.tanh(x[:, 4] + x[:, 5])
         y = (f + 0.1 * rng.standard_normal(n)).astype(dtype)
         tag = "uci2m_synth"
-    xte, yte, fte = x[-100000:], y[-100000:], f[-100000:]
-    xtr, ytr = x[:-100000], y[:-100000]
+    # Proportional splits so a smaller-than-2M real file still runs end to
+    # end (the loaders accept any n; a hardcoded 100k test split would make
+    # the train split empty below 100k rows).
+    n_te = min(100_000, max(1, n // 5))
+    xte, yte, fte = x[-n_te:], y[-n_te:], f[-n_te:]
+    xtr, ytr = x[:-n_te], y[:-n_te]
 
     t0 = time.perf_counter()
     grid = gpx.InducingGrid.build(xtr[:200000], mbar=10)  # grid from a subsample

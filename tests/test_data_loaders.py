@@ -129,3 +129,59 @@ def test_standardize_training_statistics():
     # test split transformed with TRAIN stats, not its own
     np.testing.assert_allclose(xes, (xe - xt.mean(0)) / (xt.std(0) + 1e-12))
     assert ys == pytest.approx(yt.std() + 1e-12)
+
+
+def _run_config(name, data_dir, extra_env=None, timeout=900):
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["GP_GRIEF_DATA"] = str(data_dir)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env or {})
+    r = subprocess.run(
+        [sys.executable, "-c",
+         f"from benchmarks.run_configs import {name}; {name}(tpu=False)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=timeout,
+    )
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-2000:]}\nstdout:\n{r.stdout}"
+    return r.stdout
+
+
+@pytest.mark.slow
+def test_kin40k_config_runs_on_real_file_drop(tmp_path):
+    """End-to-end: dropping a kin40k.npz makes the config run the REAL-data
+    path (tag kin40k_real, standardize protocol) — the activation the
+    loaders exist for, exercised with a tiny synthetic file on CPU."""
+    rng = np.random.default_rng(0)
+    n_tr, n_te, d = 400, 80, 4
+    x = rng.uniform(-1, 1, size=(n_tr + n_te, d))
+    f = np.sin(2 * x[:, 0]) + 0.5 * x[:, 1] * x[:, 2]
+    y = f + 0.05 * rng.standard_normal(len(x))
+    np.savez(os.path.join(str(tmp_path), "kin40k.npz"),
+             x_train=x[:n_tr], y_train=y[:n_tr],
+             x_test=x[n_tr:], y_test=y[n_tr:])
+    out = _run_config("kin40k", tmp_path)
+    import json
+
+    rec = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert rec["config"] == "kin40k_real"
+    assert np.isfinite(rec["rmse"]) and np.isfinite(rec["nll"])
+
+
+@pytest.mark.slow
+def test_uci2m_config_runs_on_real_file_drop(tmp_path):
+    """Same activation test for uci2m.npz — proportional splits keep the
+    config runnable on a smaller-than-2M file."""
+    rng = np.random.default_rng(1)
+    n, d = 3000, 4
+    x = rng.uniform(-1, 1, size=(n, d))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    np.savez(os.path.join(str(tmp_path), "uci2m.npz"), x=x, y=y)
+    out = _run_config("uci2m", tmp_path)
+    import json
+
+    rec = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert rec["config"] == "uci2m_real"
+    assert np.isfinite(rec["rmse"]) and np.isfinite(rec["nlml_closed"])
+    assert rec["slq_cg_nlml_gap"] < 0.05
