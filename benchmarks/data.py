@@ -122,5 +122,12 @@ def load_uci2m(
                 f"uci2m.npz: need x (n, d) and matching y (n,); got "
                 f"x {x.shape}, y {np.asarray(z['y']).shape}"
             )
+        if x.shape[0] < 10:
+            # Fail loudly at load time: a degenerate file would otherwise
+            # surface as an opaque empty-train-split error mid-config.
+            raise ValueError(
+                f"uci2m.npz: only {x.shape[0]} rows — need at least 10 "
+                "(intended for n >= 1e6 datasets)"
+            )
         return x, y
     return None

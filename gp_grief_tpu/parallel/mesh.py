@@ -32,29 +32,43 @@ def init_distributed(
     crosses DCN.
 
     Single-process (the common case, and everything this environment can
-    exercise): a NO-OP returning 1.  Multi-process: pass the coordinator
-    address etc. explicitly or rely on the TPU pod environment's automatic
-    detection (all three arguments ``None``).  Returns
-    ``jax.process_count()``.
+    exercise): a NO-OP returning 1 — decided from environment variables
+    ONLY, never by probing jax (``jax.process_count()`` would initialize
+    the local backend, after which ``jax.distributed.initialize`` refuses
+    to run).  Multi-process: call this BEFORE any other jax use, passing
+    the coordinator address etc. explicitly, or with no arguments in an
+    environment that announces a coordinator
+    (``$COORDINATOR_ADDRESS`` / ``$MEGASCALE_COORDINATOR_ADDRESS`` /
+    ``$TPU_WORKER_HOSTNAMES``).  Returns ``jax.process_count()`` (1 on the
+    no-op path).
     """
-    explicit = any(a is not None for a in (coordinator_address, num_processes, process_id))
-    if not explicit:
-        try:
-            if jax.process_count() > 1:  # already initialized by the runtime
-                return jax.process_count()
-        except Exception:
-            pass
-        import os
+    import os
+    import warnings
 
-        # Only auto-initialize where a multi-host TPU environment announces
-        # itself; a bare single process must stay a no-op.
-        if not any(k in os.environ for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")):
-            return 1
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    explicit = any(a is not None for a in (coordinator_address, num_processes, process_id))
+    if not explicit and not any(
+        k in os.environ
+        for k in (
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+        )
+    ):
+        return 1  # bare single process: touch nothing
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # Backend already initialized (or double call): report what we have
+        # rather than crashing a program that may still be single-process.
+        warnings.warn(
+            f"init_distributed: jax.distributed.initialize failed ({e}); "
+            "call init_distributed() before any other jax use",
+            stacklevel=2,
+        )
     return jax.process_count()
 
 

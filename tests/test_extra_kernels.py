@@ -90,7 +90,6 @@ def test_composite_kernel_on_grid_models(rng):
     """Sum/Product composite kernels work as per-dimension grid kernels
     (GridKernel capability, SURVEY §2 #12): gp_kron NLML matches a dense f64
     oracle built from the same composite factors."""
-    from gp_grief_tpu.kernels.extra import Sum
     from gp_grief_tpu.kernels.grid import cov_grid
     from gp_grief_tpu.models.gp_kron import GPKroneckerRegression
 
