@@ -13,7 +13,7 @@ from __future__ import annotations
 import sys
 
 
-def _checkgrad():
+def _checkgrad(rest=()):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -30,8 +30,12 @@ def _checkgrad():
         x, y, [gpx.make_kernel("rbf", lengthscale=0.5) for _ in range(2)],
         n_eigs=12, mbar=8, noise_var=0.1, opt_kernel_params=True,
     )
+    sample = None
+    rest = list(rest)
+    if "--sample" in rest:
+        sample = int(rest[rest.index("--sample") + 1])
     print("GPGriefModel (opt_kernel_params=True) checkgrad table:")
-    ok, _ = checkgrad(model._loss, model.params, verbose=True)
+    ok, _ = checkgrad(model._loss, model.params, verbose=True, sample=sample)
     print("OK" if ok else "MISMATCH")
     return 0 if ok else 1
 
@@ -42,7 +46,7 @@ def main(argv):
         return 0
     cmd, rest = argv[0], argv[1:]
     if cmd == "checkgrad":
-        return _checkgrad()
+        return _checkgrad(rest)
     if cmd == "bench":
         sys.argv = ["bench"] + rest
         import pathlib

@@ -93,18 +93,28 @@ def make_kernel(
 
 
 _EXACT_DIST_MAX_DIM = 4
+# Broadcast cap: the exact path materializes an (n, m, d) intermediate — d×
+# the matmul form's O(n·m).  2^24 output elements ≈ 256 MB of intermediate at
+# d=4/f32; beyond that the MXU form wins on memory AND time (round-3 weak #4:
+# GPRegression with d≤4 data at n=50k+ was building O(n²·d)).
+_EXACT_DIST_MAX_ELEMS = 1 << 24
+
+
+def _use_broadcast_dist(n: int, m: int, d: int) -> bool:
+    return d <= _EXACT_DIST_MAX_DIM and n * m <= _EXACT_DIST_MAX_ELEMS
 
 
 def _sq_dist(xs: jax.Array, zs: jax.Array, same: bool) -> jax.Array:
     """Pairwise squared distances of pre-scaled inputs ``(n,d)×(m,d)→(n,m)``.
 
-    Two regimes: for ≤4 features, exact broadcasted differences (cheap, no
-    cancellation — the per-grid-dimension case is always here); for higher
-    dims, mean-centered ``‖x‖² + ‖z‖² − 2x·zᵀ`` — one MXU matmul plus rank-1
-    terms, clipped at 0, with an exactly-zero diagonal when ``same`` (the
-    Matérn ``sqrt`` would otherwise amplify the ~eps cancellation residue).
+    Two regimes: for ≤4 features AND ≤2^24 output elements, exact broadcasted
+    differences (cheap, no cancellation — the per-grid-dimension case is
+    always here); otherwise, mean-centered ``‖x‖² + ‖z‖² − 2x·zᵀ`` — one MXU
+    matmul plus rank-1 terms, clipped at 0, with an exactly-zero diagonal
+    when ``same`` (the Matérn ``sqrt`` would otherwise amplify the ~eps
+    cancellation residue).
     """
-    if xs.shape[-1] <= _EXACT_DIST_MAX_DIM:
+    if _use_broadcast_dist(xs.shape[0], zs.shape[0], xs.shape[-1]):
         d = xs[:, None, :] - zs[None, :, :]
         return jnp.sum(d * d, axis=-1)
     mean = jnp.mean(xs, axis=0, keepdims=True)

@@ -180,9 +180,23 @@ class BaseModel:
         self.params = res.params
         return res
 
-    def checkgrad(self, *, eps: float = 1e-6, rtol: float = 1e-4, verbose: bool = False) -> bool:
-        """Validate ``jax.grad`` against central finite differences."""
-        ok, _ = checkgrad(self._loss, self.params, eps=eps, rtol=rtol, verbose=verbose)
+    def checkgrad(
+        self,
+        *,
+        eps: float = 1e-6,
+        rtol: float = 1e-4,
+        verbose: bool = False,
+        sample: int | None = None,
+        sample_seed: int = 0,
+    ) -> bool:
+        """Validate ``jax.grad`` against central finite differences.
+
+        ``sample=k`` caps the FD probes at ~k components (all scalar hypers
+        always included) so the check stays seconds-fast on p≳100 models."""
+        ok, _ = checkgrad(
+            self._loss, self.params, eps=eps, rtol=rtol, verbose=verbose,
+            sample=sample, sample_seed=sample_seed,
+        )
         return ok
 
 
@@ -193,6 +207,35 @@ class BasisStats(NamedTuple):
     v: jax.Array  # (p,)   Φᵀy
     yy: jax.Array  # ()     yᵀy
     n: int
+
+
+def basis_stats_from_phi(Phi, y, *, chunk: int = 131072) -> BasisStats:
+    """``BasisStats`` of a dense precomputed ``Φ``, row-chunked.
+
+    One-shot ``Φᵀ Φ`` at n=2M/p=400 peaks several data-sized buffers in a
+    single program (the segmented-GRIEF RESOURCE_EXHAUSTED lesson,
+    RESULTS_r13.md); here a ``lax.scan`` over row blocks keeps the live set
+    to one (chunk, p) block + the (p, p) accumulator (round-3 weak #5)."""
+    n, p = Phi.shape
+    if n <= chunk:
+        return BasisStats(C=Phi.T @ Phi, v=Phi.T @ y, yy=jnp.dot(y, y), n=n)
+    nchunks = -(-n // chunk)
+    pad = nchunks * chunk - n
+    Phip = jnp.pad(Phi, ((0, pad), (0, 0))).reshape(nchunks, chunk, p)
+    yp = jnp.pad(y, (0, pad)).reshape(nchunks, chunk)
+    dtype = y.dtype
+
+    def body(carry, inp):
+        C, v, yy = carry
+        Pk, yk = inp
+        return (C + Pk.T @ Pk, v + Pk.T @ yk, yy + jnp.dot(yk, yk)), None
+
+    (C, v, yy), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((p, p), dtype), jnp.zeros((p,), dtype), jnp.zeros((), dtype)),
+        (Phip, yp),
+    )
+    return BasisStats(C=C, v=v, yy=yy, n=n)
 
 
 def basis_nlml(stats: BasisStats, log_w: jax.Array, log_noise: jax.Array) -> jax.Array:

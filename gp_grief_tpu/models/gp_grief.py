@@ -414,7 +414,14 @@ class GPGriefModel(BaseModel):
         # half alone fits (RESULTS_r13.md); the same f32-robustness rules as
         # the monolithic path apply (see the comments there).
         if getattr(self, "_iter_prep_key", None) != (r, self._cached_for):
-            self._iter_prep_key = (r, self._cached_for)
+            # Invalidate BEFORE rebuilding: if the build throws mid-way (the
+            # RESOURCE_EXHAUSTED scenario this method exists to avoid), a
+            # retry must not see a half-stale cache (e.g. _iter_prep_factor
+            # built for a different precond_rank).  The key is only set once
+            # both programs exist.
+            self._iter_prep_key = None
+            self._iter_prep = None
+            self._iter_prep_factor = None
 
             def _prep_phi(params):
                 Phi = _phi(
@@ -446,6 +453,7 @@ class GPGriefModel(BaseModel):
                     _prep_factor, phi_sds[0], phi_sds[1]
                 )
                 self._iter_prep_factor = (jax.jit(fpure), fconsts)
+            self._iter_prep_key = (r, self._cached_for)
         prep_fn, prep_consts = self._iter_prep
         Phi, w, sigma2 = prep_fn(prep_consts, self.params)
         if r > 0:

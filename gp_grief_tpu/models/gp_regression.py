@@ -27,7 +27,11 @@ from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel, check_xy
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.lanczos import slq_logdet
-from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor, pivoted_cholesky
+from gp_grief_tpu.ops.precond import (
+    lowrank_sqrt_ops_from_factor,
+    pivoted_cholesky,
+    pivoted_cholesky_matfree,
+)
 from gp_grief_tpu.ops.solve import logdet_from_chol
 
 __all__ = ["GPRegression"]
@@ -41,6 +45,55 @@ def _cov_any(kernels: KernelLike, x, z=None):
     if not isinstance(kernels, (list, tuple)):
         return kernels(x, z)
     return product_cov(list(kernels), x, z)
+
+
+def _auto_matvec_chunk(n: int) -> int:
+    """Row-block size of the chunked Gram matvec: ~2^28 block elements
+    (1 GB f32 live per scan step), at least 128 rows."""
+    return int(max(128, min(8192, (1 << 28) // max(n, 1))))
+
+
+def make_gram_matvec(kernels: KernelLike, x: jax.Array, sigma2, *, chunk: int):
+    """Row-chunked matrix-free matvec ``vv ↦ vv (K + σ²I)`` (``vv``: (B, n)).
+
+    The dense iterative path materializes the (n, n) Gram — HBM-capped at
+    ~100k points (round-3 missing #2).  Here a ``lax.scan`` over row blocks
+    of ``x`` rebuilds each (chunk, n) Gram slab on the fly (distance +
+    matmul fused by XLA per block) and contracts it immediately, so the live
+    set is one slab + the (B, n) state: n is bounded by compute, not by an
+    O(n²) buffer.  Solver-facing, so every dot runs at HIGHEST (the r5
+    uci2m mixed-precision lesson; see ``gp_nlml_iterative``)."""
+    n = int(x.shape[0])
+    chunk = int(min(chunk, n))
+    nb = -(-n // chunk)
+    pad = nb * chunk - n
+    xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(nb, chunk, x.shape[1])
+
+    def mv(vv):
+        def body(_, xblk):
+            with jax.default_matmul_precision("highest"):
+                Kb = _cov_any(kernels, xblk, x)  # (chunk, n)
+                out = jnp.matmul(
+                    vv, Kb.T, precision=jax.lax.Precision.HIGHEST
+                )  # (B, chunk)
+            return None, out
+
+        _, outs = lax.scan(body, None, xb)  # (nb, B, chunk)
+        out = jnp.moveaxis(outs, 0, 1).reshape(vv.shape[0], nb * chunk)[:, :n]
+        return out + sigma2 * vv
+
+    return mv
+
+
+def _gram_row_fn(kernels: KernelLike, x: jax.Array):
+    """``row_fn(i) -> K[i, :]`` for :func:`pivoted_cholesky_matfree`."""
+
+    def row(piv):
+        xi = lax.dynamic_slice_in_dim(x, piv, 1, axis=0)  # (1, d)
+        with jax.default_matmul_precision("highest"):
+            return _cov_any(kernels, xi, x)[0]
+
+    return row
 
 
 def gp_nlml(kernels: KernelLike, log_noise, x, y) -> jax.Array:
@@ -65,8 +118,18 @@ def gp_nlml_iterative(
     cg_tol: float = 1e-8,
     cg_iters: int = 1000,
     precond_rank: int = 0,
+    matvec_chunk: int = 0,
 ) -> jax.Array:
     """Large-n NLML: CG quadratic form + SLQ log-det, BBMM-style gradients.
+
+    ``matvec_chunk > 0`` switches to the MATRIX-FREE operator
+    (:func:`make_gram_matvec`): the (n, n) Gram is never materialized; each
+    CG/SLQ matvec rebuilds (chunk, n) slabs on the fly, and the pivoted-
+    Cholesky preconditioner is built from ``rank`` single kernel rows
+    (:func:`pivoted_cholesky_matfree`).  This is what lets
+    ``GPRegression(solver="iterative")`` run at n ≥ 500k within HBM
+    (round-3 missing #2).  ``0`` keeps the dense-Gram operator (faster at
+    small n: one build, many matvecs).
 
     ``precond_rank=r > 0`` enables the GPyTorch-style pivoted-Cholesky
     preconditioner (PAPERS.md): ``K ≈ L Lᵀ`` with ``L (n, r)`` greedy on the
@@ -90,24 +153,36 @@ def gp_nlml_iterative(
     """
     n = x.shape[0]
     sigma2 = jnp.exp(log_noise)
-    K = _cov_any(kernels, x)  # swap for a chunked matvec closure at 2M scale
 
     # Batch-major operator (vv (B, n) rows; K symmetric): solver state keeps
     # the long axis on TPU lanes — see ops/cg.py:_reducers.  HIGHEST: the
     # TPU-default bf16 product breaks the SPD-consistency solver iterations
     # need (the r5 uci2m hunt, RESULTS_r5.md §7 — applies verbatim here).
-    def mv(vv):
-        return (
-            jnp.matmul(vv, K, precision=jax.lax.Precision.HIGHEST)
-            + sigma2 * vv
-        )
+    if matvec_chunk > 0:
+        mv = make_gram_matvec(kernels, x, sigma2, chunk=matvec_chunk)
+    else:
+        K = _cov_any(kernels, x)
+
+        def mv(vv):
+            return (
+                jnp.matmul(vv, K, precision=jax.lax.Precision.HIGHEST)
+                + sigma2 * vv
+            )
 
     pre = None
     if precond_rank > 0:
-        # Value-only: stop_gradient(K) removes the (unused) eigh/cholesky
+        # Value-only: stop_gradient removes the (unused) eigh/cholesky
         # backward graph entirely — its VJP can emit NaN·0 on degenerate
         # spectra even under zero cotangents.
-        Lpc = pivoted_cholesky(lax.stop_gradient(K), min(int(precond_rank), n))
+        if matvec_chunk > 0:
+            kern_sg = jax.tree.map(lax.stop_gradient, kernels)
+            Lpc = pivoted_cholesky_matfree(
+                _gram_row_fn(kern_sg, x),
+                cov_diag(kern_sg, x),
+                min(int(precond_rank), n),
+            )
+        else:
+            Lpc = pivoted_cholesky(lax.stop_gradient(K), min(int(precond_rank), n))
         pre = lowrank_sqrt_ops_from_factor(
             Lpc, lax.stop_gradient(sigma2), layout="bm"
         )
@@ -175,12 +250,18 @@ class GPRegression(BaseModel):
         cg_tol: float = 1e-8,
         cg_iters: int = 1000,
         precond_rank: int = 0,
+        matvec_chunk="auto",
         key=None,
     ):
         """``solver``: ``"cholesky"`` (exact, O(n³)) or ``"iterative"``
         (CG + SLQ — the reference's large-n path, SURVEY.md §3.2).
         ``precond_rank``: rank of the pivoted-Cholesky preconditioner for the
         iterative path (0 = off); see :func:`gp_nlml_iterative`.
+
+        ``matvec_chunk``: ``"auto"`` (dense Gram up to n=32768, matrix-free
+        row-chunked matvecs beyond — the (n, n) buffer never exists), an int
+        row-block size to force the matrix-free operator, or ``0`` to force
+        the dense Gram.  See :func:`make_gram_matvec`.
 
         The iterative objective holds its probe set fixed across optimizer
         steps (sample-average approximation): the optimized surface is
@@ -191,9 +272,13 @@ class GPRegression(BaseModel):
             raise ValueError("solver must be 'cholesky' or 'iterative'")
         self.x, self.y = x, y
         self.solver = solver
+        n = int(x.shape[0])
+        if matvec_chunk == "auto":
+            matvec_chunk = 0 if n <= 32768 else _auto_matvec_chunk(n)
         self._iter_opts = dict(
             num_probes=num_probes, lanczos_iters=lanczos_iters,
             cg_tol=cg_tol, cg_iters=cg_iters, precond_rank=precond_rank,
+            matvec_chunk=int(matvec_chunk),
         )
         self._key = jax.random.PRNGKey(0) if key is None else key
         self.params = {
@@ -213,11 +298,103 @@ class GPRegression(BaseModel):
             )
         return gp_nlml(params["kernel"], params["log_noise"], self.x, self.y)
 
-    def predict(self, x_new, compute_var: bool = True, include_noise: bool = False):
-        """Predictive mean (and variance): ``K_*X K̃⁻¹ y`` / Schur diagonal."""
+    def log_likelihood_iterative_segmented(
+        self,
+        *,
+        key=None,
+        cg_segment_iters: int = 50,
+        probe_chunk: int = 8,
+        verbose: bool = False,
+        **overrides,
+    ) -> float:
+        """Watchdog-safe iterative NLML: the same CG + (whitened) SLQ
+        estimator as the ``solver="iterative"`` loss, executed as a HOST
+        loop of bounded device programs (``cg_segment_iters`` CG iterations
+        or ``probe_chunk`` SLQ probes each) so one program never exceeds the
+        ~60 s per-execution limit at n ≥ 500k (round-3 missing #2; the
+        pattern of ``GPGriefModel.log_likelihood_iterative_segmented``).
+
+        Value-only (no gradients); ``overrides`` replace any of the
+        constructor's iterative options (``num_probes``, ``lanczos_iters``,
+        ``cg_tol``, ``cg_iters``, ``precond_rank``, ``matvec_chunk``)."""
+        from gp_grief_tpu.ops.cg import cg_solve_segmented
+        from gp_grief_tpu.ops.lanczos import slq_logdet_segmented
+        from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor
+
+        o = {**self._iter_opts, **overrides}
+        if key is None:
+            key = self._key
+        n = int(self.x.shape[0])
+        kern = self.params["kernel"]
+        sigma2 = jnp.exp(self.params["log_noise"])
+        chunk = int(o["matvec_chunk"]) or _auto_matvec_chunk(n)
+        mv = make_gram_matvec(kern, self.x, sigma2, chunk=chunk)
+        max_segments = max(1, -(-int(o["cg_iters"]) // int(cg_segment_iters)))
+        r = int(min(o["precond_rank"], n))
+        if r > 0:
+            # One bounded prep program: r kernel rows, O(n·r) work.  x is an
+            # explicit argument (closure-capture relay rule, utils/closure).
+            Lpc = jax.jit(
+                lambda kern, x: pivoted_cholesky_matfree(
+                    _gram_row_fn(kern, x), cov_diag(kern, x), r
+                )
+            )(kern, self.x)
+            _, M_inv_sqrt, logdet_M = lowrank_sqrt_ops_from_factor(
+                Lpc, sigma2, layout="bm"
+            )
+
+            def mv_white(vv):
+                return M_inv_sqrt(mv(M_inv_sqrt(vv)))
+
+            vt = M_inv_sqrt(self.y[None, :])
+            gam = cg_solve_segmented(
+                mv_white, vt, tol=o["cg_tol"],
+                segment_iters=int(cg_segment_iters),
+                max_segments=max_segments, layout="bm", verbose=verbose,
+            )
+            quad = float(jnp.sum(vt * gam))
+            ld = float(logdet_M) + slq_logdet_segmented(
+                mv_white, n, key=key, num_probes=o["num_probes"],
+                lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
+                layout="bm", probe_chunk=probe_chunk,
+            )
+        else:
+            rhs = self.y[None, :]
+            alpha = cg_solve_segmented(
+                mv, rhs, tol=o["cg_tol"],
+                segment_iters=int(cg_segment_iters),
+                max_segments=max_segments, layout="bm", verbose=verbose,
+            )
+            quad = float(jnp.sum(rhs * alpha))
+            ld = slq_logdet_segmented(
+                mv, n, key=key, num_probes=o["num_probes"],
+                lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
+                layout="bm", probe_chunk=probe_chunk,
+            )
+        return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
+
+    def predict(
+        self,
+        x_new,
+        compute_var: bool = True,
+        include_noise: bool = False,
+        chunk: int = 0,
+    ):
+        """Predictive mean (and variance): ``K_*X K̃⁻¹ y`` / Schur diagonal.
+
+        With the matrix-free operator active (``matvec_chunk > 0`` under
+        ``solver="iterative"``) prediction never materializes the (n, n)
+        Gram either: ``α`` comes from one segmented CG, then each ``chunk``
+        of test points runs one cross-covariance program + one segmented
+        multi-rhs CG for the variance columns (a host loop, so arbitrarily
+        many test points stay within the per-program watchdog)."""
         x_new = jnp.asarray(x_new)
         if x_new.ndim == 1:
             x_new = x_new[:, None]
+        if self.solver == "iterative" and self._iter_opts["matvec_chunk"] > 0:
+            return self._predict_iterative(
+                x_new, compute_var, include_noise, test_chunk=chunk
+            )
         if not hasattr(self, "_predict_jit"):
 
             def _predict(params, x_new):
@@ -245,3 +422,93 @@ class GPRegression(BaseModel):
         if include_noise:
             var = var + sigma2
         return np.asarray(mean), np.asarray(var)
+
+    def _predict_iterative(
+        self, x_new, compute_var: bool, include_noise: bool, *, test_chunk: int = 0
+    ):
+        """Matrix-free prediction (see :meth:`predict`).  Exact up to CG
+        tolerance; memory never holds an (n, n) buffer — the largest live
+        arrays are the (chunk, n) cross-covariance block and the CG state."""
+        from gp_grief_tpu.ops.cg import cg_solve_segmented
+
+        o = self._iter_opts
+        n = int(self.x.shape[0])
+        n_star = int(x_new.shape[0])
+        kern = self.params["kernel"]
+        sigma2 = jnp.exp(self.params["log_noise"])
+        mv = make_gram_matvec(kern, self.x, sigma2, chunk=int(o["matvec_chunk"]))
+        seg_iters = 50
+        max_segments = max(1, -(-int(o["cg_iters"]) // seg_iters))
+        r = int(min(o["precond_rank"], n))
+        if r > 0:
+            from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor
+
+            Lpc = jax.jit(
+                lambda kern, x: pivoted_cholesky_matfree(
+                    _gram_row_fn(kern, x), cov_diag(kern, x), r
+                )
+            )(kern, self.x)
+            _, M_inv_sqrt, _ = lowrank_sqrt_ops_from_factor(
+                Lpc, sigma2, layout="bm"
+            )
+
+            def solve_bm(rhs_bm):
+                w = cg_solve_segmented(
+                    lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))),
+                    M_inv_sqrt(rhs_bm), tol=o["cg_tol"],
+                    segment_iters=seg_iters, max_segments=max_segments,
+                    layout="bm",
+                )
+                return M_inv_sqrt(w)
+        else:
+
+            def solve_bm(rhs_bm):
+                return cg_solve_segmented(
+                    mv, rhs_bm, tol=o["cg_tol"], segment_iters=seg_iters,
+                    max_segments=max_segments, layout="bm",
+                )
+
+        alpha = solve_bm(self.y[None, :])[0]  # (n,) representer weights
+        if test_chunk <= 0:
+            # (chunk, n) cross-cov block + ~5 CG state buffers of the same
+            # shape: cap the block at 2^27 elements (512 MB f32 live for the
+            # solve).
+            test_chunk = int(max(8, min(1024, (1 << 27) // max(n, 1))))
+        test_chunk = min(test_chunk, n_star)
+        n_pad = -(-n_star // test_chunk) * test_chunk
+        x_pad = (
+            jnp.concatenate(
+                [x_new, jnp.broadcast_to(x_new[:1], (n_pad - n_star, x_new.shape[1]))]
+            )
+            if n_pad != n_star
+            else x_new
+        )
+
+        # x/α travel as jit ARGUMENTS (closure-capture relay rule).
+        def _cross(kern, xc, x, alpha):
+            with jax.default_matmul_precision("highest"):
+                Ks = _cov_any(kern, xc, x)  # (c, n)
+            return Ks, jnp.matmul(
+                Ks, alpha, precision=jax.lax.Precision.HIGHEST
+            ), cov_diag(kern, xc)
+
+        if not hasattr(self, "_cross_jit"):
+            self._cross_jit = jax.jit(_cross)
+        means, vars_ = [], []
+        for i in range(0, n_pad, test_chunk):
+            xc = x_pad[i : i + test_chunk]
+            Ks, mean_c, prior_c = self._cross_jit(kern, xc, self.x, alpha)
+            if compute_var:
+                Z = solve_bm(Ks)  # (c, n) solves of (K+σ²I)⁻¹ K_X*
+                var_c = jnp.maximum(prior_c - jnp.sum(Ks * Z, axis=1), 0.0)
+            else:
+                var_c = jnp.zeros_like(mean_c)
+            means.append(np.asarray(mean_c))
+            vars_.append(np.asarray(var_c))
+        mean = np.concatenate(means)[:n_star]
+        var = np.concatenate(vars_)[:n_star]
+        if not compute_var:
+            return mean
+        if include_noise:
+            var = var + float(sigma2)
+        return mean, var

@@ -1350,6 +1350,8 @@ class GPSKIRegression(BaseModel):
         chunk: int = 0,
         variance: str = "exact",
         var_rank: int = 100,
+        love_check: int = 8,
+        love_tol: float = 0.1,
     ):
         """Predictive mean and variance.
 
@@ -1382,7 +1384,15 @@ class GPSKIRegression(BaseModel):
         large lattices the residual is a fraction of the PRIOR variance set
         by the whitened spectral spread — prefer ``variance='exact'`` (an
         M-dim whitened CG per chunk, cheaper than the old n-dim form) when
-        variance accuracy matters."""
+        variance accuracy matters.
+
+        Because that degradation is silent, LOVE predictions carry an
+        on-the-fly guard (round-3 weak #1): the first ``love_check`` test
+        points are ALSO pushed through the exact route and compared; a
+        max relative variance deviation above ``love_tol`` raises a
+        ``UserWarning`` naming the measured error and suggesting
+        ``variance='exact'`` or a higher ``var_rank``.  ``love_check=0``
+        disables the guard (and its one extra small compiled program)."""
         if variance not in ("exact", "lanczos"):
             raise ValueError("variance must be 'exact' or 'lanczos'")
         x_new = jnp.asarray(x_new, dtype=self.x.dtype)
@@ -1407,7 +1417,12 @@ class GPSKIRegression(BaseModel):
             )
         else:
             x_pad = x_new
-        cache_key = (chunk, bool(compute_var), variance, var_rank)
+        guard_k = (
+            int(min(love_check, n_star))
+            if (variance == "lanczos" and compute_var)
+            else 0
+        )
+        cache_key = (chunk, bool(compute_var), variance, var_rank, guard_k)
         if getattr(self, "_predict_key", None) != cache_key:
             self._predict_key = cache_key
 
@@ -1477,7 +1492,10 @@ class GPSKIRegression(BaseModel):
                 Tchol = jnp.linalg.cholesky(T)
                 return Kw_alpha, sigma2, S, Tchol
 
-            def _chunk_prog(params, Kw_alpha, S, Tchol, xc):
+            def _make_chunk_prog(variance):
+              # Factory over the variance mode so the LOVE guard below can
+              # instantiate the EXACT branch against the same prep outputs.
+              def _chunk_prog(params, Kw_alpha, S, Tchol, xc):
                 sigma2 = jnp.exp(params["log_noise"])
                 factors = cov_grid(params["kernels"], self.xg, dim_noise_var=self.dim_noise_var)
                 iw_c = interp_weights(xc, self.xg)
@@ -1557,6 +1575,10 @@ class GPSKIRegression(BaseModel):
                 var = prior_diag - jnp.sum(C_bm * Sol, axis=1)
                 return mean, jnp.maximum(var, 0.0)
 
+              return _chunk_prog
+
+            _chunk_prog = _make_chunk_prog(variance)
+
             # Hoist closure-captured arrays (plan tables, y) into explicit
             # jit arguments: embedding them as program constants exceeds the
             # relay's request-size limit at n=1M (HTTP 413, measured) — see
@@ -1576,6 +1598,18 @@ class GPSKIRegression(BaseModel):
             )
             self._prep_jit = (jax.jit(prep_pure), prep_consts)
             self._chunk_jit = (jax.jit(chunk_pure), chunk_consts)
+            if guard_k > 0:
+                guard_pure, guard_consts = explicit_closure(
+                    _make_chunk_prog("exact"),
+                    _sds(self.params),
+                    *(prep_sds[:1] + prep_sds[2:]),
+                    jax.ShapeDtypeStruct(
+                        (guard_k, int(x_pad.shape[1])), x_pad.dtype
+                    ),
+                )
+                self._love_guard_jit = (jax.jit(guard_pure), guard_consts)
+            else:
+                self._love_guard_jit = None
         prep_fn, prep_consts = self._prep_jit
         Kw_alpha, sigma2, S, Tchol = prep_fn(prep_consts, self.params)
         chunk_fn, chunk_consts = self._chunk_jit
@@ -1591,6 +1625,24 @@ class GPSKIRegression(BaseModel):
             vars_.append(np.asarray(vc))
         mean = np.concatenate(means)[:n_star]
         var = np.concatenate(vars_)[:n_star]
+        if guard_k > 0 and self._love_guard_jit is not None:
+            import warnings
+
+            guard_fn, guard_consts = self._love_guard_jit
+            _, v_exact = guard_fn(
+                guard_consts, self.params, Kw_alpha, S, Tchol, x_new[:guard_k]
+            )
+            v_exact = np.asarray(v_exact)
+            scale = np.maximum(np.abs(v_exact), np.finfo(v_exact.dtype).tiny)
+            rel = float(np.max(np.abs(var[:guard_k] - v_exact) / scale))
+            if rel > love_tol:
+                warnings.warn(
+                    f"LOVE (variance='lanczos', var_rank={var_rank}) variance "
+                    f"deviates from the exact route by up to {rel:.1%} on "
+                    f"{guard_k} sampled test points (tolerance {love_tol:.0%})"
+                    " — use variance='exact' or raise var_rank.",
+                    stacklevel=2,
+                )
         if not compute_var:
             return mean
         if include_noise:

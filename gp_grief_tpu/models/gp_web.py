@@ -15,18 +15,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from gp_grief_tpu.kernels.base import inverse_positive
-from gp_grief_tpu.models.base import BaseModel, BasisStats, basis_nlml, basis_posterior, check_xy
+from gp_grief_tpu.models.base import (
+    BaseModel,
+    basis_nlml,
+    basis_posterior,
+    basis_stats_from_phi,
+    check_xy,
+)
 
 __all__ = ["GPweb"]
 
 
 class GPweb(BaseModel):
-    """Reference API: ``GPweb(Phi, y, noise_var)``."""
+    """Reference API: ``GPweb(Phi, y, noise_var)``.
 
-    def __init__(self, Phi, y, noise_var: float = 1.0):
+    ``stats_chunk``: row-block size of the one-time O(n·p²) reductions —
+    chunked so n=2M/p=400 never holds several data-sized buffers live in one
+    program (round-3 weak #5)."""
+
+    def __init__(self, Phi, y, noise_var: float = 1.0, *, stats_chunk: int = 131072):
         Phi, y = check_xy(Phi, y, what="Phi")
         n, p = Phi.shape
-        self.stats = BasisStats(C=Phi.T @ Phi, v=Phi.T @ y, yy=jnp.dot(y, y), n=n)
+        self.stats = jax.jit(
+            lambda Ph, yy: basis_stats_from_phi(Ph, yy, chunk=stats_chunk)
+        )(Phi, y)
         self.p = p
         self.params = {
             "log_w": jnp.zeros((p,), dtype=Phi.dtype),

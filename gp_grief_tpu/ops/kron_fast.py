@@ -97,7 +97,8 @@ def kron_matvec_fast(
       passes — the correctness-first solver default.
     - ``Precision.DEFAULT``: bf16 MXU products.  On TPU, shapes accepted by
       :func:`gp_grief_tpu.ops.pallas.slab_schedule_applicable` dispatch to the
-      rotation-free 2-pass Pallas slab schedule (rel err ~2e-3, ~1.4× the
+      rotation-free 2-pass Pallas slab schedule (rel err ~4e-3 — the P1 mid
+      and pair dots both run bf16 at this point, ~1.9× the
       cyclic XLA chain); others run the cyclic chain.  This is the operating
       point of the refined-CG hot loop (``ops.cg.cg_solve_refined``), whose
       exact-residual refreshes restore full solution accuracy.

@@ -274,9 +274,10 @@ def kron_matvec_pallas(
 #     3-dot hi/lo split); the W-left orientation collapses to single-bf16
 #     error (2e-3) no matter how the split is expressed.  The pair
 #     contraction is on the lane axis, so it gets the accurate orientation.
-#   * At `precision=DEFAULT` the pair is one bf16 dot (overall ~2.5e-3 —
-#     the bf16-MXU operating point); any other `precision` runs the 3-dot
-#     split (~1e-5, X3-grade).
+#   * At `precision=DEFAULT` the pair is one bf16 dot AND (since r13) the
+#     P1 mid dot also runs bf16 (overall ~4e-3 measured — the bf16-MXU
+#     operating point); any other `precision` runs the 3-dot split
+#     (~1e-5, X3-grade) with mids at Mosaic HIGHEST.
 # ---------------------------------------------------------------------------
 
 
@@ -360,8 +361,8 @@ def _fused_mid_pair_pass(
 
     The pair runs in the accuracy-preserving x-left orientation
     (``chunk @ Wpᵀ`` as ``dot_general(chunk, Wp, contract lanes/lanes)``):
-    one bf16 dot at ``Precision.DEFAULT`` (~2.5e-3), else a 3-dot hi/lo
-    split (~1e-5, X3-grade).
+    one bf16 dot at ``Precision.DEFAULT`` (where the mid dot is also bf16 —
+    overall ~4e-3), else a 3-dot hi/lo split (~1e-5, X3-grade).
 
     ``out_dtype``: storage dtype of the inter-pass intermediate (bf16 halves
     the pass's write traffic; accumulation stays f32).
@@ -657,11 +658,11 @@ def kron_matvec_slab(
     :func:`slab_schedule_applicable`; other shapes fall back to the XLA
     grouped-cyclic chain (``ops.kron_fast``).
 
-    ``precision``: ``Precision.DEFAULT`` runs the trailing pair as a single
-    bf16 MXU dot (overall rel err ~2.5e-3 — the bandwidth operating point the
-    refined-CG hot loop uses); anything else runs the 3-dot hi/lo split
-    (~1e-5, X3-grade).  The widened mid passes always run Mosaic ``HIGHEST``
-    (exact, and still DMA-bound at 128-wide).  Forward-only Pallas; the
+    ``precision``: ``Precision.DEFAULT`` runs the trailing pair AND the P1
+    mid dot as single bf16 MXU dots (overall rel err ~4e-3 — the bandwidth
+    operating point the refined-CG hot loop uses); anything else runs the
+    3-dot hi/lo split (~1e-5, X3-grade) with mid passes at Mosaic
+    ``HIGHEST`` (exact, and still DMA-bound at 128-wide).  Forward-only Pallas; the
     custom VJP routes gradients through the XLA einsum chain.
 
     ``mid_dtype=jnp.bfloat16`` stores the inter-pass intermediates in bf16:

@@ -192,6 +192,23 @@ def fit(
     )
 
 
+def _checkgrad_indices(params: Any, size: int, sample: Optional[int], seed: int):
+    """Flat indices to FD-probe: all of them, or (small leaves ∪ a seeded
+    random subset of large-leaf components) when ``sample`` caps the count."""
+    if sample is None or sample >= size:
+        return range(size)
+    small, large = [], []
+    off = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        ln = int(np.size(leaf))
+        (small if ln <= 4 else large).extend(range(off, off + ln))
+        off += ln
+    take = max(0, min(sample - len(small), len(large)))
+    rng = np.random.default_rng(seed)
+    picked = rng.choice(len(large), size=take, replace=False) if take else []
+    return sorted(set(small) | {large[int(j)] for j in picked})
+
+
 def checkgrad(
     loss_fn: Callable[[Any], jax.Array],
     params: Any,
@@ -199,6 +216,8 @@ def checkgrad(
     eps: float = 1e-6,
     rtol: float = 1e-4,
     verbose: bool = False,
+    sample: Optional[int] = None,
+    sample_seed: int = 0,
 ):
     """Compare ``jax.grad`` against central finite differences per parameter.
 
@@ -206,6 +225,14 @@ def checkgrad(
     ``(index, analytic, numerical, relative_error)`` over the flattened
     parameter vector — the reference's ``checkgrad`` table (SURVEY.md §3.5)
     with the roles of analytic/numerical swapped.
+
+    ``sample``: cap the number of finite-difference probes.  The full check
+    is 4 NLML evaluations per flattened component — O(1,600) jitted
+    programs at a p=400 weight vector, unusable beyond toy models (round-3
+    review, weak #3).  With ``sample=k``, every component of SMALL pytree
+    leaves (size ≤ 4 — the scalar hypers: noise, lengthscales) is always
+    checked, plus a seeded random subset of the large leaves' components,
+    total ≤ ``max(k, #small)``.  ``None`` checks everything.
 
     The numerical side is a Richardson-extrapolated central difference
     ``(4·fd(h) − fd(2h))/3`` — O(h⁴) truncation, so near-optimum points with
@@ -231,9 +258,10 @@ def checkgrad(
     # with ∛f0 drops round-off ~1e4× while Richardson keeps truncation O(h⁴)
     # negligible.
     step_scale = min(max(1.0, f0 ** (1.0 / 3.0)), 1e4)
+    indices = _checkgrad_indices(params, flat.size, sample, sample_seed)
     rows = []
     ok = True
-    for i in range(flat.size):
+    for i in indices:
         e = np.zeros_like(flat)
         h = eps * step_scale * max(1.0, abs(flat[i]))
         e[i] = h

@@ -46,15 +46,19 @@ def init_distributed(
     import warnings
 
     explicit = any(a is not None for a in (coordinator_address, num_processes, process_id))
-    if not explicit and not any(
-        k in os.environ
-        for k in (
-            "COORDINATOR_ADDRESS",
-            "MEGASCALE_COORDINATOR_ADDRESS",
-            "TPU_WORKER_HOSTNAMES",
-        )
-    ):
-        return 1  # bare single process: touch nothing
+    # TPU_WORKER_HOSTNAMES is routinely present on SINGLE-host Cloud TPU VMs
+    # (where auto-initializing would hang waiting for a coordinator that
+    # never answers), so it only counts as a multi-process signal when it
+    # lists MORE than one hostname.
+    multi_worker = len([
+        h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h.strip()
+    ]) > 1
+    announced = (
+        any(k in os.environ for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
+        or multi_worker
+    )
+    if not explicit and not announced:
+        return 1  # bare single process (or single-host TPU VM): touch nothing
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -133,6 +133,77 @@ def test_gp_regression_iterative_preconditioned(rng):
     assert np.isfinite(float(g))
 
 
+def test_pivoted_cholesky_matfree_matches_dense(rng):
+    """Row-access pivoted Cholesky (the matrix-free exact-GP preconditioner
+    build) is the SAME greedy factorization as the dense one."""
+    from gp_grief_tpu.ops.precond import pivoted_cholesky, pivoted_cholesky_matfree
+
+    n, r = 60, 20
+    A = rng.standard_normal((n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    Ld = pivoted_cholesky(K, r)
+    Lm = pivoted_cholesky_matfree(lambda i: K[:, i], jnp.diagonal(K), r)
+    np.testing.assert_allclose(np.asarray(Lm), np.asarray(Ld), rtol=1e-10, atol=1e-10)
+
+
+def test_iterative_nlml_matrix_free_matches_dense(rng):
+    """matvec_chunk > 0 (no (n,n) Gram ever) must reproduce the dense
+    iterative NLML and its gradients — same estimator, same probes, only the
+    matvec is row-chunked (round-3 missing #2)."""
+    n = 300
+    x = jnp.asarray(rng.uniform(0, 3, size=(n, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.05 * rng.standard_normal(n))
+    kern = make_kernel("rbf", lengthscale=0.8)
+    log_noise = jnp.log(0.05)
+    budget = dict(key=jax.random.PRNGKey(5), num_probes=16, lanczos_iters=25,
+                  cg_tol=1e-10, cg_iters=400)
+    dense = float(gp_nlml_iterative(kern, log_noise, x, y, **budget))
+    chunked = float(gp_nlml_iterative(kern, log_noise, x, y, matvec_chunk=64, **budget))
+    np.testing.assert_allclose(chunked, dense, rtol=1e-5)
+    # preconditioned too (matfree pivoted-Cholesky build)
+    dense_p = float(gp_nlml_iterative(kern, log_noise, x, y, precond_rank=80, **budget))
+    chunk_p = float(gp_nlml_iterative(
+        kern, log_noise, x, y, precond_rank=80, matvec_chunk=64, **budget))
+    np.testing.assert_allclose(chunk_p, dense_p, rtol=1e-5)
+    # gradients flow through the scan-rebuilt Gram blocks
+    g = jax.grad(
+        lambda ln: gp_nlml_iterative(
+            kern, ln, x, y, matvec_chunk=64, precond_rank=40, **budget)
+    )(log_noise)
+    g_dense = jax.grad(
+        lambda ln: gp_nlml_iterative(
+            kern, ln, x, y, precond_rank=40, **budget)
+    )(log_noise)
+    np.testing.assert_allclose(float(g), float(g_dense), rtol=1e-4)
+
+
+def test_gp_regression_matrix_free_model_end_to_end(rng):
+    """GPRegression with the matrix-free operator forced: NLML ≈ Cholesky,
+    segmented NLML ≈ monolithic, predict ≈ the Cholesky predict — while no
+    (n, n) Gram is ever built."""
+    from gp_grief_tpu import GPRegression
+
+    n = 400
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.05 * rng.standard_normal(n)
+    kern = make_kernel("rbf", lengthscale=0.8)
+    chol = GPRegression(x, y, kern, noise_var=0.05)
+    it = GPRegression(
+        x, y, kern, noise_var=0.05, solver="iterative",
+        num_probes=64, lanczos_iters=40, cg_tol=1e-10, cg_iters=600,
+        precond_rank=150, matvec_chunk=128,
+    )
+    # whitened SLQ with a near-complete preconditioner: tight agreement
+    assert abs(it.log_likelihood() - chol.log_likelihood()) < 1.0
+    seg = it.log_likelihood_iterative_segmented(cg_segment_iters=25, probe_chunk=16)
+    np.testing.assert_allclose(seg, it.log_likelihood(), atol=0.5)
+    xs = rng.uniform(0.2, 2.8, size=(37, 2))
+    mu_c, var_c = chol.predict(xs)
+    mu_i, var_i = it.predict(xs, chunk=16)  # pads 37 -> 48, multi-chunk
+    np.testing.assert_allclose(mu_i, mu_c, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(var_i, var_c, rtol=1e-3, atol=1e-7)
+
+
 def test_grief_iterative_segmented_matches_monolithic(rng):
     """Host-segmented GRIEF iterative NLML (segmented CG + probe-chunked
     SLQ — the uci2m watchdog-safe evaluator) agrees with the monolithic

@@ -425,6 +425,71 @@ def test_sharded_ski_lattice_matches_single_device(rng, mesh):
     assert abs(sh_pt.log_likelihood() - lls) / abs(lls) < 1e-6
 
 
+def test_sharded_ski_segmented_nlml_matches_monolithic(rng, mesh):
+    """Round-3 missing #4: sharded log_likelihood_segmented == the monolithic
+    sharded NLML.  Full-rank deflation makes the whitened SLQ exactly zero,
+    so the value is probe-independent and the match is to solver precision."""
+    from gp_grief_tpu.parallel import ShardedGPSKIRegression
+
+    n = 150
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    kw = dict(noise_var=0.2, num_probes=16, lanczos_iters=40, cg_iters=400,
+              cg_tol=1e-10, precond_rank=64)
+    sh = ShardedGPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.6), xg, mesh=mesh, **kw
+    )
+    mono = sh.log_likelihood()
+    seg = sh.log_likelihood_segmented(cg_segment_iters=30, probe_chunk=8)
+    np.testing.assert_allclose(seg, mono, rtol=1e-6)
+
+
+def test_sharded_ski_segmented_nlml_lattice(rng, mesh):
+    """Lattice-dual segmented NLML: identical CG recurrence, chunked SLQ —
+    agreement with the monolithic sharded dual within SLQ sampling error."""
+    from gp_grief_tpu.parallel import ShardedGPSKIRegression
+
+    n = 300
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 8)[:, None]] * 2
+    sh = ShardedGPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.6), xg, mesh=mesh,
+        noise_var=0.2, num_probes=32, lanczos_iters=30, cg_iters=400,
+        cg_tol=1e-12, solver="lattice",
+    )
+    mono = sh.log_likelihood()
+    seg = sh.log_likelihood_segmented(cg_segment_iters=40, probe_chunk=8)
+    assert abs(seg - mono) / abs(mono) < 3e-2, (seg, mono)
+
+
+def test_sharded_ski_optimize_segmented_improves(rng, mesh):
+    """Sharded watchdog-safe training: segmented Adam steps must raise the
+    (monolithic) sharded NLML, for both solvers."""
+    from gp_grief_tpu.parallel import ShardedGPSKIRegression
+
+    n = 160
+    x = rng.uniform(0, 2, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 2.1, 6)[:, None]] * 2
+    for solver, kw in (
+        ("data", dict(precond_rank=36)),
+        ("lattice", dict()),
+    ):
+        sh = ShardedGPSKIRegression(
+            x, y, make_kernel("rbf", lengthscale=1.5), xg, mesh=mesh,
+            noise_var=0.5, num_probes=8, lanczos_iters=20, cg_iters=200,
+            cg_tol=1e-8, solver=solver, **kw,
+        )
+        ll0 = sh.log_likelihood()
+        res = sh.optimize_segmented(
+            max_iters=12, learning_rate=0.1, num_probes=4, cg_segment_iters=30
+        )
+        assert np.all(np.isfinite(res.losses)), solver
+        assert sh.log_likelihood() > ll0, (solver, ll0, sh.log_likelihood())
+
+
 def test_gp_kron_model_parallel_log_likelihood(rng):
     """Model-level consumer of kron_matvec_sharded (VERDICT r2 missing #3):
     GPKroneckerRegression(mesh=...) routes every CG matvec through the
@@ -498,3 +563,15 @@ def test_init_distributed_single_process_noop():
 
     assert init_distributed() == 1
     assert len(jax.devices()) >= 1  # backend still alive
+
+
+def test_init_distributed_single_host_tpu_vm_noop(monkeypatch):
+    """TPU_WORKER_HOSTNAMES with ONE hostname (the single-host Cloud TPU VM
+    case) must NOT trigger auto-initialize — it would hang waiting for a
+    coordinator (ADVICE r3)."""
+    from gp_grief_tpu.parallel import init_distributed
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "t1v-n-aaaaaaaa-w-0")
+    assert init_distributed() == 1
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "")
+    assert init_distributed() == 1

@@ -396,6 +396,34 @@ def test_ski_lattice_lanczos_variance_close_to_exact(rng):
     assert np.mean(np.abs(var_16 - var_e)) < 0.03
 
 
+def test_ski_love_guard_warns_on_degraded_variance(rng):
+    """Round-3 weak #1: LOVE at a rank too low for the lattice must WARN
+    (sampled-column diagnostic vs the exact route); at full rank, or with
+    love_check=0, it must stay silent."""
+    import warnings
+
+    n = 400
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + 0.05 * rng.standard_normal(n)
+    xg = [np.linspace(-0.1, 3.1, 10)[:, None]] * 2
+    m = GPSKIRegression(
+        x, y, make_kernel("rbf", lengthscale=0.8), xg, solver="lattice",
+        noise_var=0.2, num_probes=16, lanczos_iters=30, cg_iters=400,
+        cg_tol=1e-12,
+    )
+    xs = rng.uniform(0.2, 2.8, size=(30, 2))
+    # Severely truncated rank on a posterior whose variances are tiny next to
+    # the prior → the identity-tail model is off by far more than 2%.
+    with pytest.warns(UserWarning, match="variance='exact'"):
+        m.predict(xs, variance="lanczos", var_rank=3, love_tol=0.02)
+    # Full rank: exact on the whole M-dim dual space — silent.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        m.predict(xs, variance="lanczos", var_rank=10**9, love_tol=0.02)
+        # guard disabled: silent even at the degraded rank
+        m.predict(xs, variance="lanczos", var_rank=3, love_check=0)
+
+
 @pytest.mark.slow
 def test_ski_log_likelihood_segmented_matches_monolithic(rng):
     """Host-segmented NLML (segmented CG + probe-chunked whitened SLQ) agrees
