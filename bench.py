@@ -22,7 +22,12 @@ compiled program (round 2 used two per op); the stream phase reuses the
 matvec's device-resident input (one 134 MB relay upload total, round 2
 shipped three); reps are 1 warm + 3 timed per loop length (each run costs
 only milliseconds of device time — compile is the wall-clock cost).  The
-X3-grade extra point (~2× the program count) only runs with ``BENCH_X3=1``.
+X3-grade extra point runs by DEFAULT behind a wall-budget guard: it is
+skipped (marked ``"skipped(wall budget)"``) only if the headline phases
+already consumed ``BENCH_X3_BUDGET`` seconds (default 90 — a cleared
+compile cache plus relay weather); with the persistent cache warm it costs
+a few seconds.  ``BENCH_X3=0`` forces it off, ``BENCH_X3=1`` ignores the
+budget.
 """
 
 import json
@@ -85,7 +90,8 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS, x3: bool | None = None):
     from gp_grief_tpu.ops import kron_matvec_fast as kron_matvec
 
     if x3 is None:
-        x3 = os.environ.get("BENCH_X3", "") == "1"
+        env = os.environ.get("BENCH_X3", "")
+        x3 = True if env == "1" else (False if env == "0" else None)
 
     dtype = jnp.float32
     # Default shape is bandwidth-bound: d=5 dims of 32 → m = 33.5M (134 MB
@@ -133,10 +139,20 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS, x3: bool | None = None):
     stream_gbs = 2 * m * v.dtype.itemsize / t_st / 1e9
     _log(f"stream: {t_st * 1e3:.3f} ms → {stream_gbs:.1f} GB/s")
 
-    # X3-grade extra point (rel err ~4e-6): the 3-pass slab at Mosaic HIGHEST.
-    # Opt-in (BENCH_X3=1): it roughly doubles program count and wall time, and
-    # the round-2 driver capture timed out paying for it.
-    x3_gbs = None
+    # X3-grade extra point (rel err ~4e-6): the 2-pass fused-mid slab at
+    # Mosaic HIGHEST.  Runs by default (round-3 missing #5: the exact-grade
+    # number must be driver-visible) behind a wall-budget guard — skipped
+    # only if the headline phases already burned the budget (cleared compile
+    # cache + relay weather); the persistent cache makes the usual cost a
+    # few seconds.
+    x3_budget = float(os.environ.get("BENCH_X3_BUDGET", "90"))
+    elapsed = time.perf_counter() - _T0
+    if x3 is None:
+        x3 = elapsed < x3_budget
+        x3_skip_reason = f"skipped(wall budget: +{elapsed:.0f}s > {x3_budget:.0f}s)"
+    else:
+        x3_skip_reason = "skipped(BENCH_X3=0)"
+    x3_gbs = None if x3 else x3_skip_reason
     if x3:
         from gp_grief_tpu.ops.pallas.kron_pallas import (
             kron_matvec_slab,
@@ -154,7 +170,14 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS, x3: bool | None = None):
             x3_gbs = 2 * d * m * v.dtype.itemsize / t_x3 / 1e9
             _log(f"x3-grade slab: {t_x3 * 1e3:.3f} ms → {x3_gbs:.1f} GB/s eff")
 
-    target = 0.70 * stream_gbs
+    # vs_baseline denominator: the stream's measured value inherits ±10%
+    # run-to-run relay/HBM weather, which round-over-round made the ratio
+    # incomparable (round-3 weak #6: 644.8/728 one run, 674/660 another).
+    # Clamp the denominator to the best stream ever captured on this chip
+    # class (728.5 GB/s, BENCH_r03) so a weather-LOW stream can never
+    # inflate the ratio; a faster future chip honestly raises it.
+    stream_ref = max(stream_gbs, 728.5)
+    target = 0.70 * stream_ref
     print(
         json.dumps(
             {
@@ -169,9 +192,12 @@ def main(d: int = 5, m_d: int = 32, iters: int = ITERS, x3: bool | None = None):
                     " refreshes give exact-grade solutions — refined-CG verified"
                     " to 6e-8 true residual at this grade, RESULTS_r13.md)",
                     "matvec_ms": round(t_mv * 1e3, 3),
-                    "x3_grade_GBs(rel~4e-6)": None if x3_gbs is None else round(x3_gbs, 2),
+                    "x3_grade_GBs(rel~4e-6)": (
+                        round(x3_gbs, 2) if isinstance(x3_gbs, float) else x3_gbs
+                    ),
                     "stream_GBs": round(stream_gbs, 2),
-                    "target_GBs(0.7xstream)": round(target, 2),
+                    "target_GBs(0.7xstream_ref)": round(target, 2),
+                    "stream_ref_GBs": round(stream_ref, 2),
                     "device": str(jax.devices()[0]),
                 },
             }
