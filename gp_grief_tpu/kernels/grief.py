@@ -60,6 +60,42 @@ class GriefBasis:
     idx: jax.Array
 
 
+def stack_kernels(
+    kernels: Union[Stationary, KernList], xg, dims=None
+) -> Optional[Stationary]:
+    """Stack per-dim kernels into one pytree with a leading ``(d,)`` axis —
+    or ``None`` when the dims cannot batch (unequal grids, mixed kernel
+    kinds/shapes, grouped dims).
+
+    Why: the d-unrolled basis/Φ graphs are what make high-d ARD gradients
+    pathological — at d=100 the *backward* of the per-dim loop (a 100-link
+    gather/scatter/product chain) executed in ~40 s/step on CPU where the
+    batched form below runs in well under a second (round-3 weak #2 /
+    next-step #5).  Stacked kernels turn d covs + d eighs + d Φ factors into
+    ONE vmapped/einsum op each."""
+    if dims is not None:
+        return None
+    if any(g.shape != xg[0].shape for g in xg):
+        return None
+    ks = (
+        list(kernels)
+        if isinstance(kernels, (list, tuple))
+        else [kernels] * len(xg)
+    )
+    if len(ks) != len(xg) or len(ks) < 2:
+        return None
+    k0 = ks[0]
+    if not all(
+        isinstance(k, Stationary) and k.kind == k0.kind for k in ks
+    ):
+        return None
+    shapes0 = [jnp.shape(l) for l in jax.tree_util.tree_leaves(k0)]
+    for k in ks[1:]:
+        if [jnp.shape(l) for l in jax.tree_util.tree_leaves(k)] != shapes0:
+            return None
+    return jax.tree.map(lambda *ls: jnp.stack([jnp.asarray(l) for l in ls]), *ks)
+
+
 def build_basis(
     kernels: Union[Stationary, KernList],
     xg: Sequence[jax.Array],
@@ -74,6 +110,10 @@ def build_basis(
     jitted program.  ``dim_noise_var`` is the per-dimension jitter stabilizing
     both the factor ``eigh`` and its gradient at near-degenerate eigenvalues
     (SURVEY.md §7 hard-part 4).
+
+    When the dims batch (:func:`stack_kernels`) the d Gram builds run as ONE
+    vmapped cov + ONE batched eigh — at d=100 the per-dim loop's graph (and
+    especially its backward) is the ARD-training bottleneck.
     """
     # Clamp p to the lattice size when it is countable (asking for more
     # eigenfunctions than exist would otherwise pad the basis with duplicated
@@ -83,8 +123,20 @@ def build_basis(
     if log_total < math.log(2**62):
         p = min(p, math.prod(int(g.shape[0]) for g in xg))
     with jax.named_scope("grief_build_basis"):
-        Ks = cov_grid(kernels, xg, dim_noise_var=dim_noise_var)
-        Qs, lams = kron_eigh(Ks)
+        stacked = stack_kernels(kernels, xg)
+        if stacked is not None:
+            g_stack = jnp.stack([jnp.asarray(g) for g in xg])  # (d, m, s)
+            Ks_st = jax.vmap(lambda k, g: k(g))(stacked, g_stack)  # (d, m, m)
+            if dim_noise_var:
+                Ks_st = Ks_st + dim_noise_var * jnp.eye(
+                    Ks_st.shape[-1], dtype=Ks_st.dtype
+                )
+            lams_st, Qs_st = jax.vmap(jnp.linalg.eigh)(Ks_st)
+            Qs = tuple(Qs_st[i] for i in range(len(xg)))
+            lams = tuple(lams_st[i] for i in range(len(xg)))
+        else:
+            Ks = cov_grid(kernels, xg, dim_noise_var=dim_noise_var)
+            Qs, lams = kron_eigh(Ks)
         log_lam, idx = top_p_kron_eigs(lams, p)
         return GriefBasis(Qs=Qs, lams=lams, log_lam=log_lam, idx=idx)
 
@@ -143,20 +195,36 @@ def phi(
     (:func:`gp_grief_tpu.ops.pallas.phi_fused_pallas` — all ``d`` dimensions
     multiplied in VMEM, one pass over the ``(n, p)`` accumulator instead of
     ``d``) when it applies: TPU backend, equal per-dim grids, trivial dim
-    mapping.  ``"xla"`` forces the per-dim loop; ``"fused"`` requires the
-    fused path (raises if inapplicable).  Both paths are differentiable and
-    run all dots at ``HIGHEST`` precision; accuracy study at the NLML level:
-    ``benchmarks/RESULTS_r2.md``.
+    mapping; on other backends it uses the BATCHED assembly when the dims
+    stack (:func:`stack_kernels` — one vmapped cross-cov + one einsum + one
+    product-reduce; at d=100 the per-dim loop's backward is a ~100-link
+    gather/scatter chain that executed in tens of seconds per ARD step).
+    ``"batched"`` forces the batched assembly (raises if inapplicable);
+    ``"xla"`` forces the per-dim loop; ``"fused"`` requires the Pallas path.
+    All paths are differentiable and run all dots at ``HIGHEST`` precision;
+    accuracy study at the NLML level: ``benchmarks/RESULTS_r2.md``.
     """
     with jax.named_scope("grief_phi"):
-        Kx = cross_cov_grid(kernels, x, xg, dims)
-        tiny = jnp.finfo(Kx[0].dtype).tiny
-        use_fused = impl != "xla" and _phi_fused_applicable(xg, dims)
+        use_fused = impl in ("auto", "fused") and _phi_fused_applicable(xg, dims)
         if impl == "fused" and not use_fused:
             raise ValueError(
                 "phi(impl='fused') needs a TPU backend, equal per-dim grids, "
                 "and no dim grouping"
             )
+        stacked = (
+            stack_kernels(kernels, xg, dims)
+            if impl in ("auto", "batched") and not use_fused
+            else None
+        )
+        if impl == "batched" and stacked is None:
+            raise ValueError(
+                "phi(impl='batched') needs equal per-dim grids, matching "
+                "per-dim kernels, and no dim grouping"
+            )
+        if stacked is not None:
+            return _phi_batched(basis, stacked, xg, x)
+        Kx = cross_cov_grid(kernels, x, xg, dims)
+        tiny = jnp.finfo(Kx[0].dtype).tiny
         if use_fused:
             from gp_grief_tpu.ops.pallas import phi_fused_pallas
 
@@ -170,3 +238,27 @@ def phi(
             G = jnp.take(B, cols, axis=1) * jnp.exp(-0.5 * jnp.take(log_lam_d, cols))
             out = G if out is None else out * G
         return out
+
+
+def _phi_batched(basis: GriefBasis, stacked: Stationary, xg, x: jax.Array) -> jax.Array:
+    """Batched Φ assembly: ``Φ = Π_d (K_xU_d · S_d)`` with every per-dim
+    piece a single batched op — the selection/normalization fold of
+    :func:`_phi_fused_operands` (``S_d = Q_d[:, idx_d]·λ^{-1/2}``), the d
+    cross-covs one vmapped kernel call, the d dots one einsum, the running
+    product one ``prod`` reduce (whose VJP is two cumulative products, not a
+    d-link chain)."""
+    if x.ndim == 1:
+        x = x[:, None]
+    hi = jax.lax.Precision.HIGHEST
+    g_stack = jnp.stack([jnp.asarray(g) for g in xg])  # (d, m, s)
+    x_cols = jnp.moveaxis(x, 1, 0)[:, :, None]  # (d, n, 1): dim d ↦ column d
+    Kx = jax.vmap(lambda k, xd, g: k(xd, g))(stacked, x_cols, g_stack)  # (d, n, m)
+    Q_stack = jnp.stack(list(basis.Qs))  # (d, m, m)
+    lam_stack = jnp.stack(list(basis.lams))  # (d, m)
+    tiny = jnp.finfo(Kx.dtype).tiny
+    loglam = jnp.log(jnp.clip(lam_stack, tiny, None))
+    cols = basis.idx.T  # (d, p)
+    S = jnp.take_along_axis(Q_stack, cols[:, None, :], axis=2)  # (d, m, p)
+    scale = jnp.exp(-0.5 * jnp.take_along_axis(loglam, cols, axis=1))  # (d, p)
+    B = jnp.einsum("dnm,dmp->dnp", Kx, S * scale[:, None, :], precision=hi)
+    return jnp.prod(B, axis=0)
