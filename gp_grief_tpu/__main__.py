@@ -3,7 +3,8 @@
 Subcommands mirror the reference's debug utilities (SURVEY.md §5 "keep the
 checkgrad-style parity table as a CLI subcommand"):
 
-* ``checkgrad`` — fit a small GRIEF model and print the analytic-vs-FD table.
+* ``checkgrad`` — fit a small GRIEF model and print the analytic-vs-FD table
+  (``--sample K`` caps FD probes at ~K components; scalar hypers always run).
 * ``bench``     — run the headline Kron-matvec bandwidth benchmark.
 * ``configs``   — run BASELINE target configs (args forwarded).
 """

@@ -105,11 +105,18 @@ def kron_matvec_fast(
     - a ``lax.DotAlgorithmPreset`` (e.g. ``BF16_BF16_F32_X3``): on TPU,
       slab-applicable shapes upgrade to the slab's HIGHEST path (rel err
       ~4e-6 — at least as accurate as X3, faster; 2-pass fused-mid schedule,
-      355 GB/s eff at the d=5×32 headline — RESULTS_r13.md); others run the
-      cyclic chain with the requested algorithm.
+      355 GB/s eff at the d=5×32 headline — RESULTS_r13.md); slab-rejected
+      shapes with a feasible GENERAL fused plan (ragged m_d, d=2,
+      leading-identity batched forms — round-4) run
+      :func:`gp_grief_tpu.ops.pallas.kron_matvec_fused` at Mosaic HIGHEST
+      (rel ~1e-7; 2.9–4× the cyclic chain on batched d=2 lattices,
+      benchmarks/exp_r14_general.py); others run the cyclic chain with the
+      requested algorithm.
 
     ``impl``: ``"auto"`` (dispatch as above), ``"xla"`` (force the grouped
-    cyclic chain), ``"slab"`` (force the Pallas slab; raises if inapplicable).
+    cyclic chain), ``"slab"`` (force the Pallas slab; raises if
+    inapplicable), ``"fused"`` (force the general fused schedule; raises if
+    inapplicable).
     """
     squeeze = v.ndim == 1
     if squeeze:
@@ -120,6 +127,8 @@ def kron_matvec_fast(
         precision = lax.Precision(precision)
     if impl != "xla":
         from gp_grief_tpu.ops.pallas.kron_pallas import (
+            fused_schedule_applicable,
+            kron_matvec_fused,
             kron_matvec_slab,
             slab_schedule_applicable,
         )
@@ -149,6 +158,35 @@ def kron_matvec_fast(
             # identical rel err, 498 → 595 GB/s eff — exp_r3_bf16_mid.py).
             mid = jnp.bfloat16 if slab_prec == lax.Precision.DEFAULT else None
             out = kron_matvec_slab(factors, v, precision=slab_prec, mid_dtype=mid)
+            return out[:, 0] if squeeze else out
+        # General-shape fused schedule (r14): shapes the slab rejects —
+        # ragged m_d, d=2, leading-identity batched forms — at the fast
+        # operating points (DEFAULT, or a DotAlgorithmPreset's X3 grade at
+        # Mosaic HIGHEST ~1e-7).  Plain Precision.HIGHEST keeps the XLA
+        # cyclic chain (exact-f32 XLA semantics, the solver default).
+        fused_ok = (
+            impl in ("auto", "fused")
+            and not applicable
+            and v.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and fused_schedule_applicable(factors, int(v.shape[1]))
+        )
+        if impl == "fused" and not fused_ok:
+            raise ValueError(
+                "kron_matvec_fast(impl='fused') needs a TPU backend, f32 "
+                "input, and fused_schedule_applicable shapes (with the slab "
+                "schedule inapplicable)"
+            )
+        if fused_ok and not (
+            isinstance(precision, lax.Precision)
+            and precision == lax.Precision.HIGHEST
+        ):
+            fprec = (
+                lax.Precision.DEFAULT
+                if precision == lax.Precision.DEFAULT
+                else lax.Precision.HIGHEST
+            )
+            out = kron_matvec_fused(factors, v, precision=fprec)
             return out[:, 0] if squeeze else out
     B = int(v.shape[1])
     gf = group_factors(factors, target_width=target_width)

@@ -38,6 +38,8 @@ __all__ = [
     "last_slab_pass",
     "kron_matvec_slab",
     "slab_schedule_applicable",
+    "kron_matvec_fused",
+    "fused_schedule_applicable",
 ]
 
 
@@ -614,6 +616,397 @@ def _tail2_pass(
         out_shape=jax.ShapeDtypeStruct((N, o4, o5), x3.dtype),
         interpret=interpret,
     )(x3, K4, K5)
+
+
+# ---------------------------------------------------------------------------
+# General-shape fused schedule (round 4): rotation-free passes for the shapes
+# the slab REJECTS — ragged m_d (unique-value grids), d=2, wide trailing
+# pairs.  Two primitives generalize the slab's building blocks:
+#
+#   _tail_group_pass: contract the TRAILING g axes (any sizes) in one VMEM
+#       visit — g sequential position-1 dots whose axis order self-restores
+#       (the _tail3_pass pattern for arbitrary g); grid over leading blocks.
+#   _mid_group_pass: contract g consecutive MIDDLE axes against a trailing
+#       lane extent L — g sequential K-left dots, always contracting operand
+#       axis g-1, lane axis never moves (the _mid2_fused_pass pattern for
+#       arbitrary g); grid (pre, L // BL).
+#
+# The scheduler (_fused_schedule) packs factors right-to-left into the
+# largest VMEM-feasible tail group, then left-to-right into mid groups —
+# a (24, 48, 96) ragged lattice or a 1024x1024 d=2 lattice runs in ONE pass
+# (2·m words of traffic, the algorithmic minimum), where the cyclic XLA
+# chain pays ~4·m words per factor.  Exactness: all dots Mosaic HIGHEST at
+# f32 (or one bf16 MXU dot each at Precision.DEFAULT).
+# ---------------------------------------------------------------------------
+
+
+def _padded_bytes(shape, itemsize) -> int:
+    """VMEM footprint of a block: lane (last) dim pads to 128, sublane
+    (second-to-last) to 8."""
+    if len(shape) == 0:
+        return itemsize
+    s = list(shape)
+    s[-1] = _pad128(s[-1])
+    if len(s) >= 2:
+        s[-2] = -(-s[-2] // 8) * 8
+    return math.prod(s) * itemsize
+
+
+def _tail_group_bytes(BB, ms, outs, itemsize) -> int:
+    """Peak VMEM of a tail-group block chain: in+out double-buffered (4x)
+    + the worst intermediate + operands (×2.5: Mosaic HIGHEST's x6
+    emulation materializes hi/lo bf16 operand copies — a 2048² factor
+    measured 72.9M scoped against a 64M limit with a 1× allowance)."""
+    g = len(ms)
+    peak_tmp = 0
+    for k in range(1, g):
+        shape = (BB, *ms[k:], *outs[:k])
+        peak_tmp = max(peak_tmp, _padded_bytes(shape, 4))  # f32 accum
+    io = 2 * (_padded_bytes((BB, *ms), itemsize) + _padded_bytes((BB, *outs), itemsize))
+    ops = sum(_padded_bytes((o, m), itemsize) for o, m in zip(outs, ms))
+    return io + 2 * peak_tmp + (5 * ops) // 2
+
+
+def _pick_lane_block(L: int, bound: int) -> int:
+    """Largest legal Mosaic lane-block: a divisor of ``L`` that is a
+    multiple of 128 (the Pallas TPU block constraint) and ≤ ``bound``, or
+    ``L`` itself (a full-extent block is always legal) when it fits.
+    Returns 0 if no legal block exists."""
+    best = L if L <= bound else 0
+    if L % 128 == 0:
+        k = L // 128
+        b = min(k, bound // 128)
+        while b >= 1:
+            if k % b == 0:
+                best = max(best, 128 * b)
+                break
+            b -= 1
+    return best
+
+
+def _tail_group_pass(
+    x: jax.Array, Ks: Sequence[jax.Array], precision, interpret: bool,
+    block_rows: int = 0,
+) -> jax.Array:
+    """``(N, m_1, ..., m_g) → (N, o_1, ..., o_g)``: contract every trailing
+    axis in one fused VMEM kernel (g sequential position-1 dots; order
+    self-restores).  Works for any ``g ≥ 1`` and any axis sizes; grid over
+    leading row blocks."""
+    N = x.shape[0]
+    ms = [int(s) for s in x.shape[1:]]
+    outs = [int(K.shape[0]) for K in Ks]
+    g = len(ms)
+    assert len(Ks) == g
+    if block_rows <= 0:
+        budget = 36 * 1024 * 1024
+        bb = max(1, N)
+        while bb > 1 and _tail_group_bytes(bb, ms, outs, x.dtype.itemsize) > budget:
+            bb //= 2
+        # Keep ≥ 8 grid steps when N allows: single-digit grids leave the
+        # DMA/compute pipeline empty (measured, exp_r14_general.py).
+        if N >= 8 * 8:
+            bb = min(bb, N // 8)
+        block_rows = bb
+    BB = _largest_divisor(N, block_rows)
+
+    def kernel(x_ref, *refs):
+        k_refs, o_ref = refs[:-1], refs[-1]
+        t = x_ref[:]
+        for k_ref in k_refs:
+            t = lax.dot_general(
+                t, k_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        o_ref[:] = t.astype(o_ref.dtype)
+
+    zeros = (0,) * g
+    return pl.pallas_call(
+        kernel,
+        grid=(N // BB,),
+        in_specs=[
+            pl.BlockSpec((BB, *ms), lambda i: (i, *zeros), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in Ks],
+        ],
+        out_specs=pl.BlockSpec((BB, *outs), lambda i: (i, *zeros), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, *outs), x.dtype),
+        compiler_params=_SLAB_VMEM,
+        interpret=interpret,
+    )(x, *Ks)
+
+
+def _mid_group_BL(ms, outs, itemsize, pre, L) -> int:
+    """Legal lane-block size for a mid-group pass (0 = infeasible).
+    Shared by the pass and by :func:`_fused_schedule` so the plan never
+    commits to a pass the kernel cannot tile."""
+    g = len(ms)
+    # Peak per-lane-column bytes across the chain: after k right-to-left
+    # contractions the block is (o_{g-k+1..g}, m_{1..g-k}, BL).
+    col_peak = max(
+        math.prod(outs[g - k :]) * math.prod(ms[: g - k]) * 4
+        for k in range(g + 1)
+    )
+    col_io = (math.prod(ms) + math.prod(outs)) * itemsize
+    # Operand allowance ×2.5: Mosaic HIGHEST x6 materializes hi/lo bf16
+    # copies of the weights (see _tail_group_bytes).
+    budget = 36 * 1024 * 1024 - (
+        5 * sum(_padded_bytes((o, m), itemsize) for o, m in zip(outs, ms))
+    ) // 2
+    if budget <= 0:
+        return 0
+    bound = max(128, budget // (2 * col_io + 2 * col_peak))
+    # Pipelining: keep the grid ≥ 8 blocks when pre is small — a 1-block
+    # grid leaves the DMA/compute pipeline empty (measured r14).
+    if pre < 8 and L >= 8 * 128:
+        bound = min(bound, max(128, L // 8))
+    return _pick_lane_block(L, min(L, bound))
+
+
+def _mid_group_pass(
+    x: jax.Array, Ks: Sequence[jax.Array], precision, interpret: bool,
+) -> jax.Array:
+    """``(pre, m_1, ..., m_g, L) → (pre, o_1, ..., o_g, L)``: contract every
+    middle axis in one fused VMEM visit; the lane axis (L blocks) never
+    moves.  g sequential K-left dots, each contracting operand axis g-1."""
+    pre = x.shape[0]
+    ms = [int(s) for s in x.shape[1:-1]]
+    L = int(x.shape[-1])
+    outs = [int(K.shape[0]) for K in Ks]
+    g = len(ms)
+    assert len(Ks) == g
+    itemsize = x.dtype.itemsize
+    BL = _mid_group_BL(ms, outs, itemsize, pre, L)
+    if BL == 0:
+        raise ValueError(
+            f"_mid_group_pass: no legal lane block for L={L} "
+            "(gate with fused_schedule_applicable)"
+        )
+
+    def kernel(x_ref, *refs):
+        k_refs, o_ref = refs[:-1], refs[-1]
+        t = x_ref[0]  # (m_1, ..., m_g, BL)
+        for k_ref in reversed(k_refs):
+            # contract the current trailing-most uncontracted group axis —
+            # always operand axis g-1 (see module notes); lane axis fixed.
+            t = lax.dot_general(
+                k_ref[:], t, (((1,), (g - 1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        o_ref[0] = t.astype(o_ref.dtype)
+
+    zeros = (0,) * g
+    return pl.pallas_call(
+        kernel,
+        grid=(pre, L // BL),
+        in_specs=[
+            pl.BlockSpec(
+                (1, *ms, BL), lambda i, j: (i, *zeros, j), memory_space=pltpu.VMEM
+            ),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in Ks],
+        ],
+        out_specs=pl.BlockSpec(
+            (1, *outs, BL), lambda i, j: (i, *zeros, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((pre, *outs, L), x.dtype),
+        compiler_params=_SLAB_VMEM,
+        interpret=interpret,
+    )(x, *Ks)
+
+
+_FUSED_MAX_GROUP = 3  # block rank cap: (lead, a, b, c[, BL]) — Mosaic-tested
+
+
+def _fused_schedule(ms: Sequence[int], outs: Sequence[int], B: int, itemsize: int):
+    """Greedy pass plan for :func:`kron_matvec_fused`.
+
+    Returns ``(mid_groups, tail_start)``: ``mid_groups`` is a list of
+    ``(i, j)`` inclusive factor ranges contracted as mid-group passes (in
+    order), and factors ``tail_start..d-1`` (+ an I_B when batched) form one
+    tail-group pass.  ``None`` if no feasible plan exists."""
+    d = len(ms)
+    budget = 36 * 1024 * 1024
+
+    # Lane-pad economics (measured, exp_r14_general.py round 1): every block
+    # DMA moves LANE-PADDED bytes, so the trailing axis of any tail block
+    # must be ≥ 96 (pad waste ≤ 1.33×).  A trailing batch axis of small B is
+    # catastrophic (B=8 → 16× padded traffic: the fused path lost 5.7× to
+    # the cyclic chain) — solvers avoid it by folding batches as a LEADING
+    # identity factor (B-major; the (eyeB, *factors) convention), which this
+    # scheduler handles as an ordinary cheap mid factor.
+    if B > 1 and B < 96:
+        return None
+    if B == 1 and ms[-1] < 96:
+        return None
+
+    # Largest tail group feasible by VMEM at BB=1 (including the I_B factor
+    # appended for batched inputs so the axis order self-restores).  A tail
+    # that swallows (almost) the whole lattice leaves a 1-block grid with no
+    # DMA/compute pipelining — measured 133 µs single-block vs ~68 µs
+    # pipelined at the 885k eyeB8 shape — so a big tail block is only
+    # accepted when ≥ 8 grid blocks remain in front of it (or the block is
+    # small enough that pipelining cannot matter).
+    tail_start = d
+    for t in range(d - 1, -1, -1):
+        tms = list(ms[t:]) + ([B] if B > 1 else [])
+        touts = list(outs[t:]) + ([B] if B > 1 else [])
+        if len(tms) > _FUSED_MAX_GROUP + 1:
+            break
+        if _tail_group_bytes(1, tms, touts, itemsize) > budget:
+            break
+        n_lead = math.prod(ms[:t]) if t else 1
+        blk = _padded_bytes((1, *tms), itemsize)
+        if n_lead < 8 and blk > (1 << 20):
+            break
+        tail_start = t
+    if tail_start == d:
+        # Need at least the last factor in the tail (a mid pass for the
+        # final factor would have no trailing lane extent).
+        return None
+
+    # Mid groups over 0..tail_start-1, greedy left-to-right.
+    mid_groups = []
+    i = 0
+    while i < tail_start:
+        j = i
+        while (
+            j + 1 < tail_start
+            and j - i + 1 < _FUSED_MAX_GROUP
+            and math.prod(ms[i : j + 2]) * 128 * itemsize * 6 < budget
+        ):
+            j += 1
+        # Trailing lane extent of this pass: ≥ 96 actual lanes (see above),
+        # and a legal Mosaic lane block must exist (divisor of L that is a
+        # multiple of 128, or a full-extent block within VMEM).
+        L = math.prod(ms[j + 1 :]) * B
+        pre = math.prod(ms[:i])
+        while (
+            L < 96
+            or _mid_group_BL(ms[i : j + 1], outs[i : j + 1], itemsize, pre, L) == 0
+        ):
+            if j == i:
+                return None
+            j -= 1  # shrink the group; a smaller block may tile legally
+            L = math.prod(ms[j + 1 :]) * B
+        mid_groups.append((i, j))
+        i = j + 1
+    return mid_groups, tail_start
+
+
+def fused_schedule_applicable(factors: Sequence[jax.Array], B: int = 1) -> bool:
+    """True when :func:`kron_matvec_fused` has a feasible plan AND the shape
+    class is one where it beats the cyclic XLA chain — the general-shape
+    (ragged / d=2 / wide-pair) companion to :func:`slab_schedule_applicable`
+    (round-3 next-step #1).
+
+    Win classes (measured, benchmarks/exp_r14_general.py): (a) the whole
+    lattice fits one fused pass (2·m words total — 11.9× at 24×48×96); (b) a
+    wide factor ≥ 256 is present (the cyclic chain's transpose passes
+    collapse there: 3.6–4.6× on (I_B, 512²)/(I_B, 1024²), 1.1× worst case).
+    Multi-small-factor ragged shapes with d ≥ 3 live work measured BELOW the
+    chain (0.6–0.95×) and stay on it."""
+    ms, outs = [], []
+    for K in factors:
+        if K.ndim != 2:
+            return False
+        outs.append(int(K.shape[0]))
+        ms.append(int(K.shape[1]))
+    if not ms or math.prod(ms) * B < (1 << 12):
+        return False  # tiny: XLA dispatch wins, nothing to gain
+    plan = _fused_schedule(ms, outs, B, int(factors[0].dtype.itemsize))
+    if plan is None:
+        return False
+    _, tail_start = plan
+    return tail_start == 0 or max(ms) >= 256
+
+
+def _fused_primal(precision, interpret, factors, v):
+    ms = [int(K.shape[1]) for K in factors]
+    outs = [int(K.shape[0]) for K in factors]
+    B = int(v.shape[1])
+    plan = _fused_schedule(ms, outs, B, int(v.dtype.itemsize))
+    if plan is None:
+        raise ValueError("kron_matvec_fused: no feasible plan (gate with "
+                         "fused_schedule_applicable)")
+    mid_groups, tail_start = plan
+    d = len(ms)
+    cur = list(ms)
+    x = v
+    for (i, j) in mid_groups:
+        pre = math.prod(cur[:i])
+        L = math.prod(cur[j + 1 :]) * B
+        x = _mid_group_pass(
+            x.reshape(pre, *cur[i : j + 1], L), factors[i : j + 1],
+            precision, interpret,
+        )
+        cur[i : j + 1] = outs[i : j + 1]
+    if tail_start < d:
+        pre = math.prod(cur[:tail_start])
+        tKs = list(factors[tail_start:])
+        tshape = list(cur[tail_start:])
+        if B > 1:
+            tKs.append(jnp.eye(B, dtype=v.dtype))
+            tshape.append(B)
+        x = _tail_group_pass(
+            x.reshape(pre, *tshape), tKs, precision, interpret
+        )
+    return x.reshape(-1, B)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused(precision, interpret, factors, v):
+    return _fused_primal(precision, interpret, factors, v)
+
+
+def _fused_fwd(precision, interpret, factors, v):
+    return _fused_primal(precision, interpret, factors, v), (factors, v)
+
+
+def _fused_bwd(precision, interpret, res, g):
+    factors, v = res
+
+    def ref(fs, vv):
+        ms = [int(K.shape[1]) for K in fs]
+        outs = [int(K.shape[0]) for K in fs]
+        cur = list(ms)
+        x = vv
+        B = int(vv.shape[1])
+        for i, K in enumerate(fs):
+            pre = math.prod(cur[:i])
+            post = math.prod(cur[i + 1 :]) * B
+            x = x.reshape(pre, cur[i], post)
+            x = jnp.einsum("ok,pkq->poq", K, x, precision=lax.Precision.HIGHEST)
+            cur[i] = outs[i]
+        return x.reshape(-1, B)
+
+    _, vjp = jax.vjp(ref, factors, v)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def kron_matvec_fused(
+    factors: Sequence[jax.Array],
+    v: jax.Array,
+    *,
+    precision=lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jax.Array:
+    """General-shape fused Kron matvec (see the section comment above).
+
+    ``v``: ``(M,)`` or ``(M, B)``.  Any factor shapes (ragged, rectangular,
+    d=2) with a feasible plan (:func:`fused_schedule_applicable`); lattices
+    whose tail group covers every factor run in ONE pass of 2·m words.
+    ``precision``: ``HIGHEST`` = exact f32 (Mosaic x6), ``DEFAULT`` = one
+    bf16 MXU dot per contraction (f32 accumulation either way).
+    Forward-only Pallas; the custom VJP routes gradients through the XLA
+    einsum chain."""
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    if not isinstance(precision, lax.Precision):
+        precision = lax.Precision.HIGHEST
+    out = _fused(precision, bool(interpret), tuple(factors), v)
+    return out[:, 0] if squeeze else out
 
 
 def slab_schedule_applicable(factors: Sequence[jax.Array], B: int = 1) -> bool:

@@ -221,3 +221,87 @@ def test_slab_d6_mixed_schedule_interpret(rng):
     ref = x.reshape(-1)
     rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize(
+    "sizes,eye",
+    [
+        ((12, 24, 96), 0),       # ragged d=3 (single-pass win class)
+        ((12, 24, 96), 8),       # + leading I_B (the solvers' B-major batching)
+        ((96, 128), 0),          # d=2
+        ((20, 28, 96), 0),       # fully ragged
+        ((8, 12, 24, 96), -1),   # d=4 small leads: plan-feasible, below gate
+    ],
+)
+def test_kron_matvec_fused_interpret(rng, sizes, eye):
+    """General-shape fused schedule (round-4): ragged/d=2 shapes the slab
+    rejects == f64 per-factor chain at exact grade (interpret mode)."""
+    from gp_grief_tpu.ops.pallas.kron_pallas import (
+        fused_schedule_applicable,
+        kron_matvec_fused,
+    )
+
+    fs = tuple(
+        jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
+        for m in sizes
+    )
+    if eye > 0:
+        fs = (jnp.eye(eye, dtype=jnp.float32),) + fs
+        sizes = (eye,) + sizes
+    elif eye == 0:
+        # win-class shapes dispatch from kron_matvec_fast; eye != 0 variants
+        # are plan-feasible but below (or outside) the dispatch win gate
+        assert fused_schedule_applicable(fs, 1)
+    m = int(np.prod(sizes))
+    v = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    got = kron_matvec_fused(fs, v, interpret=True)
+    x = np.asarray(v, np.float64).reshape(sizes)
+    for i, K in enumerate(fs):
+        x = np.moveaxis(
+            np.tensordot(np.asarray(K, np.float64), x, axes=(1, i)), 0, i
+        )
+    ref = x.reshape(-1)
+    rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5, rel
+    # DEFAULT = one bf16 MXU dot per contraction
+    got_d = kron_matvec_fused(
+        fs, v, interpret=True, precision=jax.lax.Precision.DEFAULT
+    )
+    rel_d = np.linalg.norm(np.asarray(got_d, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel_d < 3e-2, rel_d
+
+
+def test_kron_matvec_fused_gates(rng):
+    """The fused schedule must REJECT lane-pad-catastrophic geometries
+    (small trailing axis / small trailing batch) and tiny lattices."""
+    from gp_grief_tpu.ops.pallas.kron_pallas import fused_schedule_applicable
+
+    f = lambda m: jnp.asarray(rng.standard_normal((m, m)), jnp.float32)  # noqa: E731
+    assert not fused_schedule_applicable((f(24), f(48), f(24)), 1)  # tail 24
+    assert not fused_schedule_applicable((f(512), f(512)), 8)  # trailing B=8
+    assert not fused_schedule_applicable((f(16), f(12)), 1)  # tiny
+    assert fused_schedule_applicable((f(512), f(512)), 1)
+    assert fused_schedule_applicable((f(512), f(512)), 128)  # wide batch OK
+
+
+def test_kron_matvec_fused_grad_interpret(rng):
+    """Custom VJP (XLA einsum-chain backward) matches the dense oracle."""
+    from gp_grief_tpu.ops.pallas.kron_pallas import kron_matvec_fused
+
+    sizes = (12, 24, 96)
+    fs = tuple(
+        jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
+        for m in sizes
+    )
+    m = int(np.prod(sizes))
+    v = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    G = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+
+    def loss(fs_, v_):
+        return jnp.sum(kron_matvec_fused(fs_, v_, interpret=True) * G)
+
+    gf, gv = jax.grad(loss, argnums=(0, 1))(fs, v)
+    K = np.asarray(kron_expand(fs), np.float64)
+    gv_ref = K.T @ np.asarray(G, np.float64)
+    np.testing.assert_allclose(np.asarray(gv), gv_ref, rtol=1e-4, atol=1e-5)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in gf)
