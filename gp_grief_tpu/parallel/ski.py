@@ -769,8 +769,11 @@ class ShardedGPSKIRegression(BaseModel):
         sharded argument — so each program is bounded at ``segment_iters``
         CG iterations or one probe chunk (round-3 missing #4)."""
         key_t = (int(segment_iters), int(B))
-        if getattr(self, "_seg_progs_key", None) == key_t:
-            return self._seg_progs
+        cache = getattr(self, "_seg_progs_cache", None)
+        if cache is None:
+            cache = self._seg_progs_cache = {}
+        if key_t in cache:
+            return cache[key_t]
         from gp_grief_tpu.ops.cg import _make_pcg_step, _reducers
 
         an = self.axis_name
@@ -959,15 +962,14 @@ class ShardedGPSKIRegression(BaseModel):
                 )
             )
 
-        self._seg_progs_key = key_t
-        self._seg_progs = (
+        cache[key_t] = (
             _wrap(init_local, init_in, init_out),
             _wrap(seg_local, seg_in, seg_out),
             _wrap(fin_local, fin_in, fin_out),
             {"make": make_slq, "wrap": _wrap, "in": slq_in, "progs": {}},
             plan_arg,
         )
-        return self._seg_progs
+        return cache[key_t]
 
     def _slq_prog(self, slq_cache, rr: int):
         """SLQ chunk program for ``rr`` probes (built on first use, cached)."""
