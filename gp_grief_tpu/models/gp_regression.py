@@ -423,12 +423,23 @@ class GPRegression(BaseModel):
             var = var + sigma2
         return np.asarray(mean), np.asarray(var)
 
+    def _kern_fingerprint(self):
+        """Value-based fingerprint of the hyperparameters (tiny leaves)."""
+        return tuple(
+            np.asarray(leaf).tobytes()
+            for leaf in jax.tree_util.tree_leaves(self.params)
+        )
+
     def _predict_iterative(
         self, x_new, compute_var: bool, include_noise: bool, *, test_chunk: int = 0
     ):
         """Matrix-free prediction (see :meth:`predict`).  Exact up to CG
         tolerance; memory never holds an (n, n) buffer — the largest live
-        arrays are the (chunk, n) cross-covariance block and the CG state."""
+        arrays are the (chunk, n) cross-covariance block and the CG state.
+
+        The representer solve ``α`` and the preconditioner factor are cached
+        per hyperparameter values (serving: repeated predict calls at a
+        trained optimum pay only the per-chunk work)."""
         from gp_grief_tpu.ops.cg import cg_solve_segmented
 
         o = self._iter_opts
@@ -440,14 +451,18 @@ class GPRegression(BaseModel):
         seg_iters = 50
         max_segments = max(1, -(-int(o["cg_iters"]) // seg_iters))
         r = int(min(o["precond_rank"], n))
+        fp = self._kern_fingerprint()
+        cached = getattr(self, "_pred_cache", None)
+        Lpc = cached[1] if (cached is not None and cached[0] == fp) else None
         if r > 0:
             from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor
 
-            Lpc = jax.jit(
-                lambda kern, x: pivoted_cholesky_matfree(
-                    _gram_row_fn(kern, x), cov_diag(kern, x), r
-                )
-            )(kern, self.x)
+            if Lpc is None:
+                Lpc = jax.jit(
+                    lambda kern, x: pivoted_cholesky_matfree(
+                        _gram_row_fn(kern, x), cov_diag(kern, x), r
+                    )
+                )(kern, self.x)
             _, M_inv_sqrt, _ = lowrank_sqrt_ops_from_factor(
                 Lpc, sigma2, layout="bm"
             )
@@ -468,7 +483,11 @@ class GPRegression(BaseModel):
                     max_segments=max_segments, layout="bm",
                 )
 
-        alpha = solve_bm(self.y[None, :])[0]  # (n,) representer weights
+        if cached is not None and cached[0] == fp:
+            alpha = cached[2]
+        else:
+            alpha = solve_bm(self.y[None, :])[0]  # (n,) representer weights
+            self._pred_cache = (fp, Lpc, alpha)
         if test_chunk <= 0:
             # (chunk, n) cross-cov block + ~5 CG state buffers of the same
             # shape: cap the block at 2^27 elements (512 MB f32 live for the

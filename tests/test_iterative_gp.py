@@ -204,6 +204,35 @@ def test_gp_regression_matrix_free_model_end_to_end(rng):
     np.testing.assert_allclose(var_i, var_c, rtol=1e-3, atol=1e-7)
 
 
+def test_gp_regression_matrix_free_predict_cache(rng):
+    """The representer solve is cached per hyperparameter values: repeat
+    predicts reuse it; a params change invalidates it (results track the
+    new hypers, not the stale cache)."""
+    from gp_grief_tpu import GPRegression
+
+    n = 200
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(2 * x[:, 0]) + 0.05 * rng.standard_normal(n)
+    kern = make_kernel("rbf", lengthscale=0.8)
+    it = GPRegression(
+        x, y, kern, noise_var=0.05, solver="iterative",
+        cg_tol=1e-10, cg_iters=400, precond_rank=60, matvec_chunk=64,
+    )
+    xs = rng.uniform(0.3, 2.7, size=(11, 2))
+    m1, v1 = it.predict(xs)
+    a_cached = it._pred_cache[2]
+    m2, v2 = it.predict(xs)
+    assert it._pred_cache[2] is a_cached  # reused, not recomputed
+    np.testing.assert_array_equal(m1, m2)
+    # hyperparameter change invalidates the cache
+    it.params = dict(it.params, log_noise=jnp.log(0.5))
+    m3, _ = it.predict(xs)
+    assert it._pred_cache[2] is not a_cached
+    chol = GPRegression(x, y, kern, noise_var=0.5)
+    mc, _ = chol.predict(xs)
+    np.testing.assert_allclose(m3, mc, rtol=1e-5, atol=1e-7)
+
+
 def test_grief_iterative_segmented_matches_monolithic(rng):
     """Host-segmented GRIEF iterative NLML (segmented CG + probe-chunked
     SLQ — the uci2m watchdog-safe evaluator) agrees with the monolithic

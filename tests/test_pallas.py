@@ -284,6 +284,44 @@ def test_kron_matvec_fused_gates(rng):
     assert fused_schedule_applicable((f(512), f(512)), 128)  # wide batch OK
 
 
+def test_kron_matvec_fused_fuzz_interpret(rng):
+    """Randomized shapes: wherever the planner accepts (or a plan is merely
+    feasible), the kernel must match the f64 chain — catches planner/kernel
+    disagreements across the many scheduling branches."""
+    from gp_grief_tpu.ops.pallas.kron_pallas import (
+        _fused_schedule,
+        kron_matvec_fused,
+    )
+
+    tried = 0
+    for trial in range(24):
+        d = int(rng.integers(2, 5))
+        sizes = [int(rng.choice([4, 8, 12, 16, 24, 32, 48, 96, 100, 128]))
+                 for _ in range(d)]
+        if np.prod(sizes) > 400_000:
+            continue
+        fs = tuple(
+            jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
+            for m in sizes
+        )
+        plan = _fused_schedule(sizes, sizes, 1, 4)
+        if plan is None:
+            continue
+        tried += 1
+        m = int(np.prod(sizes))
+        v = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+        got = kron_matvec_fused(fs, v, interpret=True)
+        x = np.asarray(v, np.float64).reshape(sizes)
+        for i, K in enumerate(fs):
+            x = np.moveaxis(
+                np.tensordot(np.asarray(K, np.float64), x, axes=(1, i)), 0, i
+            )
+        ref = x.reshape(-1)
+        rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
+        assert rel < 1e-5, (sizes, rel)
+    assert tried >= 5  # the draw must actually exercise plans
+
+
 def test_kron_matvec_fused_grad_interpret(rng):
     """Custom VJP (XLA einsum-chain backward) matches the dense oracle."""
     from gp_grief_tpu.ops.pallas.kron_pallas import kron_matvec_fused
