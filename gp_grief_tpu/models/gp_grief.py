@@ -164,10 +164,23 @@ class GPGriefModel(BaseModel):
 
     def _refresh_cache(self):
         if not hasattr(self, "_build_jit"):
-            self._build_jit = jax.jit(self._build)
-            self._stats_jit = jax.jit(self._stats_from)
+            from gp_grief_tpu.utils.closure import explicit_closure
+
+            self._build_jit = jax.jit(self._build)  # captures only xg (tiny)
+            # The stats program touches self.x/self.y (n-sized): hoist them
+            # into explicit arguments — a bound-method jit would bake ~84 MB
+            # of data into the lowered module at uci2m scale, re-serialized
+            # through the relay on every program send (utils/closure rule).
+            sds = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+                self.params["kernels"],
+            )
+            basis_sds = jax.eval_shape(self._build, sds)
+            pure, consts = explicit_closure(self._stats_from, sds, basis_sds)
+            self._stats_jit = (jax.jit(pure), consts)
         self._basis = self._build_jit(self.params["kernels"])
-        self._stats = self._stats_jit(self.params["kernels"], self._basis)
+        fn, consts = self._stats_jit
+        self._stats = fn(consts, self.params["kernels"], self._basis)
         self._cached_for = self._kern_fingerprint()
         # The NLML jit (BaseModel.log_likelihood) closes over self._stats at
         # trace time; a re-anchored cache must invalidate it.
@@ -363,6 +376,7 @@ class GPGriefModel(BaseModel):
         precond_rank: int = 0,
         cg_segment_iters: int = 50,
         probe_chunk: int = 8,
+        fuse_probes: bool = True,
         verbose: bool = False,
     ) -> float:
         """Watchdog-safe iterative NLML: the same estimator as
@@ -389,6 +403,15 @@ class GPGriefModel(BaseModel):
         enough that the whitened spectrum clusters at 1 the two paths agree
         to quadrature accuracy (~1e-6 at uci2m rank 300), and unwhitened they
         agree within Hutchinson sampling noise.
+
+        ``fuse_probes`` (default True): run the SLQ probe chunks FIRST, each
+        fused with ``lanczos_iters`` CG iterations through one
+        ``(1+R, n)`` operator application per iteration
+        (:func:`gp_grief_tpu.ops.fused.fused_cg_slq_segment` — the O(n·p)
+        GRIEF apply is two GEMMs whose cost is nearly flat in the batch
+        rows, so the probe passes advance the CG solve for free); leftover
+        CG segments then run to convergence.  Same probe draws and
+        recurrence arithmetic as the separate passes.
         """
         from gp_grief_tpu.kernels.grief import phi as _phi
         from gp_grief_tpu.ops.cg import cg_solve_segmented
@@ -474,35 +497,112 @@ class GPGriefModel(BaseModel):
                 U, lam_r, sigma2, layout="bm"
             )
 
-            def mv_white(vv):
+            def op(vv):
+                # Whitened-basis operator (NOT data-space PCG) — the thrice-
+                # learned f32 rule; rationale in the monolithic path.
                 return M_inv_sqrt(mv(M_inv_sqrt(vv)))
 
-            # Whitened-basis solve (NOT data-space PCG) — the thrice-learned
-            # f32 rule; rationale in the monolithic path's comments.
-            vt = M_inv_sqrt(self.y[None, :])
-            gam = cg_solve_segmented(
-                mv_white, vt, tol=cg_tol,
-                segment_iters=int(cg_segment_iters),
-                max_segments=max_segments, layout="bm", verbose=verbose,
-            )
-            quad = float(jnp.sum(vt * gam))
-            ld = float(logdet_M) + slq_logdet_segmented(
-                mv_white, n, key=key, num_probes=num_probes,
-                lanczos_iters=lanczos_iters, dtype=self.y.dtype,
-                layout="bm", probe_chunk=probe_chunk,
-            )
+            rhs = M_inv_sqrt(self.y[None, :])
+            ld_off = float(logdet_M)
         else:
+            op = mv
             rhs = self.y[None, :]
-            alpha = cg_solve_segmented(
-                mv, rhs, tol=cg_tol, segment_iters=int(cg_segment_iters),
+            ld_off = 0.0
+
+        if not fuse_probes:
+            sol = cg_solve_segmented(
+                op, rhs, tol=cg_tol, segment_iters=int(cg_segment_iters),
                 max_segments=max_segments, layout="bm", verbose=verbose,
             )
-            quad = float(jnp.sum(rhs * alpha))
-            ld = slq_logdet_segmented(
-                mv, n, key=key, num_probes=num_probes,
+            quad = float(jnp.sum(rhs * sol))
+            ld = ld_off + slq_logdet_segmented(
+                op, n, key=key, num_probes=num_probes,
                 lanczos_iters=lanczos_iters, dtype=self.y.dtype,
                 layout="bm", probe_chunk=probe_chunk,
             )
+            return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
+
+        # Fused path: probe chunks first (each advances the CG solve through
+        # shared operator applications), leftover CG segments after.  State
+        # stays device-resident; one scalar/norm fetch per program.
+        from gp_grief_tpu.ops.cg import _make_pcg_step, _reducers
+        from gp_grief_tpu.ops.fused import fused_cg_slq_segment
+
+        _colsum, _colnorm, _bc = _reducers("bm", None)
+        x0 = jnp.zeros_like(rhs)
+        rz0 = _colsum(rhs * rhs)
+        state = (x0, rhs, rhs, rhs, rz0, jnp.zeros(rz0.shape, bool))
+        bnorm = np.asarray(_colnorm(rhs))
+
+        probe_chunk = max(1, min(int(probe_chunk), int(num_probes)))
+        sizes = [probe_chunk] * (int(num_probes) // probe_chunk)
+        if int(num_probes) % probe_chunk:
+            sizes.append(int(num_probes) % probe_chunk)
+
+        sds = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t
+        )
+        key_sds = jax.ShapeDtypeStruct(key.shape, key.dtype)
+
+        def make_fused(rr):
+            def f(st, k):
+                Z = jax.random.rademacher(k, (rr, n), dtype=self.y.dtype)
+                st2, ld_c = fused_cg_slq_segment(op, st, Z, int(lanczos_iters))
+                return st2, _colnorm(st2[1]), st2[5], ld_c
+
+            return f
+
+        def seg_body(st):
+            step = _make_pcg_step(op, lambda rr_: rr_, _colsum, _bc)
+            st, _ = jax.lax.scan(
+                lambda s, _: (step(*s), None), st, None,
+                length=int(cg_segment_iters),
+            )
+            return st, _colnorm(st[1]), st[5]
+
+        # Programs hoist the closure-captured Φ/U (multi-GB at uci2m) into
+        # explicit arguments (utils/closure relay rule).
+        fused_progs = {}
+        for rr in sorted(set(sizes)):
+            fp_, fc_ = explicit_closure(make_fused(rr), sds(state), key_sds)
+            fused_progs[rr] = (jax.jit(fp_), fc_)
+        sp_, sc_ = explicit_closure(seg_body, sds(state))
+        seg_prog = (jax.jit(sp_), sc_)
+
+        eff_tol = max(float(cg_tol), 20.0 * float(jnp.finfo(self.y.dtype).eps))
+        stop = eff_tol * np.maximum(bnorm, float(jnp.finfo(self.y.dtype).tiny))
+        total = 0.0
+        iters = 0
+        rnorm_h = bnorm
+        dead_h = np.zeros(rnorm_h.shape, bool)
+        for c, rr in enumerate(sizes):
+            fp_, fc_ = fused_progs[rr]
+            state, rnorm, dead, ld_c = fp_(fc_, state, jax.random.fold_in(key, c))
+            total += float(ld_c) * rr
+            rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+            iters += int(lanczos_iters)
+            if verbose:
+                rel = float(np.max(rnorm_h / np.maximum(bnorm, 1e-30)))
+                print(
+                    f"[grief_nlml_segmented] fused chunk {c + 1}: iters={iters} "
+                    f"max_rel_resid={rel:.3e}", flush=True,
+                )
+        leftover = max(0, int(cg_iters) - iters)
+        for s in range(max(0, -(-leftover // int(cg_segment_iters)))):
+            if not np.any((rnorm_h > stop) & ~dead_h):
+                break
+            sp2, sc2 = seg_prog
+            state, rnorm, dead = sp2(sc2, state)
+            rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+            iters += int(cg_segment_iters)
+            if verbose:
+                rel = float(np.max(rnorm_h / np.maximum(bnorm, 1e-30)))
+                print(
+                    f"[grief_nlml_segmented] segment {s + 1}: iters={iters} "
+                    f"max_rel_resid={rel:.3e}", flush=True,
+                )
+        quad = float(jnp.sum(rhs * state[0]))
+        ld = ld_off + total / int(num_probes)
         return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 
     # -- prediction ----------------------------------------------------------

@@ -268,3 +268,15 @@ def test_grief_iterative_segmented_matches_monolithic(rng):
     )
     mono0 = model.log_likelihood_iterative(**budget)
     assert abs(seg0 - mono0) / abs(mono0) < 3e-2, (seg0, mono0)
+    # Fused probes share the operator applications but draw the SAME probe
+    # family (fold_in(key, chunk)) — fused == separate-pass segmented to
+    # solver/quadrature precision.
+    seg_sep = model.log_likelihood_iterative_segmented(
+        precond_rank=50, cg_segment_iters=25, probe_chunk=4,
+        fuse_probes=False, **budget
+    )
+    np.testing.assert_allclose(seg_full, seg_sep, rtol=1e-5)
+    seg0_sep = model.log_likelihood_iterative_segmented(
+        cg_segment_iters=50, probe_chunk=16, fuse_probes=False, **budget
+    )
+    np.testing.assert_allclose(seg0, seg0_sep, rtol=1e-4)
