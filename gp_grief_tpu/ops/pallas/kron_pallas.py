@@ -834,7 +834,7 @@ def _fused_schedule(ms: Sequence[int], outs: Sequence[int], B: int, itemsize: in
     # scheduler handles as an ordinary cheap mid factor.
     if B > 1 and B < 96:
         return None
-    if B == 1 and ms[-1] < 96:
+    if B == 1 and (ms[-1] < 96 or outs[-1] < 96):
         return None
 
     # Largest tail group feasible by VMEM at BB=1 (including the I_B factor
