@@ -34,7 +34,15 @@ def _checkgrad(rest=()):
     sample = None
     rest = list(rest)
     if "--sample" in rest:
-        sample = int(rest[rest.index("--sample") + 1])
+        i = rest.index("--sample")
+        if i + 1 >= len(rest):
+            print("usage: checkgrad [--sample K]  (K = max FD probes, int)")
+            return 2
+        try:
+            sample = int(rest[i + 1])
+        except ValueError:
+            print(f"--sample expects an integer, got {rest[i + 1]!r}")
+            return 2
     print("GPGriefModel (opt_kernel_params=True) checkgrad table:")
     ok, _ = checkgrad(model._loss, model.params, verbose=True, sample=sample)
     print("OK" if ok else "MISMATCH")

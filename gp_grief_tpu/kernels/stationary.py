@@ -123,7 +123,15 @@ def _sq_dist(xs: jax.Array, zs: jax.Array, same: bool) -> jax.Array:
     x2 = jnp.sum(xs * xs, axis=-1)
     z2 = jnp.sum(zs * zs, axis=-1)
     cross = xs @ zs.T
-    r2 = jnp.maximum(x2[:, None] + z2[None, :] - 2.0 * cross, 0.0)
+    scale = x2[:, None] + z2[None, :]
+    r2 = jnp.maximum(scale - 2.0 * cross, 0.0)
+    # Snap sub-cancellation-noise values to EXACT zero: a computed r² below
+    # ~eps·(‖x̃‖²+‖z̃‖²) is indistinguishable from a coincident pair, and the
+    # residue would otherwise bias Matérn's √r² by ~√eps on self-pairs —
+    # the matrix-free Gram matvec evaluates k(x_block, x) with z≠None, so
+    # the `same` diagonal guard alone cannot cover them (round-4 review).
+    eps = jnp.finfo(r2.dtype).eps
+    r2 = jnp.where(r2 <= 16.0 * eps * scale, 0.0, r2)
     if same:
         r2 = jnp.fill_diagonal(r2, 0.0, inplace=False)
     return r2

@@ -223,12 +223,18 @@ def basis_stats_from_phi(Phi, y, *, chunk: int = 131072) -> BasisStats:
     pad = nchunks * chunk - n
     Phip = jnp.pad(Phi, ((0, pad), (0, 0))).reshape(nchunks, chunk, p)
     yp = jnp.pad(y, (0, pad)).reshape(nchunks, chunk)
-    dtype = y.dtype
+    # Carry dtype must match what the body accumulates (Φᵀy promotes to the
+    # wider of Φ/y under x64) or lax.scan rejects the carry.
+    dtype = jnp.result_type(Phi.dtype, y.dtype)
 
     def body(carry, inp):
         C, v, yy = carry
         Pk, yk = inp
-        return (C + Pk.T @ Pk, v + Pk.T @ yk, yy + jnp.dot(yk, yk)), None
+        return (
+            C + (Pk.T @ Pk).astype(dtype),
+            v + (Pk.T @ yk).astype(dtype),
+            yy + jnp.dot(yk, yk).astype(dtype),
+        ), None
 
     (C, v, yy), _ = jax.lax.scan(
         body,

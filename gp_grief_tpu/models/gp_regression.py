@@ -70,13 +70,22 @@ def make_gram_matvec(kernels: KernelLike, x: jax.Array, sigma2, *, chunk: int):
     xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(nb, chunk, x.shape[1])
 
     def mv(vv):
-        def body(_, xblk):
+        # Rematerialize the Gram slab under differentiation: without it,
+        # jax.grad of a scan saves every (chunk, n) cov block (plus its
+        # distance intermediates) for the backward pass — O(n²) residual
+        # memory, exactly the buffer this operator exists to avoid.  With
+        # checkpoint the backward recomputes each slab (cheap: one block
+        # cov + matmul) and the live set stays O(chunk·n).
+        @jax.checkpoint
+        def body_fn(vv_, xblk):
             with jax.default_matmul_precision("highest"):
                 Kb = _cov_any(kernels, xblk, x)  # (chunk, n)
-                out = jnp.matmul(
-                    vv, Kb.T, precision=jax.lax.Precision.HIGHEST
+                return jnp.matmul(
+                    vv_, Kb.T, precision=jax.lax.Precision.HIGHEST
                 )  # (B, chunk)
-            return None, out
+
+        def body(_, xblk):
+            return None, body_fn(vv, xblk)
 
         _, outs = lax.scan(body, None, xb)  # (nb, B, chunk)
         out = jnp.moveaxis(outs, 0, 1).reshape(vv.shape[0], nb * chunk)[:, :n]
@@ -445,6 +454,9 @@ class GPRegression(BaseModel):
         o = self._iter_opts
         n = int(self.x.shape[0])
         n_star = int(x_new.shape[0])
+        if n_star == 0:
+            empty = np.zeros((0,), dtype=np.asarray(self.y).dtype)
+            return empty if not compute_var else (empty, empty.copy())
         kern = self.params["kernel"]
         sigma2 = jnp.exp(self.params["log_noise"])
         mv = make_gram_matvec(kern, self.x, sigma2, chunk=int(o["matvec_chunk"]))

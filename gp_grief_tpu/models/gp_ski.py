@@ -1633,7 +1633,14 @@ class GPSKIRegression(BaseModel):
                 guard_consts, self.params, Kw_alpha, S, Tchol, x_new[:guard_k]
             )
             v_exact = np.asarray(v_exact)
-            scale = np.maximum(np.abs(v_exact), np.finfo(v_exact.dtype).tiny)
+            # Denominator floor at 1% of the sample's largest variance (round-4
+            # review): a denormal-tiny exact variance must not turn a
+            # negligible absolute deviation into an astronomic ratio — errors
+            # are judged relative to max(point variance, 1% of the local
+            # variance scale).
+            vmax = float(max(np.max(v_exact), np.max(var[:guard_k]), 0.0))
+            floor = max(1e-2 * vmax, float(np.finfo(v_exact.dtype).tiny))
+            scale = np.maximum(np.abs(v_exact), floor)
             rel = float(np.max(np.abs(var[:guard_k] - v_exact) / scale))
             if rel > love_tol:
                 warnings.warn(

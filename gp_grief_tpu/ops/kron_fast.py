@@ -177,9 +177,15 @@ def kron_matvec_fast(
                 "input, and fused_schedule_applicable shapes (with the slab "
                 "schedule inapplicable)"
             )
-        if fused_ok and not (
-            isinstance(precision, lax.Precision)
-            and precision == lax.Precision.HIGHEST
+        # impl="fused" is a FORCE: honor it at any precision (HIGHEST maps
+        # to Mosaic HIGHEST).  Under "auto", plain Precision.HIGHEST keeps
+        # the XLA chain (exact-f32 XLA semantics, the solver default).
+        if fused_ok and (
+            impl == "fused"
+            or not (
+                isinstance(precision, lax.Precision)
+                and precision == lax.Precision.HIGHEST
+            )
         ):
             fprec = (
                 lax.Precision.DEFAULT

@@ -852,7 +852,7 @@ def _fused_schedule(ms: Sequence[int], outs: Sequence[int], B: int, itemsize: in
             break
         if _tail_group_bytes(1, tms, touts, itemsize) > budget:
             break
-        n_lead = math.prod(ms[:t]) if t else 1
+        n_lead = math.prod(outs[:t]) if t else 1  # grid extent at execution
         blk = _padded_bytes((1, *tms), itemsize)
         if n_lead < 8 and blk > (1 << 20):
             break
@@ -875,9 +875,12 @@ def _fused_schedule(ms: Sequence[int], outs: Sequence[int], B: int, itemsize: in
             j += 1
         # Trailing lane extent of this pass: ≥ 96 actual lanes (see above),
         # and a legal Mosaic lane block must exist (divisor of L that is a
-        # multiple of 128, or a full-extent block within VMEM).
+        # multiple of 128, or a full-extent block within VMEM).  ``pre`` is
+        # the product of the ALREADY-CONTRACTED factors' OUTPUT sizes —
+        # exactly what _mid_group_pass will see at execution (rectangular
+        # factors differ from prod(ms[:i])).
         L = math.prod(ms[j + 1 :]) * B
-        pre = math.prod(ms[:i])
+        pre = math.prod(outs[:i])
         while (
             L < 96
             or _mid_group_BL(ms[i : j + 1], outs[i : j + 1], itemsize, pre, L) == 0
@@ -922,7 +925,9 @@ def _fused_primal(precision, interpret, factors, v):
     ms = [int(K.shape[1]) for K in factors]
     outs = [int(K.shape[0]) for K in factors]
     B = int(v.shape[1])
-    plan = _fused_schedule(ms, outs, B, int(v.dtype.itemsize))
+    # Same itemsize as fused_schedule_applicable (the factors') so the gate
+    # and the execution plan can never disagree on feasibility.
+    plan = _fused_schedule(ms, outs, B, int(factors[0].dtype.itemsize))
     if plan is None:
         raise ValueError("kron_matvec_fused: no feasible plan (gate with "
                          "fused_schedule_applicable)")

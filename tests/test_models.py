@@ -200,6 +200,53 @@ def test_gp_web_chunked_stats_match(rng):
     np.testing.assert_allclose(chunked.log_likelihood(), one.log_likelihood(), rtol=1e-10)
 
 
+def test_gp_web_chunked_stats_mixed_dtypes(rng):
+    """Scan-carry dtype must follow the promoted Φᵀy dtype (round-4 review):
+    f64 Φ with f32 y under x64 must not crash, and must match the one-shot."""
+    Phi = rng.standard_normal((60, 5))  # float64 under x64
+    y = rng.standard_normal(60).astype(np.float32)
+    one = GPweb(Phi, y, noise_var=0.3, stats_chunk=60)
+    chunked = GPweb(Phi, y, noise_var=0.3, stats_chunk=16)
+    np.testing.assert_allclose(
+        chunked.log_likelihood(), one.log_likelihood(), rtol=1e-6
+    )
+
+
+def test_gp_regression_matrix_free_predict_empty(rng):
+    """predict on zero test points returns empty arrays (round-4 review:
+    the chunked host loop crashed on range step 0)."""
+    from gp_grief_tpu import GPRegression
+
+    n = 60
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(n)
+    it = GPRegression(
+        x, y, make_kernel("rbf", lengthscale=0.8), noise_var=0.1,
+        solver="iterative", cg_iters=100, matvec_chunk=32,
+    )
+    mean, var = it.predict(np.empty((0, 2)))
+    assert mean.shape == (0,) and var.shape == (0,)
+    mean2 = it.predict(np.empty((0, 2)), compute_var=False)
+    assert mean2.shape == (0,)
+
+
+def test_sq_dist_self_pairs_snap_to_zero(rng):
+    """The matmul distance form snaps sub-cancellation-noise r² to exact 0
+    (round-4 review: Matérn √r² amplified ~eps residue on self-pairs when
+    the same block appears in both arguments with same=False)."""
+    import gp_grief_tpu.kernels.stationary as st
+
+    xs = jnp.asarray(rng.uniform(-5, 5, size=(40, 2)).astype(np.float32))
+    orig = st._EXACT_DIST_MAX_ELEMS
+    try:
+        st._EXACT_DIST_MAX_ELEMS = 0  # force the matmul branch
+        r2 = st._sq_dist(xs[:9], xs, same=False)  # block-of-itself case
+    finally:
+        st._EXACT_DIST_MAX_ELEMS = orig
+    diag = np.asarray(r2)[np.arange(9), np.arange(9)]
+    np.testing.assert_array_equal(diag, 0.0)
+
+
 def test_sq_dist_large_nm_uses_matmul_form(rng):
     """Round-3 weak #4: d≤4 at large n·m must NOT broadcast an (n, m, d)
     intermediate.  Gate check + accuracy of the matmul form at d=2."""
