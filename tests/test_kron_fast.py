@@ -66,6 +66,11 @@ def test_kron_matvec_fast_dispatch_gate(rng):
     assert jax.default_backend() == "cpu"
     with pytest.raises(ValueError, match="slab"):
         kron_matvec_fast(factors, v, impl="slab")
+    # The r14 general fused schedule is TPU-only too: forcing must raise.
+    f2 = tuple(jnp.asarray(rng.standard_normal((m, m))) for m in (128, 128))
+    v2 = jnp.asarray(rng.standard_normal(128 * 128))
+    with pytest.raises(ValueError, match="fused"):
+        kron_matvec_fast(f2, v2, impl="fused")
 
 
 def test_kron_matvec_fast_rectangular(rng):
