@@ -313,6 +313,7 @@ class GPRegression(BaseModel):
         key=None,
         cg_segment_iters: int = 50,
         probe_chunk: int = 8,
+        slq_iter_segment=None,
         verbose: bool = False,
         **overrides,
     ) -> float:
@@ -325,7 +326,14 @@ class GPRegression(BaseModel):
 
         Value-only (no gradients); ``overrides`` replace any of the
         constructor's iterative options (``num_probes``, ``lanczos_iters``,
-        ``cg_tol``, ``cg_iters``, ``precond_rank``, ``matvec_chunk``)."""
+        ``cg_tol``, ``cg_iters``, ``precond_rank``, ``matvec_chunk``).
+
+        ``slq_iter_segment``: segment the SLQ Lanczos RECURRENCE itself
+        (``iter_segment`` of :func:`ops.lanczos.slq_logdet_segmented`) —
+        required at scales where ONE matrix-free matvec costs seconds
+        (n=500k: a whole ``lanczos_iters``-deep probe chunk in one program
+        exceeded the ~60 s watchdog even at probe_chunk=1; measured worker
+        kill).  Pair with a small ``cg_segment_iters`` at those scales."""
         from gp_grief_tpu.ops.cg import cg_solve_segmented
         from gp_grief_tpu.ops.lanczos import slq_logdet_segmented
         from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor
@@ -366,6 +374,7 @@ class GPRegression(BaseModel):
                 mv_white, n, key=key, num_probes=o["num_probes"],
                 lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
                 layout="bm", probe_chunk=probe_chunk,
+                iter_segment=slq_iter_segment,
             )
         else:
             rhs = self.y[None, :]
@@ -379,6 +388,7 @@ class GPRegression(BaseModel):
                 mv, n, key=key, num_probes=o["num_probes"],
                 lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
                 layout="bm", probe_chunk=probe_chunk,
+                iter_segment=slq_iter_segment,
             )
         return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 

@@ -22,6 +22,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -163,6 +164,17 @@ def lanczos_batched(
     _colsum, _colnorm, _bc = _reducers(layout, axis_name)
 
     q0 = V0 / _bc(_colnorm(V0))
+    step = _make_lanczos_step(matvec, _colsum, _colnorm, _bc, dtype)
+    init = (q0, jnp.zeros_like(q0), jnp.zeros((R,), dtype), jnp.ones((R,), bool))
+    _, (alphas, betas, alive_flags) = lax.scan(step, init, None, length=k)
+    return alphas, betas[:-1], jnp.sum(alive_flags.astype(jnp.int32), axis=0)
+
+
+def _make_lanczos_step(matvec, _colsum, _colnorm, _bc, dtype):
+    """One batched-Lanczos iteration on carry ``(q, q_prev, beta_prev,
+    alive)`` — shared by :func:`lanczos_batched`, the iteration-segmented
+    SLQ, and (arithmetically) ``ops.fused``."""
+    eps = jnp.finfo(dtype).eps
 
     def step(carry, _):
         q, q_prev, beta_prev, alive = carry
@@ -181,9 +193,7 @@ def lanczos_batched(
         alive_next = jnp.logical_and(alive, ~broke)
         return (q_next, q, beta_out, alive_next), (alpha_out, beta_out, alive)
 
-    init = (q0, jnp.zeros_like(q0), jnp.zeros((R,), dtype), jnp.ones((R,), bool))
-    _, (alphas, betas, alive_flags) = lax.scan(step, init, None, length=k)
-    return alphas, betas[:-1], jnp.sum(alive_flags.astype(jnp.int32), axis=0)
+    return step
 
 
 def _slq_quadrature(alpha_col, beta_col, num_valid, k):
@@ -287,6 +297,7 @@ def slq_logdet_segmented(
     dtype=jnp.float32,
     layout: str = "bm",
     probe_chunk: int = 8,
+    iter_segment: Optional[int] = None,
 ) -> float:
     """Host-chunked SLQ log-det: probes run ``probe_chunk`` at a time, each
     chunk one jitted device program (the :func:`slq_logdet` batched estimator
@@ -299,6 +310,16 @@ def slq_logdet_segmented(
     executions over ~60 s — CLAUDE.md) a large-``m`` estimate cannot run as
     one program.  Chunking bounds each program at
     ``probe_chunk × lanczos_iters`` matvecs.  Returns a host float.
+
+    ``iter_segment``: additionally segment the Lanczos RECURRENCE — each
+    device program advances only ``iter_segment`` iterations, with the
+    recurrence carry (q, q_prev, β, alive) device-resident between
+    dispatches and the (tiny) per-iteration α/β fetched to host, where the
+    Gauss quadrature runs in f64.  Needed when a single matvec costs
+    seconds (the matrix-free exact-GP operator at n ≥ 500k rebuilds the
+    Gram block-by-block: ``lanczos_iters`` matvecs in one program blows the
+    ~60 s watchdog even at probe_chunk=1).  Same recurrence arithmetic and
+    probe draws; only the program partitioning differs.
     """
     if num_probes <= 0:
         raise ValueError("num_probes must be positive")
@@ -313,6 +334,11 @@ def slq_logdet_segmented(
     # gp_grief_tpu.utils.closure (multi-GB closures must never be embedded
     # in the lowered program).
     key_sds = jax.ShapeDtypeStruct(key.shape, key.dtype)
+    if iter_segment is not None:
+        return _slq_logdet_iter_segmented(
+            matvec, m, key, sizes, num_probes, int(lanczos_iters),
+            int(iter_segment), dtype, layout,
+        )
     progs = {}
     total = 0.0
     for c, r in enumerate(sizes):
@@ -330,3 +356,78 @@ def slq_logdet_segmented(
         # Per-chunk fetch: bounds the device queue at one chunk (axon relay).
         total += float(prog(consts, jax.random.fold_in(key, c))) * r
     return total / num_probes
+
+
+def _slq_logdet_iter_segmented(
+    matvec, m, key, sizes, num_probes, k, seg, dtype, layout
+) -> float:
+    """Iteration-segmented SLQ driver (see :func:`slq_logdet_segmented`)."""
+    from gp_grief_tpu.ops.cg import _reducers
+    from gp_grief_tpu.utils.closure import explicit_closure
+
+    _colsum, _colnorm, _bc = _reducers(layout, None)
+    seg = max(1, min(seg, k))
+    key_sds = jax.ShapeDtypeStruct(key.shape, key.dtype)
+
+    init_progs, seg_progs = {}, {}
+    total = 0.0
+    for c, r in enumerate(sizes):
+        if r not in init_progs:
+
+            def init_fn(kk, rr=r):
+                shape = (m, rr) if layout == "col" else (rr, m)
+                Z = jax.random.rademacher(kk, shape, dtype=dtype)
+                q0 = Z / _bc(_colnorm(Z))
+                znorm2 = _colsum(Z * Z)
+                carry = (
+                    q0, jnp.zeros_like(q0), jnp.zeros((rr,), dtype),
+                    jnp.ones((rr,), bool),
+                )
+                return carry, znorm2
+
+            ip, ic = explicit_closure(init_fn, key_sds)
+            init_progs[r] = (jax.jit(ip), ic)
+            carry_sds = jax.eval_shape(ip, ic, key_sds)[0]
+
+            def seg_fn(carry):
+                step = _make_lanczos_step(matvec, _colsum, _colnorm, _bc, dtype)
+                carry, outs = lax.scan(step, carry, None, length=seg)
+                return carry, outs  # outs: (seg, R) alphas/betas/alive
+
+            sp, sc = explicit_closure(seg_fn, carry_sds)
+            seg_progs[r] = (jax.jit(sp), sc)
+        ip, ic = init_progs[r]
+        sp, sc = seg_progs[r]
+        carry, znorm2 = ip(ic, jax.random.fold_in(key, c))
+        a_rows, b_rows, alive_rows = [], [], []
+        done = 0
+        while done < k:
+            carry, (a, b, al) = sp(sc, carry)
+            # Per-segment fetch: tiny (seg, R) blocks — the host sync that
+            # bounds each device program at `seg` matvecs.
+            a_rows.append(np.asarray(a))
+            b_rows.append(np.asarray(b))
+            alive_rows.append(np.asarray(al))
+            done += seg
+        alphas = np.concatenate(a_rows)[:k].astype(np.float64)
+        betas = np.concatenate(b_rows)[:k].astype(np.float64)
+        alive = np.concatenate(alive_rows)[:k]
+        num_valid = alive.sum(axis=0)
+        zn = np.asarray(znorm2, dtype=np.float64)
+        for j in range(r):
+            total += zn[j] * _np_slq_quadrature(
+                alphas[:, j], betas[: k - 1, j], int(num_valid[j]), k
+            )
+    return total / num_probes
+
+
+def _np_slq_quadrature(alpha_col, beta_col, num_valid, k) -> float:
+    """Host-f64 mirror of :func:`_slq_quadrature` (segmented driver)."""
+    T = np.diag(alpha_col) + np.diag(beta_col, 1) + np.diag(beta_col, -1)
+    live = np.arange(k) < num_valid
+    T = np.where(live[:, None] & live[None, :], T, 0.0)
+    T = T + np.diag(np.where(live, 0.0, 1.0))
+    theta, V = np.linalg.eigh(T)
+    tau = V[0, :]
+    theta_safe = np.where(theta > 0, theta, 1.0)
+    return float(np.sum(tau * tau * np.log(theta_safe)))

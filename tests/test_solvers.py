@@ -641,6 +641,32 @@ def test_slq_logdet_segmented_accuracy(rng):
     assert abs(ld - want) / abs(want) < 5e-2
 
 
+def test_slq_logdet_iter_segmented_matches_chunked(rng):
+    """Iteration-segmented SLQ (recurrence carry threaded across host
+    dispatches; round-4 — required when one matvec costs seconds) runs the
+    SAME recurrence with the SAME probe draws as the probe-chunked form, so
+    the two agree to recurrence arithmetic precision — including uneven
+    final segments and early breakdowns."""
+    from gp_grief_tpu.ops import slq_logdet_segmented
+
+    n = 60
+    A_np = _spd(rng, n, cond=50.0)
+    A = jnp.asarray(A_np)
+    kw = dict(key=jax.random.PRNGKey(0), num_probes=12, lanczos_iters=30,
+              dtype=A.dtype, layout="bm", probe_chunk=5)
+    base = slq_logdet_segmented(lambda v: v @ A, n, **kw)
+    for seg in (7, 30, 1):  # uneven, whole-recurrence, per-iteration
+        it = slq_logdet_segmented(lambda v: v @ A, n, iter_segment=seg, **kw)
+        np.testing.assert_allclose(it, base, rtol=1e-5), seg
+    # breakdown path: rank-3 + sigma I breaks down in ~4 iterations
+    L = rng.standard_normal((n, 3))
+    B_np = L @ L.T + 0.5 * np.eye(n)
+    B = jnp.asarray(B_np)
+    base_b = slq_logdet_segmented(lambda v: v @ B, n, **kw)
+    it_b = slq_logdet_segmented(lambda v: v @ B, n, iter_segment=4, **kw)
+    np.testing.assert_allclose(it_b, base_b, rtol=1e-5)
+
+
 def test_kron_deflation_sqrt_ops_oracle(rng):
     """Closed-form Kronecker-deflation spectral ops vs dense oracle:
     M_inv == inv(M), M_inv_sqrt∘M_inv_sqrt == M_inv, logdet_M exact."""
