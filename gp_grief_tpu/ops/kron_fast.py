@@ -169,7 +169,12 @@ def kron_matvec_fast(
             and not applicable
             and v.dtype == jnp.float32
             and jax.default_backend() == "tpu"
-            and fused_schedule_applicable(factors, int(v.shape[1]))
+            and fused_schedule_applicable(
+                factors, int(v.shape[1]),
+                # At the DEFAULT bf16 operating point every feasible shape
+                # measured a win (no x6 compute) — widen the gate there.
+                fast=precision == lax.Precision.DEFAULT,
+            )
         )
         if impl == "fused" and not fused_ok:
             raise ValueError(

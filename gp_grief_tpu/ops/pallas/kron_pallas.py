@@ -756,9 +756,17 @@ def _mid_group_BL(ms, outs, itemsize, pre, L) -> int:
     bound = max(128, budget // (2 * col_io + 2 * col_peak))
     # Pipelining: keep the grid ≥ 8 blocks when pre is small — a 1-block
     # grid leaves the DMA/compute pipeline empty (measured r14).
+    capped = bound
     if pre < 8 and L >= 8 * 128:
-        bound = min(bound, max(128, L // 8))
-    return _pick_lane_block(L, min(L, bound))
+        capped = min(bound, max(128, L // 8))
+    BL = _pick_lane_block(L, min(L, capped))
+    if BL == 0 and capped < bound:
+        # The pipelining PREFERENCE must not turn a feasible plan infeasible:
+        # when L has no 128-divisible divisor under the cap, fall back to
+        # the full VMEM bound (e.g. L=10⁴ at 100³ — only the full-extent
+        # block is Mosaic-legal).
+        BL = _pick_lane_block(L, min(L, bound))
+    return BL
 
 
 def _mid_group_pass(
@@ -894,18 +902,26 @@ def _fused_schedule(ms: Sequence[int], outs: Sequence[int], B: int, itemsize: in
     return mid_groups, tail_start
 
 
-def fused_schedule_applicable(factors: Sequence[jax.Array], B: int = 1) -> bool:
+def fused_schedule_applicable(
+    factors: Sequence[jax.Array], B: int = 1, *, fast: bool = False
+) -> bool:
     """True when :func:`kron_matvec_fused` has a feasible plan AND the shape
     class is one where it beats the cyclic XLA chain — the general-shape
     (ragged / d=2 / wide-pair) companion to :func:`slab_schedule_applicable`
     (round-3 next-step #1).
 
-    Win classes (measured, benchmarks/exp_r14_general.py): (a) the whole
-    lattice fits one fused pass (2·m words total — 11.9× at 24×48×96); (b) a
-    wide factor ≥ 256 is present (the cyclic chain's transpose passes
-    collapse there: 3.6–4.6× on (I_B, 512²)/(I_B, 1024²), 1.1× worst case).
-    Multi-small-factor ragged shapes with d ≥ 3 live work measured BELOW the
-    chain (0.6–0.95×) and stay on it."""
+    EXACT-grade win classes (measured, benchmarks/exp_r14_general.py):
+    (a) the whole lattice fits one fused pass (2·m words total — 11.9× at
+    24×48×96); (b) a wide factor ≥ 256 is present (the cyclic chain's
+    transpose passes collapse there: 3.6–4.6× on (I_B, 512²)/(I_B, 1024²),
+    1.1× worst case).  Multi-small-factor ragged shapes with d ≥ 3 live
+    work measured BELOW the chain at exact grade (0.6–0.95×) and stay on it
+    — at ``fast=True`` (the DEFAULT bf16 operating point: ONE bf16 dot per
+    contraction instead of x6 emulation) the win class widens to any
+    feasible shape with a factor ≥ 100 (100³ 58.5→17.2 µs = 3.4×;
+    (I₈, 512²) 599→41 µs = 14×); only the sub-100 ragged multi-factor class
+    ((I₈, 24·48·96): 0.9–1.8× across runs, inside run-to-run noise) stays
+    on the chain."""
     ms, outs = [], []
     for K in factors:
         if K.ndim != 2:
@@ -918,6 +934,8 @@ def fused_schedule_applicable(factors: Sequence[jax.Array], B: int = 1) -> bool:
     if plan is None:
         return False
     _, tail_start = plan
+    if fast:
+        return tail_start == 0 or max(ms) >= 100
     return tail_start == 0 or max(ms) >= 256
 
 

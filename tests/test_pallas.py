@@ -282,6 +282,43 @@ def test_kron_matvec_fused_gates(rng):
     assert not fused_schedule_applicable((f(16), f(12)), 1)  # tiny
     assert fused_schedule_applicable((f(512), f(512)), 1)
     assert fused_schedule_applicable((f(512), f(512)), 128)  # wide batch OK
+    # fast=True (DEFAULT bf16): the win class widens to any feasible shape
+    # with a factor >= 100 (e.g. 100^3) — but the sub-100 ragged
+    # multi-factor class and infeasible shapes stay on the chain.
+    f100 = (f(100), f(100), f(100))
+    assert not fused_schedule_applicable(f100, 1)
+    assert fused_schedule_applicable(f100, 1, fast=True)
+    fs3 = (jnp.eye(8, dtype=jnp.float32), f(24), f(48), f(96))
+    assert not fused_schedule_applicable(fs3, 1, fast=True)
+    assert not fused_schedule_applicable((f(24), f(48), f(24)), 1, fast=True)
+
+
+def test_kron_matvec_fused_full_extent_lane_block(rng):
+    """L with no 128-divisible divisor must fall back to the full-extent
+    Mosaic block when it fits VMEM (the 100^3 class) — the pipelining cap
+    must not turn a feasible plan infeasible (round-4)."""
+    from gp_grief_tpu.ops.pallas.kron_pallas import (
+        fused_schedule_applicable,
+        kron_matvec_fused,
+    )
+
+    sizes = (20, 20, 100)  # mid L = 2000: 2000 % 128 != 0
+    fs = tuple(
+        jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
+        for m in sizes
+    )
+    assert fused_schedule_applicable(fs, 1, fast=True)
+    m = int(np.prod(sizes))
+    v = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    got = kron_matvec_fused(fs, v, interpret=True)
+    x = np.asarray(v, np.float64).reshape(sizes)
+    for i, K in enumerate(fs):
+        x = np.moveaxis(
+            np.tensordot(np.asarray(K, np.float64), x, axes=(1, i)), 0, i
+        )
+    ref = x.reshape(-1)
+    rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5, rel
 
 
 def test_kron_matvec_fused_fuzz_interpret(rng):
