@@ -164,16 +164,19 @@ def kron_matvec_fast(
         # operating points (DEFAULT, or a DotAlgorithmPreset's X3 grade at
         # Mosaic HIGHEST ~1e-7).  Plain Precision.HIGHEST keeps the XLA
         # cyclic chain (exact-f32 XLA semantics, the solver default).
+        fast_point = (
+            precision == lax.Precision.DEFAULT or v.dtype == jnp.bfloat16
+        )
         fused_ok = (
             impl in ("auto", "fused")
             and not applicable
-            and v.dtype == jnp.float32
+            and v.dtype in (jnp.float32, jnp.bfloat16)
             and jax.default_backend() == "tpu"
             and fused_schedule_applicable(
                 factors, int(v.shape[1]),
-                # At the DEFAULT bf16 operating point every feasible shape
-                # measured a win (no x6 compute) — widen the gate there.
-                fast=precision == lax.Precision.DEFAULT,
+                # The DEFAULT / bf16-input operating point runs one bf16 dot
+                # per contraction (no x6 compute) — wider win class there.
+                fast=fast_point,
             )
         )
         if impl == "fused" and not fused_ok:

@@ -711,10 +711,15 @@ def _tail_group_pass(
 
     def kernel(x_ref, *refs):
         k_refs, o_ref = refs[:-1], refs[-1]
+        dt = x_ref.dtype
         t = x_ref[:]
         for k_ref in k_refs:
+            # Operands matched to the INPUT dtype each dot (no-op for f32;
+            # for bf16 inputs this is the honest one-bf16-dot-per-
+            # contraction grade — Mosaic is dtype-strict and rejects mixed
+            # f32/bf16 operands); accumulation stays f32 either way.
             t = lax.dot_general(
-                t, k_ref[:], (((1,), (1,)), ((), ())),
+                t.astype(dt), k_ref[:].astype(dt), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
         o_ref[:] = t.astype(o_ref.dtype)
@@ -791,12 +796,14 @@ def _mid_group_pass(
 
     def kernel(x_ref, *refs):
         k_refs, o_ref = refs[:-1], refs[-1]
+        dt = x_ref.dtype
         t = x_ref[0]  # (m_1, ..., m_g, BL)
         for k_ref in reversed(k_refs):
             # contract the current trailing-most uncontracted group axis —
             # always operand axis g-1 (see module notes); lane axis fixed.
+            # Operand dtypes matched to the input (see _tail_group_pass).
             t = lax.dot_general(
-                k_ref[:], t, (((1,), (g - 1,)), ((), ())),
+                k_ref[:].astype(dt), t.astype(dt), (((1,), (g - 1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
         o_ref[0] = t.astype(o_ref.dtype)
@@ -1028,6 +1035,12 @@ def kron_matvec_fused(
         v = v[:, None]
     if not isinstance(precision, lax.Precision):
         precision = lax.Precision.HIGHEST
+    if v.dtype == jnp.bfloat16:
+        # bf16 operands carry no extra bits for HIGHEST's emulation, and
+        # Mosaic rejects fp32 contract precision on bf16 inputs — one bf16
+        # MXU dot per contraction is the honest op (the mixed16 solver
+        # operating point; same rule as the slab's _mid_widened_pass).
+        precision = lax.Precision.DEFAULT
     out = _fused(precision, bool(interpret), tuple(factors), v)
     return out[:, 0] if squeeze else out
 

@@ -293,6 +293,28 @@ def test_kron_matvec_fused_gates(rng):
     assert not fused_schedule_applicable((f(24), f(48), f(24)), 1, fast=True)
 
 
+def test_kron_matvec_fused_bf16_input(rng):
+    """bf16 input vectors (the mixed16 solver state) run one bf16 dot per
+    contraction with a bf16 output — bf16-grade accuracy, dtype preserved."""
+    from gp_grief_tpu.ops.pallas.kron_pallas import kron_matvec_fused
+
+    sizes = (12, 24, 96)
+    fs = tuple(
+        jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
+        for m in sizes
+    )
+    m = int(np.prod(sizes))
+    v32 = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    v16 = v32.astype(jnp.bfloat16)
+    got = kron_matvec_fused(fs, v16, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    ref = kron_matvec_fused(fs, v32, interpret=True)
+    rel = float(
+        jnp.linalg.norm(got.astype(jnp.float32) - ref) / jnp.linalg.norm(ref)
+    )
+    assert rel < 3e-2, rel
+
+
 def test_kron_matvec_fused_full_extent_lane_block(rng):
     """L with no 128-divisible divisor must fall back to the full-extent
     Mosaic block when it fits VMEM (the 100^3 class) — the pipelining cap
