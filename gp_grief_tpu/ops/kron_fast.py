@@ -176,13 +176,16 @@ def kron_matvec_fast(
                 factors, int(v.shape[1]),
                 # The DEFAULT / bf16-input operating point runs one bf16 dot
                 # per contraction (no x6 compute) — wider win class there.
+                # impl="fused" is a FORCE: any feasible plan runs, win-class
+                # heuristics gate only the auto dispatch.
                 fast=fast_point,
+                feasible_only=impl == "fused",
             )
         )
         if impl == "fused" and not fused_ok:
             raise ValueError(
-                "kron_matvec_fast(impl='fused') needs a TPU backend, f32 "
-                "input, and fused_schedule_applicable shapes (with the slab "
+                "kron_matvec_fast(impl='fused') needs a TPU backend, an "
+                "f32/bf16 input, and a feasible fused plan (with the slab "
                 "schedule inapplicable)"
             )
         # impl="fused" is a FORCE: honor it at any precision (HIGHEST maps

@@ -159,7 +159,6 @@ def lanczos_batched(
         raise ValueError("layout must be 'col' or 'bm'")
     R = V0.shape[1] if layout == "col" else V0.shape[0]
     dtype = V0.dtype
-    eps = jnp.finfo(dtype).eps
 
     _colsum, _colnorm, _bc = _reducers(layout, axis_name)
 
@@ -369,6 +368,14 @@ def _slq_logdet_iter_segmented(
     seg = max(1, min(seg, k))
     key_sds = jax.ShapeDtypeStruct(key.shape, key.dtype)
 
+    # Segment lengths: full `seg`-iteration programs plus ONE remainder
+    # program — each matvec can cost seconds here, so running ceil(k/seg)·seg
+    # iterations and discarding the overshoot would waste up to seg−1
+    # matvecs per probe chunk (round-4 review).
+    seg_lens = [seg] * (k // seg)
+    if k % seg:
+        seg_lens.append(k % seg)
+
     init_progs, seg_progs = {}, {}
     total = 0.0
     for c, r in enumerate(sizes):
@@ -387,31 +394,33 @@ def _slq_logdet_iter_segmented(
 
             ip, ic = explicit_closure(init_fn, key_sds)
             init_progs[r] = (jax.jit(ip), ic)
-            carry_sds = jax.eval_shape(ip, ic, key_sds)[0]
-
-            def seg_fn(carry):
-                step = _make_lanczos_step(matvec, _colsum, _colnorm, _bc, dtype)
-                carry, outs = lax.scan(step, carry, None, length=seg)
-                return carry, outs  # outs: (seg, R) alphas/betas/alive
-
-            sp, sc = explicit_closure(seg_fn, carry_sds)
-            seg_progs[r] = (jax.jit(sp), sc)
         ip, ic = init_progs[r]
-        sp, sc = seg_progs[r]
+        carry_sds = jax.eval_shape(ip, ic, key_sds)[0]
+        for ln in set(seg_lens):
+            if (r, ln) not in seg_progs:
+
+                def seg_fn(carry, _ln=ln):
+                    step = _make_lanczos_step(
+                        matvec, _colsum, _colnorm, _bc, dtype
+                    )
+                    carry, outs = lax.scan(step, carry, None, length=_ln)
+                    return carry, outs  # outs: (ln, R) alphas/betas/alive
+
+                sp, sc = explicit_closure(seg_fn, carry_sds)
+                seg_progs[(r, ln)] = (jax.jit(sp), sc)
         carry, znorm2 = ip(ic, jax.random.fold_in(key, c))
         a_rows, b_rows, alive_rows = [], [], []
-        done = 0
-        while done < k:
+        for ln in seg_lens:
+            sp, sc = seg_progs[(r, ln)]
             carry, (a, b, al) = sp(sc, carry)
-            # Per-segment fetch: tiny (seg, R) blocks — the host sync that
-            # bounds each device program at `seg` matvecs.
+            # Per-segment fetch: tiny (ln, R) blocks — the host sync that
+            # bounds each device program at `ln` matvecs.
             a_rows.append(np.asarray(a))
             b_rows.append(np.asarray(b))
             alive_rows.append(np.asarray(al))
-            done += seg
-        alphas = np.concatenate(a_rows)[:k].astype(np.float64)
-        betas = np.concatenate(b_rows)[:k].astype(np.float64)
-        alive = np.concatenate(alive_rows)[:k]
+        alphas = np.concatenate(a_rows).astype(np.float64)
+        betas = np.concatenate(b_rows).astype(np.float64)
+        alive = np.concatenate(alive_rows)
         num_valid = alive.sum(axis=0)
         zn = np.asarray(znorm2, dtype=np.float64)
         for j in range(r):

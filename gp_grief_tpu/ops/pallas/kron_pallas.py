@@ -285,6 +285,14 @@ def kron_matvec_pallas(
 
 _SLAB_VMEM = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
+# Shared VMEM budget of the general fused schedule (scheduler AND pass
+# primitives — they must never disagree on feasibility): leaves headroom
+# under the 64M scoped limit for double-buffering slop, with operand bytes
+# counted at x2.5 (Mosaic HIGHEST's x6 emulation materializes hi/lo bf16
+# weight copies — a 2048^2 factor measured 72.9M scoped against 64M with a
+# x1 allowance).
+_FUSED_VMEM_BUDGET = 36 * 1024 * 1024
+
 
 def _pick_BL(L: int, row_bytes_per_lane: int, budget: int = 24 * 1024 * 1024) -> int:
     """Largest divisor of L whose in+out blocks (double-buffered) fit the
@@ -698,7 +706,7 @@ def _tail_group_pass(
     g = len(ms)
     assert len(Ks) == g
     if block_rows <= 0:
-        budget = 36 * 1024 * 1024
+        budget = _FUSED_VMEM_BUDGET
         bb = max(1, N)
         while bb > 1 and _tail_group_bytes(bb, ms, outs, x.dtype.itemsize) > budget:
             bb //= 2
@@ -753,7 +761,7 @@ def _mid_group_BL(ms, outs, itemsize, pre, L) -> int:
     col_io = (math.prod(ms) + math.prod(outs)) * itemsize
     # Operand allowance ×2.5: Mosaic HIGHEST x6 materializes hi/lo bf16
     # copies of the weights (see _tail_group_bytes).
-    budget = 36 * 1024 * 1024 - (
+    budget = _FUSED_VMEM_BUDGET - (
         5 * sum(_padded_bytes((o, m), itemsize) for o, m in zip(outs, ms))
     ) // 2
     if budget <= 0:
@@ -838,7 +846,7 @@ def _fused_schedule(ms: Sequence[int], outs: Sequence[int], B: int, itemsize: in
     order), and factors ``tail_start..d-1`` (+ an I_B when batched) form one
     tail-group pass.  ``None`` if no feasible plan exists."""
     d = len(ms)
-    budget = 36 * 1024 * 1024
+    budget = _FUSED_VMEM_BUDGET
 
     # Lane-pad economics (measured, exp_r14_general.py round 1): every block
     # DMA moves LANE-PADDED bytes, so the trailing axis of any tail block
@@ -910,7 +918,11 @@ def _fused_schedule(ms: Sequence[int], outs: Sequence[int], B: int, itemsize: in
 
 
 def fused_schedule_applicable(
-    factors: Sequence[jax.Array], B: int = 1, *, fast: bool = False
+    factors: Sequence[jax.Array],
+    B: int = 1,
+    *,
+    fast: bool = False,
+    feasible_only: bool = False,
 ) -> bool:
     """True when :func:`kron_matvec_fused` has a feasible plan AND the shape
     class is one where it beats the cyclic XLA chain — the general-shape
@@ -940,6 +952,10 @@ def fused_schedule_applicable(
     plan = _fused_schedule(ms, outs, B, int(factors[0].dtype.itemsize))
     if plan is None:
         return False
+    if feasible_only:
+        # ``impl="fused"`` forcing / experiments: any feasible plan runs —
+        # the win-class heuristics below gate only the AUTO dispatch.
+        return True
     _, tail_start = plan
     if fast:
         return tail_start == 0 or max(ms) >= 100

@@ -38,9 +38,11 @@ def init_distributed(
     to run).  Multi-process: call this BEFORE any other jax use, passing
     the coordinator address etc. explicitly, or with no arguments in an
     environment that announces a coordinator
-    (``$COORDINATOR_ADDRESS`` / ``$MEGASCALE_COORDINATOR_ADDRESS`` /
-    ``$TPU_WORKER_HOSTNAMES``).  Returns ``jax.process_count()`` (1 on the
-    no-op path).
+    (``$COORDINATOR_ADDRESS`` / ``$MEGASCALE_COORDINATOR_ADDRESS``, or
+    ``$TPU_WORKER_HOSTNAMES`` listing MORE THAN ONE host — a single-entry
+    hostname list is the normal single-host Cloud TPU VM case, where
+    auto-initializing would hang; such environments must pass explicit
+    arguments).  Returns ``jax.process_count()`` (1 on the no-op path).
     """
     import os
     import warnings

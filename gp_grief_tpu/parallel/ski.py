@@ -756,6 +756,38 @@ class ShardedGPSKIRegression(BaseModel):
 
     # -- segmented (watchdog-safe) evaluation + training ---------------------
 
+    def _wrap_sharded_program(self, fn, in_specs, out_specs):
+        """``jit(shard_map(fn))`` with closure-captured arrays HOISTED into
+        explicit device-buffer arguments on first call (lazy — the example
+        shapes come from the first real arguments).
+
+        Why: the lattice bodies close over ``self._wtw_stencil`` — 3^d·M
+        tables ≈ 324 MB at the 1M/32⁴ scale — and a bound ``jax.jit`` would
+        bake them into every lowered program, re-serialized per program send
+        through the relay (the utils/closure rule; round-4 review)."""
+        from gp_grief_tpu.utils.closure import explicit_closure
+
+        sm = shard_map(
+            fn, mesh=self.mesh, in_specs=in_specs,
+            out_specs=out_specs, check_vma=False,
+        )
+        box = {}
+
+        def call(*args):
+            if "prog" not in box:
+                sds = jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(
+                        jnp.shape(a), jnp.result_type(a)
+                    ),
+                    args,
+                )
+                pure, consts = explicit_closure(sm, *sds)
+                box["prog"] = (jax.jit(pure), consts)
+            prog, consts = box["prog"]
+            return prog(consts, *args)
+
+        return call
+
     def _seg_programs(self, segment_iters: int, B: int):
         """Compile-once sharded (init, segment, finish, slq) programs for the
         segmented NLML/training paths (cached per geometry).
@@ -877,7 +909,6 @@ class ShardedGPSKIRegression(BaseModel):
 
             def init_local(params, key, y_loc, mk, plan_st, idx_st, w_st):
                 plan = self._resolve_plan(plan_st)
-                sigma2 = jnp.exp(params["log_noise"])
                 factors = cov_grid(
                     params["kernels"], self.xg, dim_noise_var=self.dim_noise_var
                 )
@@ -954,13 +985,7 @@ class ShardedGPSKIRegression(BaseModel):
             fin_out = (P(), P(), sharded_bm)
             slq_in = (param_specs, P(), P(an), plan_spec, P(an, None), P())
 
-        def _wrap(fn, in_specs, out_specs):
-            return jax.jit(
-                shard_map(
-                    fn, mesh=self.mesh, in_specs=in_specs,
-                    out_specs=out_specs, check_vma=False,
-                )
-            )
+        _wrap = self._wrap_sharded_program
 
         cache[key_t] = (
             _wrap(init_local, init_in, init_out),
@@ -1154,16 +1179,37 @@ class ShardedGPSKIRegression(BaseModel):
         else:
             sur_in = (param_specs, P(None, an), P(None, an), P(an), P(an), plan_spec)
         if getattr(self, "_seg_vg_key", None) != (R, lattice):
+            from gp_grief_tpu.utils.closure import explicit_closure
+
             sur = shard_map(
                 surrogate_local, mesh=self.mesh, in_specs=sur_in,
                 out_specs=P(), check_vma=False,
             )
-            self._seg_vg_key = (R, lattice)
-            self._seg_vg = jax.jit(
-                lambda p, sol, z, y, mk, pa: jax.value_and_grad(
+
+            def vg_fn(p, sol, z, y, mk, pa):
+                return jax.value_and_grad(
                     lambda pp: sur(pp, sol, z, y, mk, pa)
                 )(p)
-            )
+
+            # Lazy explicit_closure (see _wrap_sharded_program): the lattice
+            # surrogate closes over the WtW stencil tables.
+            box = {}
+
+            def vg_call(*args):
+                if "prog" not in box:
+                    sds = jax.tree.map(
+                        lambda a: jax.ShapeDtypeStruct(
+                            jnp.shape(a), jnp.result_type(a)
+                        ),
+                        args,
+                    )
+                    pure, consts = explicit_closure(vg_fn, *sds)
+                    box["prog"] = (jax.jit(pure), consts)
+                prog, consts = box["prog"]
+                return prog(consts, *args)
+
+            self._seg_vg_key = (R, lattice)
+            self._seg_vg = vg_call
         vg = self._seg_vg
 
         opt = optax.adam(learning_rate)
@@ -1332,15 +1378,10 @@ class ShardedGPSKIRegression(BaseModel):
                    tuple(P(an, None) for _ in self._sidx),
                    tuple(P(an, None, None) for _ in self._sw))
         if not hasattr(self, "_predict_progs") or self._predict_progs[0] != chunk:
-            prep = jax.jit(
-                shard_map(prep_local, mesh=self.mesh, in_specs=plan_in,
-                          out_specs=P(), check_vma=False)
-            )
-            varp = jax.jit(
-                shard_map(var_local, mesh=self.mesh,
-                          in_specs=plan_in + (P(),),
-                          out_specs=P(), check_vma=False)
-            )
+            # Hoisted-capture wrapper (stencil tables — see
+            # _wrap_sharded_program); same relay rule as the segmented paths.
+            prep = self._wrap_sharded_program(prep_local, plan_in, P())
+            varp = self._wrap_sharded_program(var_local, plan_in + (P(),), P())
             self._predict_progs = (chunk, prep, varp)
         _, prep, varp = self._predict_progs
 
