@@ -83,7 +83,15 @@ class Cosine:
 
 @param_dataclass
 class White:
-    """White noise: ``σ² I`` on identical inputs, 0 across."""
+    """White noise: ``σ²·1[x == z]`` — the identity on one input set, and the
+    exact coincidence indicator across two.
+
+    The explicit-``z`` branch must detect coincident PAIRS, not return zero:
+    the matrix-free Gram matvec evaluates ``k(x_block, x)`` with ``z≠None``,
+    where a blanket zero would silently drop the White diagonal from the
+    operator while ``cov_diag`` still includes it (round-4 review).  The
+    per-dim equality product keeps the peak intermediate at one (n, m)
+    block, never (n, m, d)."""
 
     log_variance: jax.Array
 
@@ -91,7 +99,10 @@ class White:
         x, z, same = _prep(x, z)
         if same:
             return positive(self.log_variance) * jnp.eye(x.shape[0], dtype=x.dtype)
-        return jnp.zeros((x.shape[0], z.shape[0]), dtype=x.dtype)
+        eq = jnp.ones((x.shape[0], z.shape[0]), dtype=bool)
+        for k in range(x.shape[1]):
+            eq = eq & (x[:, k, None] == z[None, :, k])
+        return positive(self.log_variance) * eq.astype(x.dtype)
 
 
 @param_dataclass

@@ -150,7 +150,9 @@ def _phi_fused_applicable(xg, dims) -> bool:
     if any(int(g.shape[0]) != m0 for g in xg):
         return False
     try:
-        return jax.default_backend() == "tpu"
+        from gp_grief_tpu.utils.checks import is_tpu_backend
+
+        return is_tpu_backend()
     except Exception:
         return False
 
@@ -230,9 +232,13 @@ def phi(
 
             B_stack, S_stack = _phi_fused_operands(basis, Kx)
             return phi_fused_pallas(B_stack, S_stack)
+        hi = jax.lax.Precision.HIGHEST
         out = None
         for d in range(len(xg)):
-            B = Kx[d] @ basis.Qs[d]
+            # HIGHEST, matching every other Φ path (the TPU-default bf16
+            # matmul would make the ragged/grouped fallback an order of
+            # magnitude less accurate than documented — round-4 review).
+            B = jnp.matmul(Kx[d], basis.Qs[d], precision=hi)
             cols = basis.idx[:, d]
             log_lam_d = jnp.log(jnp.clip(basis.lams[d], tiny, None))
             G = jnp.take(B, cols, axis=1) * jnp.exp(-0.5 * jnp.take(log_lam_d, cols))

@@ -113,6 +113,13 @@ class GPGriefModel(BaseModel):
     phi_impl: str = "auto"
 
     def _stats_from(self, kerns, basis: GriefBasis) -> BasisStats:
+        # Precision note: these one-time GEMMs run at the TPU DEFAULT (bf16
+        # products).  Deliberate — and empirically validated: the closed-form
+        # NLML they feed agrees with the all-HIGHEST iterative evaluator to
+        # 2.2e-5 relative at uci2m (n=1.9M, p=400; BENCH configs, round 4),
+        # i.e. the Gram's bf16 entry noise averages out in the O(p³) core,
+        # while HIGHEST here would 6× the dominant per-step cost.  The
+        # solver-facing matvec paths (κ-sensitive) stay HIGHEST.
         n = self.x.shape[0]
         if n <= self.stats_chunk:
             Phi = phi(basis, kerns, self.xg, self.x, dims=self.dims, impl=self.phi_impl)
@@ -281,7 +288,6 @@ class GPGriefModel(BaseModel):
         n = self.x.shape[0]
         r = int(min(precond_rank, self.n_eigs))
 
-        @jax.jit
         def _nlml(params, key):
             Phi = _phi(self._basis, params["kernels"], self.xg, self.x, dims=self.dims, impl=self.phi_impl)
             w = jnp.exp(params["log_w"])
@@ -363,7 +369,26 @@ class GPGriefModel(BaseModel):
                 )
             return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi))
 
-        return -float(_nlml(self.params, key))
+        # Compile-once + hoisted captures (x, y, basis — data-sized at uci2m;
+        # a per-call @jax.jit retraced every invocation AND baked them into
+        # the lowered module, re-serialized through the relay each call —
+        # round-4 review; same pattern as every sibling evaluator).
+        mono_key = (r, int(num_probes), int(lanczos_iters), float(cg_tol),
+                    int(cg_iters), self._cached_for)
+        if getattr(self, "_iter_mono_key", None) != mono_key:
+            from gp_grief_tpu.utils.closure import explicit_closure
+
+            self._iter_mono_key = None
+            sds = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+                self.params,
+            )
+            key_sds = jax.ShapeDtypeStruct(key.shape, key.dtype)
+            pure, consts = explicit_closure(_nlml, sds, key_sds)
+            self._iter_mono = (jax.jit(pure), consts)
+            self._iter_mono_key = mono_key
+        fn, consts = self._iter_mono
+        return -float(fn(consts, self.params, key))
 
     def log_likelihood_iterative_segmented(
         self,

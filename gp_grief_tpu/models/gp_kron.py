@@ -268,6 +268,13 @@ class GPKroneckerRegression(BaseModel):
                 self.cg_precision in ("mixed", "mixed16")
                 and self.precond_rank == 0
             )
+            # Batch-major (1, m) state — an (m, 1) column state lane-pads
+            # 1 → 128 under the TPU T(8,128) tiling (128× the axpy traffic,
+            # 2.5 GB of dead state at m=33.5M; the segmented path already
+            # ran bm, this monolithic solve was missed — round-4 review).
+            def _bm(op):
+                return lambda vv: op(vv[0])[None, :]
+
             if use_mixed:
                 from gp_grief_tpu.ops.cg import cg_solve_refined
 
@@ -279,25 +286,27 @@ class GPKroneckerRegression(BaseModel):
                     )
 
                 alpha_w = cg_solve_refined(
-                    mv_fast_w,
-                    mv_exact_w,
-                    rhs_w,
+                    _bm(mv_fast_w),
+                    _bm(mv_exact_w),
+                    rhs_w[None, :],
                     tol=max(self.cg_tol, 1e-7),
                     inner_iters=50,
                     max_restarts=max(1, self.cg_iters // 50),
-                    M_inv=M_inv_hook,
+                    M_inv=None if M_inv_hook is None else _bm(M_inv_hook),
                     state_dtype=(
                         jnp.bfloat16 if self.cg_precision == "mixed16" else None
                     ),
-                )
+                    layout="bm",
+                )[0]
             else:
                 alpha_w = cg_solve(
-                    mv_exact_w,
-                    rhs_w,
+                    _bm(mv_exact_w),
+                    rhs_w[None, :],
                     tol=self.cg_tol,
                     max_iters=self.cg_iters,
-                    M_inv=M_inv_hook,
-                )
+                    M_inv=None if M_inv_hook is None else _bm(M_inv_hook),
+                    layout="bm",
+                )[0]
             # quad = yᵀA⁻¹y = (M⁻½y)ᵀ (M⁻½AM⁻½)⁻¹ (M⁻½y) = rhs_w·alpha_w.
             quad = jnp.dot(rhs_w, alpha_w)
         logdet = jnp.sum(jnp.log(lam + sigma2))
@@ -481,6 +490,9 @@ class GPKroneckerRegression(BaseModel):
                 f"total sub_dim width); got {int(x_new.shape[1])}"
             )
         n_star = int(x_new.shape[0])
+        if n_star == 0:
+            empty = np.zeros((0,), dtype=np.asarray(self.y).dtype)
+            return empty if not compute_var else (empty, empty.copy())
         if chunk <= 0:
             # ~512 MB f32 of (m, c) columns, at least 16, at most n*.
             chunk = int(max(1, min(n_star, max(16, (1 << 27) // max(self.m, 1)))))

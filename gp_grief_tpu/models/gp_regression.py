@@ -25,6 +25,7 @@ from gp_grief_tpu.kernels.diag import cov_diag
 from gp_grief_tpu.kernels.grid import product_cov
 from gp_grief_tpu.kernels.stationary import Stationary
 from gp_grief_tpu.models.base import BaseModel, check_xy
+from gp_grief_tpu.ops.batching import safe_batch_op
 from gp_grief_tpu.ops.cg import cg_solve
 from gp_grief_tpu.ops.lanczos import slq_logdet
 from gp_grief_tpu.ops.precond import (
@@ -206,16 +207,18 @@ def gp_nlml_iterative(
         # curvature sits below the matvec's output rounding (RESULTS_r5.md
         # §7; trained-optimum σ² routinely gets there).  The preconditioner
         # is stop-grad, so the gradient surrogates below are unaffected.
+        # safe_batch_op: B = 1+num_probes (33 by default) is an unsafe
+        # sublane extent under iteration on TPU (ops/batching.py).
         M_inv_sqrt_ = pre[1]
         solw = cg_solve(
-            lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv))),
+            safe_batch_op(lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv)))),
             M_inv_sqrt_(rhs), tol=cg_tol, max_iters=cg_iters, layout="bm",
             implicit_diff=False,
         )
         sol = M_inv_sqrt_(solw)
     else:
-        sol = cg_solve(mv, rhs, tol=cg_tol, max_iters=cg_iters, layout="bm",
-                       implicit_diff=False)
+        sol = cg_solve(safe_batch_op(mv), rhs, tol=cg_tol, max_iters=cg_iters,
+                       layout="bm", implicit_diff=False)
     alpha = lax.stop_gradient(sol[0])
     S = lax.stop_gradient(sol[1:])
 
@@ -227,9 +230,9 @@ def gp_nlml_iterative(
     # M⁻½ÃM⁻½ converges in a handful of quadrature nodes.
     if pre is not None:
         M_inv_sqrt, ld_off = pre[1], pre[2]
-        slq_mv = lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))  # noqa: E731
+        slq_mv = safe_batch_op(lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))))
     else:
-        slq_mv, ld_off = mv, 0.0
+        slq_mv, ld_off = safe_batch_op(mv), 0.0
     ld_val = lax.stop_gradient(
         ld_off
         + slq_logdet(
@@ -360,8 +363,9 @@ class GPRegression(BaseModel):
                 Lpc, sigma2, layout="bm"
             )
 
-            def mv_white(vv):
-                return M_inv_sqrt(mv(M_inv_sqrt(vv)))
+            mv_white = safe_batch_op(
+                lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))
+            )
 
             vt = M_inv_sqrt(self.y[None, :])
             gam = cg_solve_segmented(

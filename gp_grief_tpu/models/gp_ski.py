@@ -630,7 +630,14 @@ class GPSKIRegression(BaseModel):
         if pre is None:
             pre = self._build_precond(factors, sigma2)
         M_inv = pre[0] if pre is not None else None
-        mv = self._matvec_bm(factors, sigma2)
+        # safe_batch_op: the default NLML solve iterates at B = 1+num_probes
+        # (17) and exact-variance predicts at B = chunk — unsafe sublane
+        # extents are run-to-run nondeterministic under iteration on TPU
+        # (ops/batching.py; the segmented paths were already wrapped, this
+        # monolithic path was missed — round-4 review).
+        mv = safe_batch_op(self._matvec_bm(factors, sigma2))
+        if M_inv is not None:
+            M_inv = safe_batch_op(M_inv)
         if o["cg_precision"] == "mixed":
             from gp_grief_tpu.ops.cg import cg_solve_refined
 
@@ -643,9 +650,9 @@ class GPSKIRegression(BaseModel):
             # exact CG — prefer cg_precision="exact" (the default) for SKI
             # (RESULTS_r3.md §2).  Kept for API symmetry with the dense and
             # GRIEF iterative paths, where the matvec IS the bf16 cost.
-            mv_fast = self._matvec_bm(
+            mv_fast = safe_batch_op(self._matvec_bm(
                 factors, sigma2, precision=lax.Precision.DEFAULT
-            )
+            ))
             if pre is not None:
                 # Whitened-basis refinement — the data-space M⁻¹ hook keeps
                 # the σ² < ε_f32·λmax freeze (RESULTS_r5.md §7); whiten the
@@ -653,8 +660,8 @@ class GPSKIRegression(BaseModel):
                 # M^{-1/2} applications are cheap next to the matvec).
                 M_inv_sqrt_ = pre[1]
                 solw = cg_solve_refined(
-                    lambda vv: M_inv_sqrt_(mv_fast(M_inv_sqrt_(vv))),
-                    lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv))),
+                    safe_batch_op(lambda vv: M_inv_sqrt_(mv_fast(M_inv_sqrt_(vv)))),
+                    safe_batch_op(lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv)))),
                     M_inv_sqrt_(rhs_bm),
                     tol=max(o["cg_tol"], 1e-7), inner_iters=50,
                     max_restarts=max(1, o["cg_iters"] // 50),
@@ -678,7 +685,7 @@ class GPSKIRegression(BaseModel):
             # RESULTS_r5.md §7) — trained optima routinely get there.
             M_inv_sqrt_ = pre[1]
             solw = cg_solve(
-                lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv))),
+                safe_batch_op(lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv)))),
                 M_inv_sqrt_(rhs_bm), tol=o["cg_tol"], max_iters=o["cg_iters"],
                 layout="bm", implicit_diff=False,
             )
@@ -731,10 +738,12 @@ class GPSKIRegression(BaseModel):
         # as GPGriefModel.log_likelihood_iterative).
         if pre is not None:
             M_inv_sqrt, logdet_M = pre[1], pre[2]
-            slq_mv = lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))  # noqa: E731
+            slq_mv = safe_batch_op(
+                lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))
+            )
             ld_off = logdet_M
         else:
-            slq_mv, ld_off = mv, 0.0
+            slq_mv, ld_off = safe_batch_op(mv), 0.0
         ld_val = lax.stop_gradient(
             ld_off
             + slq_logdet(
@@ -1399,6 +1408,9 @@ class GPSKIRegression(BaseModel):
         if x_new.ndim == 1:
             x_new = x_new[:, None]
         n_star = int(x_new.shape[0])
+        if n_star == 0:
+            empty = np.zeros((0,), dtype=np.asarray(self.y).dtype)
+            return empty if not compute_var else (empty, empty.copy())
         n = int(self.x.shape[0])
         m = int(np.prod([g.shape[0] for g in self.xg]))
         # LOVE's Krylov space is n-dimensional for the data solver but

@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from gp_grief_tpu.utils.checks import is_tpu_backend as _is_tpu
+
 __all__ = ["group_factors", "kron_matvec_fast"]
 
 
@@ -134,7 +136,7 @@ def kron_matvec_fast(
         )
 
         applicable = (
-            jax.default_backend() == "tpu"
+            _is_tpu()
             and slab_schedule_applicable(factors, int(v.shape[1]))
         )
         if impl == "slab" and not applicable:
@@ -171,7 +173,7 @@ def kron_matvec_fast(
             impl in ("auto", "fused")
             and not applicable
             and v.dtype in (jnp.float32, jnp.bfloat16)
-            and jax.default_backend() == "tpu"
+            and _is_tpu()
             and fused_schedule_applicable(
                 factors, int(v.shape[1]),
                 # The DEFAULT / bf16-input operating point runs one bf16 dot

@@ -1272,6 +1272,9 @@ class ShardedGPSKIRegression(BaseModel):
         if x_new.ndim == 1:
             x_new = x_new[:, None]
         n_star = int(x_new.shape[0])
+        if n_star == 0:
+            empty = np.zeros((0,), dtype=np.asarray(self.y).dtype)
+            return empty if not compute_var else (empty, empty.copy())
         chunk = max(1, min(chunk, n_star))
         n_c = -(-n_star // chunk) * chunk
         x_pad = (

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
 
-__all__ = ["check_finite", "guarded"]
+__all__ = ["check_finite", "guarded", "is_tpu_backend"]
 
 
 def check_finite(x: jax.Array, name: str = "value") -> None:
@@ -45,3 +45,13 @@ def guarded(fn: Callable, *, check_output: bool = True) -> Callable:
         return out
 
     return wrapped
+
+
+def is_tpu_backend() -> bool:
+    """One shared answer to "is the Mosaic chip available?" — the relay
+    backend has reported both ``"tpu"`` and (defensively) ``"axon"`` as the
+    platform name; gates scattered across the package previously disagreed
+    (round-4 review)."""
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")

@@ -47,6 +47,10 @@ def test_white_constant_linear(rng):
     w = White(log_variance=inverse_positive(0.3))
     np.testing.assert_allclose(np.asarray(w(x)), 0.3 * np.eye(5), rtol=1e-12)
     assert np.all(np.asarray(w(x, z)) == 0)
+    # Coincident PAIRS across two argument sets must see σ² (the matrix-free
+    # Gram matvec evaluates k(x_block, x) with z≠None — round-4 review).
+    Kxx = np.asarray(w(x[:3], x))
+    np.testing.assert_allclose(Kxx, 0.3 * np.eye(5)[:3], rtol=1e-12)
     c = Constant(log_variance=inverse_positive(2.0))
     np.testing.assert_allclose(np.asarray(c(x, z)), 2.0, rtol=1e-12)
     lin = Linear(log_variances=inverse_positive(jnp.asarray([1.0, 4.0])))

@@ -461,6 +461,29 @@ def test_checkgrad_catches_bug_under_large_objective():
     assert ok2
 
 
+def test_predict_empty_inputs(rng):
+    """All chunked predict paths return empty arrays on zero test points
+    instead of dividing by a zero chunk (round-4 review)."""
+    g0 = np.linspace(0, 1, 6)
+    y = rng.standard_normal(36)
+    kron = GPKroneckerRegression(
+        [g0[:, None]] * 2, y, [make_kernel("rbf", lengthscale=0.5)] * 2,
+        noise_var=0.2,
+    )
+    m0, v0 = kron.predict(np.empty((0, 2)))
+    assert m0.shape == (0,) and v0.shape == (0,)
+    from gp_grief_tpu import GPSKIRegression
+
+    x = rng.uniform(0, 1, size=(50, 2))
+    ys = np.sin(x[:, 0]) + 0.05 * rng.standard_normal(50)
+    ski = GPSKIRegression(
+        x, ys, make_kernel("rbf", lengthscale=0.5), mbar=6, noise_var=0.2,
+        num_probes=4, lanczos_iters=10, cg_iters=50,
+    )
+    m1, v1 = ski.predict(np.empty((0, 2)))
+    assert m1.shape == (0,) and v1.shape == (0,)
+
+
 def test_checkgrad_sampled(rng):
     """sample=k probes ~k components (scalar leaves always included) and
     still catches a bug planted in a scalar hyper (round-3 weak #3)."""
