@@ -353,17 +353,24 @@ def test_kron_matvec_fused_fuzz_interpret(rng):
     )
 
     tried = 0
-    for trial in range(24):
+    for trial in range(30):
         d = int(rng.integers(2, 5))
         sizes = [int(rng.choice([4, 8, 12, 16, 24, 32, 48, 96, 100, 128]))
                  for _ in range(d)]
         if np.prod(sizes) > 400_000:
             continue
+        # ~1/3 of draws use RECTANGULAR factors (outputs != inputs): the
+        # planner's pre/grid extents must agree with the pass primitives'
+        # (a round-4 review finding fixed exactly this class).
+        outs = list(sizes)
+        if trial % 3 == 0:
+            outs = [int(rng.choice([8, 16, 32, 96, 128])) for _ in sizes]
+            outs[-1] = max(outs[-1], 96)  # keep the tail-lane gate satisfied
         fs = tuple(
-            jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
-            for m in sizes
+            jnp.asarray(rng.standard_normal((o, m)) / np.sqrt(m), jnp.float32)
+            for o, m in zip(outs, sizes)
         )
-        plan = _fused_schedule(sizes, sizes, 1, 4)
+        plan = _fused_schedule(sizes, outs, 1, 4)
         if plan is None:
             continue
         tried += 1
