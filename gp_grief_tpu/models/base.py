@@ -219,17 +219,20 @@ def basis_stats_from_phi(Phi, y, *, chunk: int = 131072) -> BasisStats:
     n, p = Phi.shape
     if n <= chunk:
         return BasisStats(C=Phi.T @ Phi, v=Phi.T @ y, yy=jnp.dot(y, y), n=n)
-    nchunks = -(-n // chunk)
-    pad = nchunks * chunk - n
-    Phip = jnp.pad(Phi, ((0, pad), (0, 0))).reshape(nchunks, chunk, p)
-    yp = jnp.pad(y, (0, pad)).reshape(nchunks, chunk)
+    # Scan over dynamic_slice row windows of the UNPADDED Φ: a jnp.pad copy
+    # doubles peak memory (two data-sized Φ buffers live) exactly where this
+    # chunking exists to bound it.  Full blocks go through the scan; the
+    # ragged remainder is one extra GEMM outside it.
+    nfull = n // chunk
+    rem = n - nfull * chunk
     # Carry dtype must match what the body accumulates (Φᵀy promotes to the
     # wider of Φ/y under x64) or lax.scan rejects the carry.
     dtype = jnp.result_type(Phi.dtype, y.dtype)
 
-    def body(carry, inp):
+    def body(carry, k):
         C, v, yy = carry
-        Pk, yk = inp
+        Pk = jax.lax.dynamic_slice(Phi, (k * chunk, 0), (chunk, p))
+        yk = jax.lax.dynamic_slice(y, (k * chunk,), (chunk,))
         return (
             C + (Pk.T @ Pk).astype(dtype),
             v + (Pk.T @ yk).astype(dtype),
@@ -239,8 +242,13 @@ def basis_stats_from_phi(Phi, y, *, chunk: int = 131072) -> BasisStats:
     (C, v, yy), _ = jax.lax.scan(
         body,
         (jnp.zeros((p, p), dtype), jnp.zeros((p,), dtype), jnp.zeros((), dtype)),
-        (Phip, yp),
+        jnp.arange(nfull),
     )
+    if rem:
+        Pr, yr = Phi[nfull * chunk :], y[nfull * chunk :]
+        C = C + (Pr.T @ Pr).astype(dtype)
+        v = v + (Pr.T @ yr).astype(dtype)
+        yy = yy + jnp.dot(yr, yr).astype(dtype)
     return BasisStats(C=C, v=v, yy=yy, n=n)
 
 

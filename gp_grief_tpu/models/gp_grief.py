@@ -534,6 +534,16 @@ class GPGriefModel(BaseModel):
             rhs = self.y[None, :]
             ld_off = 0.0
 
+        # safe_batch_op: the fused path iterates the operator at
+        # B = 1 + probe_chunk rows (9 by default) — exactly the unsafe
+        # B=9..12 sublane extents of the XLA:TPU determinism bug
+        # (ops/batching.py); the plain SLQ path's probe_chunk is
+        # user-tunable too.  Padding to a multiple of 8 is exact and cheap
+        # relative to the (B, n)×(n, p) GEMM apply.
+        from gp_grief_tpu.ops.batching import safe_batch_op
+
+        op = safe_batch_op(op)
+
         if not fuse_probes:
             sol = cg_solve_segmented(
                 op, rhs, tol=cg_tol, segment_iters=int(cg_segment_iters),

@@ -381,15 +381,19 @@ class GPRegression(BaseModel):
                 iter_segment=slq_iter_segment,
             )
         else:
+            # safe_batch_op: the SLQ probe batch (probe_chunk rows) need not
+            # be 8-aligned — unwrapped, B=9..12-class extents hit the
+            # XLA:TPU nondeterminism bug (ops/batching.py).
+            mv_safe = safe_batch_op(mv)
             rhs = self.y[None, :]
             alpha = cg_solve_segmented(
-                mv, rhs, tol=o["cg_tol"],
+                mv_safe, rhs, tol=o["cg_tol"],
                 segment_iters=int(cg_segment_iters),
                 max_segments=max_segments, layout="bm", verbose=verbose,
             )
             quad = float(jnp.sum(rhs * alpha))
             ld = slq_logdet_segmented(
-                mv, n, key=key, num_probes=o["num_probes"],
+                mv_safe, n, key=key, num_probes=o["num_probes"],
                 lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
                 layout="bm", probe_chunk=probe_chunk,
                 iter_segment=slq_iter_segment,
@@ -494,8 +498,10 @@ class GPRegression(BaseModel):
             )
 
             def solve_bm(rhs_bm):
+                # safe_batch_op: B = test_chunk rows is user-tunable and the
+                # auto value need not be 8-aligned (ops/batching.py rule).
                 w = cg_solve_segmented(
-                    lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))),
+                    safe_batch_op(lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))),
                     M_inv_sqrt(rhs_bm), tol=o["cg_tol"],
                     segment_iters=seg_iters, max_segments=max_segments,
                     layout="bm",
@@ -505,7 +511,8 @@ class GPRegression(BaseModel):
 
             def solve_bm(rhs_bm):
                 return cg_solve_segmented(
-                    mv, rhs_bm, tol=o["cg_tol"], segment_iters=seg_iters,
+                    safe_batch_op(mv), rhs_bm, tol=o["cg_tol"],
+                    segment_iters=seg_iters,
                     max_segments=max_segments, layout="bm",
                 )
 
@@ -517,8 +524,10 @@ class GPRegression(BaseModel):
         if test_chunk <= 0:
             # (chunk, n) cross-cov block + ~5 CG state buffers of the same
             # shape: cap the block at 2^27 elements (512 MB f32 live for the
-            # solve).
+            # solve).  Rounded to a multiple of 8 so the batched variance
+            # solve runs at a determinism-safe sublane extent with zero pad.
             test_chunk = int(max(8, min(1024, (1 << 27) // max(n, 1))))
+            test_chunk -= test_chunk % 8
         test_chunk = min(test_chunk, n_star)
         n_pad = -(-n_star // test_chunk) * test_chunk
         x_pad = (
