@@ -54,7 +54,10 @@ def _auto_matvec_chunk(n: int) -> int:
     return int(max(128, min(8192, (1 << 28) // max(n, 1))))
 
 
-def make_gram_matvec(kernels: KernelLike, x: jax.Array, sigma2, *, chunk: int):
+def make_gram_matvec(
+    kernels: KernelLike, x: jax.Array, sigma2, *, chunk: int,
+    precision: str = "highest",
+):
     """Row-chunked matrix-free matvec ``vv ↦ vv (K + σ²I)`` (``vv``: (B, n)).
 
     The dense iterative path materializes the (n, n) Gram — HBM-capped at
@@ -62,15 +65,39 @@ def make_gram_matvec(kernels: KernelLike, x: jax.Array, sigma2, *, chunk: int):
     of ``x`` rebuilds each (chunk, n) Gram slab on the fly (distance +
     matmul fused by XLA per block) and contracts it immediately, so the live
     set is one slab + the (B, n) state: n is bounded by compute, not by an
-    O(n²) buffer.  Solver-facing, so every dot runs at HIGHEST (the r5
-    uci2m mixed-precision lesson; see ``gp_nlml_iterative``)."""
+    O(n²) buffer.
+
+    ``precision``: ``"highest"`` (default — solver-facing dots run exact
+    f32, the r5 uci2m mixed-precision lesson; see ``gp_nlml_iterative``) or
+    ``"default"`` — the bf16 MXU operating point (round-5): the distance
+    matmuls of the slab build AND the contraction run TPU-default bf16
+    products (the chip's ~164 TF/s vs 32-54 f32), making this the FAST
+    operator of an iterative-refinement pair
+    (:func:`gp_grief_tpu.ops.cg.cg_solve_refined_segmented` — exact
+    residual refreshes restore full solution accuracy, so the perturbed
+    operator only affects convergence, never the answer)."""
     n = int(x.shape[0])
     chunk = int(min(chunk, n))
     nb = -(-n // chunk)
     pad = nb * chunk - n
     xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(nb, chunk, x.shape[1])
+    if precision not in ("highest", "default"):
+        raise ValueError("precision must be 'highest' or 'default'")
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
 
     def mv(vv):
+        # Dtype-stable operator: the output dtype is fixed by (data, state)
+        # — NOT by the hyperparameters.  Under x64 test configs the kernel
+        # params are float64 over float32 data; letting them promote the
+        # output would feed a wider dtype back into the solvers' scan
+        # carries (measured TypeError inside _cg_fixed).  bf16 solver state
+        # over f32 data correctly yields f32 (accumulate-wider).
+        od = jnp.result_type(x.dtype, vv.dtype)
+
         # Rematerialize the Gram slab under differentiation: without it,
         # jax.grad of a scan saves every (chunk, n) cov block (plus its
         # distance intermediates) for the backward pass — O(n²) residual
@@ -79,18 +106,17 @@ def make_gram_matvec(kernels: KernelLike, x: jax.Array, sigma2, *, chunk: int):
         # cov + matmul) and the live set stays O(chunk·n).
         @jax.checkpoint
         def body_fn(vv_, xblk):
-            with jax.default_matmul_precision("highest"):
+            with jax.default_matmul_precision(precision):
                 Kb = _cov_any(kernels, xblk, x)  # (chunk, n)
-                return jnp.matmul(
-                    vv_, Kb.T, precision=jax.lax.Precision.HIGHEST
-                )  # (B, chunk)
+                return jnp.matmul(vv_, Kb.T, precision=prec).astype(od)
 
         def body(_, xblk):
             return None, body_fn(vv, xblk)
 
         _, outs = lax.scan(body, None, xb)  # (nb, B, chunk)
         out = jnp.moveaxis(outs, 0, 1).reshape(vv.shape[0], nb * chunk)[:, :n]
-        return out + sigma2 * vv
+        sig = jnp.asarray(sigma2).astype(od)
+        return out + sig * vv.astype(od)
 
     return mv
 
@@ -129,6 +155,7 @@ def gp_nlml_iterative(
     cg_iters: int = 1000,
     precond_rank: int = 0,
     matvec_chunk: int = 0,
+    mixed16: bool = False,
 ) -> jax.Array:
     """Large-n NLML: CG quadratic form + SLQ log-det, BBMM-style gradients.
 
@@ -170,8 +197,20 @@ def gp_nlml_iterative(
     # need (the r5 uci2m hunt, RESULTS_r5.md §7 — applies verbatim here).
     if matvec_chunk > 0:
         mv = make_gram_matvec(kernels, x, sigma2, chunk=matvec_chunk)
+        # mixed16 (round-5): fast bf16-MXU Gram operator for the CG INNER
+        # iterations of cg_solve_refined — gradients/solution flow through
+        # matvec_exact (the defining operator of custom_linear_solve), so
+        # the fast operator affects convergence only, never the answer.
+        mv_fast = (
+            make_gram_matvec(
+                kernels, x, sigma2, chunk=matvec_chunk, precision="default"
+            )
+            if mixed16
+            else None
+        )
     else:
         K = _cov_any(kernels, x)
+        mv_fast = None
 
         def mv(vv):
             return (
@@ -210,15 +249,37 @@ def gp_nlml_iterative(
         # safe_batch_op: B = 1+num_probes (33 by default) is an unsafe
         # sublane extent under iteration on TPU (ops/batching.py).
         M_inv_sqrt_ = pre[1]
-        solw = cg_solve(
-            safe_batch_op(lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv)))),
-            M_inv_sqrt_(rhs), tol=cg_tol, max_iters=cg_iters, layout="bm",
-            implicit_diff=False,
-        )
+        white = safe_batch_op(lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv))))
+        if mv_fast is not None:
+            from gp_grief_tpu.ops.cg import cg_solve_refined
+
+            white_fast = safe_batch_op(
+                lambda vv: M_inv_sqrt_(mv_fast(M_inv_sqrt_(vv)))
+            )
+            solw = cg_solve_refined(
+                white_fast, white, M_inv_sqrt_(rhs), tol=cg_tol,
+                inner_iters=25, max_restarts=max(1, cg_iters // 25),
+                layout="bm", state_dtype=jnp.bfloat16,
+            )
+        else:
+            solw = cg_solve(
+                white, M_inv_sqrt_(rhs), tol=cg_tol, max_iters=cg_iters,
+                layout="bm", implicit_diff=False,
+            )
         sol = M_inv_sqrt_(solw)
     else:
-        sol = cg_solve(safe_batch_op(mv), rhs, tol=cg_tol, max_iters=cg_iters,
-                       layout="bm", implicit_diff=False)
+        if mv_fast is not None:
+            from gp_grief_tpu.ops.cg import cg_solve_refined
+
+            sol = cg_solve_refined(
+                safe_batch_op(mv_fast), safe_batch_op(mv), rhs, tol=cg_tol,
+                inner_iters=25, max_restarts=max(1, cg_iters // 25),
+                layout="bm", state_dtype=jnp.bfloat16,
+            )
+        else:
+            sol = cg_solve(safe_batch_op(mv), rhs, tol=cg_tol,
+                           max_iters=cg_iters, layout="bm",
+                           implicit_diff=False)
     alpha = lax.stop_gradient(sol[0])
     S = lax.stop_gradient(sol[1:])
 
@@ -263,6 +324,7 @@ class GPRegression(BaseModel):
         cg_iters: int = 1000,
         precond_rank: int = 0,
         matvec_chunk="auto",
+        mixed16: bool = False,
         key=None,
     ):
         """``solver``: ``"cholesky"`` (exact, O(n³)) or ``"iterative"``
@@ -274,6 +336,15 @@ class GPRegression(BaseModel):
         row-chunked matvecs beyond — the (n, n) buffer never exists), an int
         row-block size to force the matrix-free operator, or ``0`` to force
         the dense Gram.  See :func:`make_gram_matvec`.
+
+        ``mixed16``: the segmented iterative NLML's CG inner iterations run
+        the bf16-MXU Gram operator (``precision="default"`` slab rebuild)
+        under exact-residual refinement
+        (:func:`gp_grief_tpu.ops.cg.cg_solve_refined_segmented`) — the
+        quadratic term stays exact-grade while the inner applies run ~3×
+        the f32 matmul rate.  SLQ keeps the exact operator (no refinement
+        umbrella for a log-det).  Affects
+        :meth:`log_likelihood_iterative_segmented` only.
 
         The iterative objective holds its probe set fixed across optimizer
         steps (sample-average approximation): the optimized surface is
@@ -290,7 +361,7 @@ class GPRegression(BaseModel):
         self._iter_opts = dict(
             num_probes=num_probes, lanczos_iters=lanczos_iters,
             cg_tol=cg_tol, cg_iters=cg_iters, precond_rank=precond_rank,
-            matvec_chunk=int(matvec_chunk),
+            matvec_chunk=int(matvec_chunk), mixed16=bool(mixed16),
         )
         self._key = jax.random.PRNGKey(0) if key is None else key
         self.params = {
@@ -349,6 +420,21 @@ class GPRegression(BaseModel):
         sigma2 = jnp.exp(self.params["log_noise"])
         chunk = int(o["matvec_chunk"]) or _auto_matvec_chunk(n)
         mv = make_gram_matvec(kern, self.x, sigma2, chunk=chunk)
+        # mixed16 (round-5): a SECOND Gram operator at the bf16-MXU point
+        # ("default" precision slab rebuild, ~3× the f32 matmul rate) runs
+        # the CG *inner* iterations under exact-residual refinement
+        # (cg_solve_refined_segmented) — solution accuracy is governed by
+        # the exact refreshes, so the quadratic term is exact-grade.  SLQ
+        # keeps the EXACT operator: a ~1e-3 operator perturbation biases
+        # log|Ã| by ~tr(Ã⁻¹E) with no refinement umbrella to remove it.
+        mixed16 = bool(o.get("mixed16", False))
+        mv_fast = (
+            make_gram_matvec(
+                kern, self.x, sigma2, chunk=chunk, precision="default"
+            )
+            if mixed16
+            else None
+        )
         max_segments = max(1, -(-int(o["cg_iters"]) // int(cg_segment_iters)))
         r = int(min(o["precond_rank"], n))
         if r > 0:
@@ -368,11 +454,24 @@ class GPRegression(BaseModel):
             )
 
             vt = M_inv_sqrt(self.y[None, :])
-            gam = cg_solve_segmented(
-                mv_white, vt, tol=o["cg_tol"],
-                segment_iters=int(cg_segment_iters),
-                max_segments=max_segments, layout="bm", verbose=verbose,
-            )
+            if mixed16:
+                from gp_grief_tpu.ops.cg import cg_solve_refined_segmented
+
+                mv_white_fast = safe_batch_op(
+                    lambda vv: M_inv_sqrt(mv_fast(M_inv_sqrt(vv)))
+                )
+                gam = cg_solve_refined_segmented(
+                    mv_white_fast, mv_white, vt, tol=o["cg_tol"],
+                    inner_iters=int(cg_segment_iters),
+                    max_restarts=max_segments, layout="bm", verbose=verbose,
+                    state_dtype=jnp.bfloat16,
+                )
+            else:
+                gam = cg_solve_segmented(
+                    mv_white, vt, tol=o["cg_tol"],
+                    segment_iters=int(cg_segment_iters),
+                    max_segments=max_segments, layout="bm", verbose=verbose,
+                )
             quad = float(jnp.sum(vt * gam))
             ld = float(logdet_M) + slq_logdet_segmented(
                 mv_white, n, key=key, num_probes=o["num_probes"],
@@ -386,11 +485,21 @@ class GPRegression(BaseModel):
             # XLA:TPU nondeterminism bug (ops/batching.py).
             mv_safe = safe_batch_op(mv)
             rhs = self.y[None, :]
-            alpha = cg_solve_segmented(
-                mv_safe, rhs, tol=o["cg_tol"],
-                segment_iters=int(cg_segment_iters),
-                max_segments=max_segments, layout="bm", verbose=verbose,
-            )
+            if mixed16:
+                from gp_grief_tpu.ops.cg import cg_solve_refined_segmented
+
+                alpha = cg_solve_refined_segmented(
+                    safe_batch_op(mv_fast), mv_safe, rhs, tol=o["cg_tol"],
+                    inner_iters=int(cg_segment_iters),
+                    max_restarts=max_segments, layout="bm", verbose=verbose,
+                    state_dtype=jnp.bfloat16,
+                )
+            else:
+                alpha = cg_solve_segmented(
+                    mv_safe, rhs, tol=o["cg_tol"],
+                    segment_iters=int(cg_segment_iters),
+                    max_segments=max_segments, layout="bm", verbose=verbose,
+                )
             quad = float(jnp.sum(rhs * alpha))
             ld = slq_logdet_segmented(
                 mv_safe, n, key=key, num_probes=o["num_probes"],

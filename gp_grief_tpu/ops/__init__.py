@@ -60,7 +60,13 @@ from gp_grief_tpu.ops.interp import (
 from gp_grief_tpu.ops.selection import select_rows, select_rows_t, selection_expand
 from gp_grief_tpu.ops.topk import top_p_kron_eigs
 from gp_grief_tpu.ops.batching import safe_batch_op
-from gp_grief_tpu.ops.cg import cg_solve_refined, cg_solve_segmented, CGInfo, cg_solve
+from gp_grief_tpu.ops.cg import (
+    cg_solve_refined,
+    cg_solve_refined_segmented,
+    cg_solve_segmented,
+    CGInfo,
+    cg_solve,
+)
 from gp_grief_tpu.ops.lanczos import LanczosResult, lanczos, lanczos_batched, slq_logdet, slq_logdet_segmented
 from gp_grief_tpu.ops.solve import logdet_from_chol, solve_chol, stable_cholesky
 
@@ -118,6 +124,7 @@ __all__ = [
     "top_p_kron_eigs",
     "cg_solve",
     "cg_solve_refined",
+    "cg_solve_refined_segmented",
     "cg_solve_segmented",
     "CGInfo",
     "lanczos",

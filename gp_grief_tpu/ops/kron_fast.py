@@ -95,8 +95,13 @@ def kron_matvec_fast(
     ``precision`` picks the accuracy/bandwidth point (v5e, d=5×32 headline,
     round-2 measurements in benchmarks/RESULTS_r2.md):
 
-    - ``HIGHEST`` (default): exact f32 (rel err ~1e-7) grouped cyclic XLA
-      passes — the correctness-first solver default.
+    - ``HIGHEST`` (default): exact f32 (rel err ~1e-7) — the correctness-
+      first solver default.  On TPU, shapes in the general fused schedule's
+      EXACT-grade win classes (whole-lattice single pass; a ≥256-wide
+      factor — :func:`fused_schedule_applicable` with ``fast=False``) run
+      :func:`kron_matvec_fused` at Mosaic HIGHEST (same grade, measured
+      3.6–10× — round-5 dispatch flip); everything else runs the grouped
+      cyclic XLA chain.  ``impl="xla"`` forces the chain.
     - ``Precision.DEFAULT``: bf16 MXU products.  On TPU, shapes accepted by
       :func:`gp_grief_tpu.ops.pallas.slab_schedule_applicable` dispatch to the
       rotation-free 2-pass Pallas slab schedule (rel err ~4e-3 — the P1 mid
@@ -162,10 +167,13 @@ def kron_matvec_fast(
             out = kron_matvec_slab(factors, v, precision=slab_prec, mid_dtype=mid)
             return out[:, 0] if squeeze else out
         # General-shape fused schedule (r14): shapes the slab rejects —
-        # ragged m_d, d=2, leading-identity batched forms — at the fast
-        # operating points (DEFAULT, or a DotAlgorithmPreset's X3 grade at
-        # Mosaic HIGHEST ~1e-7).  Plain Precision.HIGHEST keeps the XLA
-        # cyclic chain (exact-f32 XLA semantics, the solver default).
+        # ragged m_d, d=2, leading-identity batched forms.  Runs at every
+        # precision including plain HIGHEST (round-5): Mosaic HIGHEST is the
+        # same exact f32 grade (~1e-7 — x6 emulated dots, RESULTS_r14 §1)
+        # and 3.6–10× the cyclic chain on its EXACT-grade win classes
+        # (whole-lattice single pass; a ≥256-wide factor), which
+        # fused_schedule_applicable(fast=False) gates.  impl="xla" is the
+        # escape hatch back to the pure-XLA chain.
         fast_point = (
             precision == lax.Precision.DEFAULT or v.dtype == jnp.bfloat16
         )
@@ -191,15 +199,10 @@ def kron_matvec_fast(
                 "schedule inapplicable)"
             )
         # impl="fused" is a FORCE: honor it at any precision (HIGHEST maps
-        # to Mosaic HIGHEST).  Under "auto", plain Precision.HIGHEST keeps
-        # the XLA chain (exact-f32 XLA semantics, the solver default).
-        if fused_ok and (
-            impl == "fused"
-            or not (
-                isinstance(precision, lax.Precision)
-                and precision == lax.Precision.HIGHEST
-            )
-        ):
+        # to Mosaic HIGHEST).  Under "auto", plain Precision.HIGHEST also
+        # dispatches here when the exact-grade win-class gate accepted
+        # (round-5 flip — same ~1e-7 grade, measured 3.6–10× faster).
+        if fused_ok:
             fprec = (
                 lax.Precision.DEFAULT
                 if precision == lax.Precision.DEFAULT

@@ -14,45 +14,91 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def test_bench_emits_valid_json_line(monkeypatch):
-    import bench
+def _run_bench_subprocess(extra_env, args=("--d", "3", "--m_d", "4")):
+    import subprocess
 
-    monkeypatch.delenv("BENCH_X3", raising=False)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        bench.main(d=3, m_d=4, iters=4)  # tiny CPU-friendly shape
-    lines = [l for l in buf.getvalue().strip().splitlines() if l.strip()]
-    assert len(lines) == 1
-    rec = json.loads(lines[0])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        BENCH_FORCE_CPU="1",
+        BENCH_PHASE_TIMEOUT="120",
+        BENCH_X3_TIMEOUT="60",
+        **extra_env,
+    )
+    env.pop("BENCH_X3", None)
+    return subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py"), *args],
+        env=env,
+        capture_output=True,
+        timeout=420,
+    )
+
+
+def _headline_record(proc):
+    lines = [l for l in proc.stdout.decode().strip().splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    return json.loads(lines[0])
+
+
+def test_bench_emits_valid_json_line():
+    proc = _run_bench_subprocess({})
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    rec = _headline_record(proc)
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in rec
     assert rec["metric"] == "kron_matvec_bandwidth"
     assert np.isfinite(rec["value"]) and rec["value"] > 0
 
 
-def test_bench_program_budget(monkeypatch):
+def test_bench_survives_injected_backend_abort():
+    """Rounds 2 and 4 lost the official driver BENCH artifact to transient
+    relay/backend failures (rc=124 timeout; TPU ABORTED) while the code was
+    healthy.  bench.py now runs each phase in a fresh subprocess with one
+    retry — an ABORTED first attempt must NOT cost the headline JSON."""
+    proc = _run_bench_subprocess({"BENCH_FAKE_ABORT": "matvec"})
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    rec = _headline_record(proc)
+    assert np.isfinite(rec["value"]) and rec["value"] > 0
+    err = proc.stderr.decode()
+    assert "retrying once in a fresh subprocess" in err
+    # Phase isolation markers present and honest: stream untouched by the
+    # injected matvec crash.
+    assert isinstance(rec["detail"]["stream_GBs"], float)
+
+
+def test_bench_phase_failure_is_bounded_and_honest():
+    """Full-failure path: a phase that dies on BOTH attempts must come back
+    as an honest failed(...) marker (never an exception) so the headline
+    JSON still assembles."""
+    import bench
+
+    res = bench._launch_phase("nonexistent-phase", 2, 4, timeout=60)
+    assert res["ok"] is False and "failed" in res.get("fail", "")
+
+
+def test_bench_phase_program_budget(monkeypatch):
     """The round-2 driver BENCH capture timed out (rc=124) because bench.py
     compiled 6 programs and uploaded ~400 MB through the relay.  Guard the
-    fix: the default path may jit at most 3 programs (device-side input
-    generation, matvec loop, stream loop) and must never host-stage a
+    fix at the phase level: each phase may jit at most 2 programs (device-
+    side input generation + the timed loop) and must never host-stage a
     data-sized array (the relay upload was 4.6-65 s of wall weather)."""
     import jax
 
     import bench
 
-    monkeypatch.delenv("BENCH_X3", raising=False)
     real_jit = jax.jit
-    jitted = []
+    for phase in ("matvec", "stream"):
+        jitted = []
 
-    def counting_jit(fn, *a, **kw):
-        jitted.append(getattr(fn, "__name__", "<lambda>"))
-        return real_jit(fn, *a, **kw)
+        def counting_jit(fn, *a, **kw):
+            jitted.append(getattr(fn, "__name__", "<lambda>"))
+            return real_jit(fn, *a, **kw)
 
-    monkeypatch.setattr(jax, "jit", counting_jit)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        bench.main(d=3, m_d=4, iters=4)
-    assert len(jitted) <= 3, jitted
+        monkeypatch.setattr(jax, "jit", counting_jit)
+        res = bench.run_phase(phase, 3, 4)
+        monkeypatch.setattr(jax, "jit", real_jit)
+        assert res["ok"], res
+        assert len(jitted) <= 2, (phase, jitted)
 
 
 def test_graft_entry_contract():

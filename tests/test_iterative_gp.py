@@ -280,3 +280,30 @@ def test_grief_iterative_segmented_matches_monolithic(rng):
         cg_segment_iters=50, probe_chunk=16, fuse_probes=False, **budget
     )
     np.testing.assert_allclose(seg0, seg0_sep, rtol=1e-4)
+
+
+def test_gp_regression_mixed16_segmented_nlml_parity(rng):
+    """mixed16=True (bf16-MXU inner CG under exact-residual refinement) must
+    agree with the plain f32 segmented NLML: only the SOLVER's inner
+    operating point changes, never the estimator."""
+    from gp_grief_tpu import GPRegression, make_kernel
+
+    n = 600
+    x = rng.uniform(0, 4, size=(n, 2)).astype(np.float32)
+    y = (np.sin(x[:, 0]) * np.cos(x[:, 1])
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    kw = dict(noise_var=0.05, solver="iterative", matvec_chunk=128)
+    m_mixed = GPRegression(
+        x, y, make_kernel("rbf", lengthscale=0.7, input_dim=2),
+        mixed16=True, **kw,
+    )
+    m_plain = GPRegression(
+        x, y, make_kernel("rbf", lengthscale=0.7, input_dim=2), **kw,
+    )
+    ll_m = m_mixed.log_likelihood_iterative_segmented()
+    ll_p = m_plain.log_likelihood_iterative_segmented()
+    assert abs(ll_m - ll_p) < 1e-3 * abs(ll_p), (ll_m, ll_p)
+    # The differentiable loss path (fit()'s objective) accepts mixed16 too.
+    v_m = float(m_mixed._loss(m_mixed.params))
+    v_p = float(m_plain._loss(m_plain.params))
+    assert abs(v_m - v_p) < 1e-2 * abs(v_p), (v_m, v_p)

@@ -415,7 +415,30 @@ def test_ski_love_guard_warns_on_degraded_variance(rng):
     # Severely truncated rank on a posterior whose variances are tiny next to
     # the prior → the identity-tail model is off by far more than 2%.
     with pytest.warns(UserWarning, match="variance='exact'"):
-        m.predict(xs, variance="lanczos", var_rank=3, love_tol=0.02)
+        _, var_degraded = m.predict(
+            xs, variance="lanczos", var_rank=3, love_tol=0.02,
+            love_on_fail="warn",
+        )
+    # Round-4 weak #3: the default policy AUTO-UPGRADES to the exact route
+    # instead of returning the degraded variances behind a warning.
+    with pytest.warns(UserWarning, match="auto-upgrading"):
+        mean_up, var_up = m.predict(
+            xs, variance="lanczos", var_rank=3, love_tol=0.02,
+        )
+    mean_e, var_e = m.predict(xs, variance="exact")
+    np.testing.assert_allclose(var_up, var_e, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(mean_up, mean_e, rtol=1e-5, atol=1e-7)
+    assert np.max(np.abs(var_degraded - var_e)) > np.max(
+        np.abs(var_up - var_e)
+    ), "the warn path must actually have been degraded"
+    # Explicit raise policy.
+    with pytest.raises(RuntimeError, match="deviates"):
+        m.predict(
+            xs, variance="lanczos", var_rank=3, love_tol=0.02,
+            love_on_fail="raise",
+        )
+    with pytest.raises(ValueError, match="love_on_fail"):
+        m.predict(xs, variance="lanczos", love_on_fail="upgrade")
     # Full rank: exact on the whole M-dim dual space — silent.
     with warnings.catch_warnings():
         warnings.simplefilter("error", UserWarning)
