@@ -425,9 +425,16 @@ class GPRegression(BaseModel):
         # the CG *inner* iterations under exact-residual refinement
         # (cg_solve_refined_segmented) — solution accuracy is governed by
         # the exact refreshes, so the quadratic term is exact-grade.  SLQ
-        # keeps the EXACT operator: a ~1e-3 operator perturbation biases
-        # log|Ã| by ~tr(Ã⁻¹E) with no refinement umbrella to remove it.
+        # keeps the EXACT operator by default: a ~1e-3 operator perturbation
+        # biases log|Ã| by ~tr(Ã⁻¹E) with no refinement umbrella to remove
+        # it.  ``mixed16_slq=True`` (opt-in, requires mixed16) runs the SLQ
+        # probes on the fast operator too — the SLQ applies DOMINATE the
+        # matrix-free NLML (≈24 of ~40 total Gram sweeps at the r14 500k
+        # config), so this is where the large-n wall-clock lives; the bias
+        # it buys is measured in benchmarks/exp_r15_mixed16.py before
+        # trusting it at any new scale.
         mixed16 = bool(o.get("mixed16", False))
+        mixed16_slq = bool(o.get("mixed16_slq", False)) and mixed16
         mv_fast = (
             make_gram_matvec(
                 kern, self.x, sigma2, chunk=chunk, precision="default"
@@ -473,8 +480,9 @@ class GPRegression(BaseModel):
                     max_segments=max_segments, layout="bm", verbose=verbose,
                 )
             quad = float(jnp.sum(vt * gam))
+            slq_op = mv_white_fast if mixed16_slq else mv_white
             ld = float(logdet_M) + slq_logdet_segmented(
-                mv_white, n, key=key, num_probes=o["num_probes"],
+                slq_op, n, key=key, num_probes=o["num_probes"],
                 lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
                 layout="bm", probe_chunk=probe_chunk,
                 iter_segment=slq_iter_segment,
@@ -501,8 +509,9 @@ class GPRegression(BaseModel):
                     max_segments=max_segments, layout="bm", verbose=verbose,
                 )
             quad = float(jnp.sum(rhs * alpha))
+            slq_op = safe_batch_op(mv_fast) if mixed16_slq else mv_safe
             ld = slq_logdet_segmented(
-                mv_safe, n, key=key, num_probes=o["num_probes"],
+                slq_op, n, key=key, num_probes=o["num_probes"],
                 lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
                 layout="bm", probe_chunk=probe_chunk,
                 iter_segment=slq_iter_segment,

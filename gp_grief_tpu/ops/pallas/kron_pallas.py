@@ -929,13 +929,16 @@ def fused_schedule_applicable(
     (ragged / d=2 / wide-pair) companion to :func:`slab_schedule_applicable`
     (round-3 next-step #1).
 
-    EXACT-grade win classes (measured, benchmarks/exp_r14_general.py):
-    (a) the whole lattice fits one fused pass (2·m words total — 11.9× at
-    24×48×96); (b) a wide factor ≥ 256 is present (the cyclic chain's
-    transpose passes collapse there: 3.6–4.6× on (I_B, 512²)/(I_B, 1024²),
-    1.1× worst case).  Multi-small-factor ragged shapes with d ≥ 3 live
-    work measured BELOW the chain at exact grade (0.6–0.95×) and stay on it
-    — at ``fast=True`` (the DEFAULT bf16 operating point: ONE bf16 dot per
+    EXACT-grade win class (re-measured round-5 on chip — the r14 "whole
+    lattice in one pass" class did NOT reproduce at B=1: 24×48×96 0.75×,
+    (256, 96) 0.45×, bare 512²/1024² 1.0–1.14×): the fused path wins only
+    on LARGE work with a wide factor — a ≥512-wide factor AND ≥2^21 total
+    elements (the batched solver forms: (I₈, 512²) 3.51×, (I₁₆, 512²)
+    2.18×, (I₈, 1024²) 2.86× — benchmarks/exp_r15 probes).  Everything
+    else stays on the cyclic chain at exact grade (losses measured down to
+    0.45×; ``impl="fused"`` still forces).
+
+    At ``fast=True`` (the DEFAULT bf16 operating point: ONE bf16 dot per
     contraction instead of x6 emulation) the win class widens to any
     feasible shape with a factor ≥ 100 (100³ 58.5→17.2 µs = 3.4×;
     (I₈, 512²) 599→41 µs = 14×); only the sub-100 ragged multi-factor class
@@ -959,7 +962,7 @@ def fused_schedule_applicable(
     _, tail_start = plan
     if fast:
         return tail_start == 0 or max(ms) >= 100
-    return tail_start == 0 or max(ms) >= 256
+    return max(ms) >= 512 and math.prod(ms) * max(B, 1) >= (1 << 21)
 
 
 def _fused_primal(precision, interpret, factors, v):

@@ -52,6 +52,7 @@ def fit(
     callback: Optional[Callable[[int, float, float], None]] = None,
     fixed: Any = None,
     opt_state: Any = None,
+    scan_chunk: Optional[int] = None,
 ) -> FitResult:
     """Minimize ``loss_fn(params)`` over a parameter pytree.
 
@@ -71,6 +72,12 @@ def fit(
     (e.g. restored with :func:`gp_grief_tpu.utils.checkpoint.load_pytree`) —
     with the same optimizer/params, ``fit(n) then fit(m, opt_state=...)``
     reproduces ``fit(n+m)`` exactly.
+
+    ``scan_chunk``: optimizer steps per device program (host syncs only
+    between chunks).  Default 25; on relay-attached TPUs where per-chunk
+    dispatch dominates small-step objectives, larger chunks amortize it
+    (kin40k breakdown: benchmarks/exp_r15_kin40k_breakdown.py).  ``1``
+    forces the per-step path (as do ``verbose``/``callback``).
     """
     if fixed is not None:
         base_loss = loss_fn
@@ -122,7 +129,12 @@ def fit(
     # Chunked scan: run `scan_chunk` steps per device program, syncing to host
     # only between chunks (matters on TPU, where per-step host sync dominates
     # small-p NLML steps).  Per-step paths keep the user callback semantics.
-    scan_chunk = 0 if (verbose or callback is not None) else max(1, min(25, max_iters))
+    if verbose or callback is not None:
+        scan_chunk = 0
+    elif scan_chunk is None:
+        scan_chunk = max(1, min(25, max_iters))
+    else:
+        scan_chunk = max(1, min(int(scan_chunk), max_iters))
 
     @partial(jax.jit, static_argnames=("n",))
     def steps_scanned(params, opt_state, consts, n):

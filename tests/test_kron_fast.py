@@ -106,11 +106,12 @@ def test_kron_matvec_fast_highest_dispatches_fused_win_classes(rng, monkeypatch)
 
     monkeypatch.setattr(kp, "kron_matvec_fused", recording_fused)
 
-    # Win class: a >=256-wide factor (whole lattice also fits one pass here).
-    sizes = (256, 96)
-    factors = tuple(
+    # Exact-grade win class (measured round-5: >=512-wide factor AND >=2^21
+    # total elements — the batched solver forms, e.g. (I_8, 512^2) 3.51x).
+    sizes = (8, 512, 512)
+    factors = (jnp.eye(8, dtype=jnp.float32),) + tuple(
         jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
-        for m in sizes
+        for m in sizes[1:]
     )
     v = jnp.asarray(rng.standard_normal(int(np.prod(sizes))), jnp.float32)
     got = kron_matvec_fast(factors, v)  # default precision=HIGHEST
@@ -122,14 +123,14 @@ def test_kron_matvec_fast_highest_dispatches_fused_win_classes(rng, monkeypatch)
     rel = np.linalg.norm(np.asarray(got, np.float64) - ref) / np.linalg.norm(ref)
     assert rel < 1e-5, rel
 
-    # Non-win class at exact grade (max factor 128 < 256, tail_start > 0):
-    # must stay on the chain at HIGHEST.
+    # Measured LOSS classes at exact grade ((256, 96) 0.45x, ragged B=1
+    # 0.75x, small wide pairs ~1.0x): must stay on the chain at HIGHEST.
     calls.clear()
-    sizes2 = (32, 32, 32, 128)
-    factors2 = tuple(
-        jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
-        for m in sizes2
-    )
-    v2 = jnp.asarray(rng.standard_normal(int(np.prod(sizes2))), jnp.float32)
-    _ = kron_matvec_fast(factors2, v2, precision=lax.Precision.HIGHEST)
-    assert calls == [], "non-win-class shape must stay on the XLA chain"
+    for sizes2 in ((256, 96), (24, 48, 96), (512, 512)):
+        factors2 = tuple(
+            jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.float32)
+            for m in sizes2
+        )
+        v2 = jnp.asarray(rng.standard_normal(int(np.prod(sizes2))), jnp.float32)
+        _ = kron_matvec_fast(factors2, v2, precision=lax.Precision.HIGHEST)
+    assert calls == [], "non-win-class shapes must stay on the XLA chain"

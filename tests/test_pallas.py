@@ -249,9 +249,10 @@ def test_kron_matvec_fused_interpret(rng, sizes, eye):
         fs = (jnp.eye(eye, dtype=jnp.float32),) + fs
         sizes = (eye,) + sizes
     elif eye == 0:
-        # win-class shapes dispatch from kron_matvec_fast; eye != 0 variants
-        # are plan-feasible but below (or outside) the dispatch win gate
-        assert fused_schedule_applicable(fs, 1)
+        # These shapes exercise KERNEL correctness on feasible plans; the
+        # round-5 re-measured exact-grade WIN gate is narrower (>=512-wide
+        # factor AND >=2^21 elements), so assert feasibility only.
+        assert fused_schedule_applicable(fs, 1, feasible_only=True)
     m = int(np.prod(sizes))
     v = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
     got = kron_matvec_fused(fs, v, interpret=True)
@@ -280,7 +281,13 @@ def test_kron_matvec_fused_gates(rng):
     assert not fused_schedule_applicable((f(24), f(48), f(24)), 1)  # tail 24
     assert not fused_schedule_applicable((f(512), f(512)), 8)  # trailing B=8
     assert not fused_schedule_applicable((f(16), f(12)), 1)  # tiny
-    assert fused_schedule_applicable((f(512), f(512)), 1)
+    # Round-5 exact-grade win gate (re-measured on chip): >=512-wide factor
+    # AND >=2^21 total elements — bare 512^2 at B=1 measured ~1.0x and is
+    # rejected; the batched solver forms win 2.2-3.5x and pass.
+    assert not fused_schedule_applicable((f(512), f(512)), 1)
+    assert fused_schedule_applicable((f(512), f(512)), 1, feasible_only=True)
+    eye8 = jnp.eye(8, dtype=jnp.float32)
+    assert fused_schedule_applicable((eye8, f(512), f(512)), 1)
     assert fused_schedule_applicable((f(512), f(512)), 128)  # wide batch OK
     # fast=True (DEFAULT bf16): the win class widens to any feasible shape
     # with a factor >= 100 (e.g. 100^3) — but the sub-100 ragged
