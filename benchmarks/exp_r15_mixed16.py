@@ -78,12 +78,30 @@ def main():
 
     if not args.skip_fit:
         # Trainable: 3 Adam steps through the differentiable iterative loss.
-        t0 = time.perf_counter()
-        res = m16.optimize(max_iters=3, optimizer="adam", learning_rate=0.05)
-        t_fit = time.perf_counter() - t0
-        print(f"[n={n}] optimize 3 steps (mixed16 loss): {t_fit:.1f}s total, "
-              f"loss trace {['%.4f' % float(v) for v in res.losses[:4]]}",
-              flush=True)
+        # scan_chunk=1 keeps each device program to ONE value_and_grad (the
+        # ~60 s per-program-execution watchdog binds; a 3-step scanned
+        # program at n=2^17 would exceed it).  2^16 first (safely inside the
+        # watchdog), then 2^17.
+        for nf in (1 << 16, 1 << 17):
+            mf = make_model(nf, mixed16=True)
+            try:
+                t0 = time.perf_counter()
+                res = mf.optimize(max_iters=3, optimizer="adam",
+                                  learning_rate=0.05, scan_chunk=1, tol=0.0)
+                t_fit = time.perf_counter() - t0
+                print(f"[n={nf}] optimize 3 steps (mixed16 loss): "
+                      f"{t_fit:.1f}s total ({t_fit/3:.1f}s/step incl compile), "
+                      f"loss trace {['%.1f' % float(v) for v in res.losses[:4]]}",
+                      flush=True)
+                t0 = time.perf_counter()
+                mf.optimize(max_iters=2, optimizer="adam",
+                            learning_rate=0.05, scan_chunk=1, tol=0.0)
+                t_w = time.perf_counter() - t0
+                print(f"[n={nf}] warm 2 more steps: {t_w:.1f}s "
+                      f"({t_w/2:.1f}s/step)", flush=True)
+            except Exception as e:  # noqa: BLE001 — report and continue
+                print(f"[n={nf}] optimize FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
 
     if args.big:
         n2 = 500_000

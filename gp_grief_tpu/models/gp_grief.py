@@ -112,7 +112,7 @@ class GPGriefModel(BaseModel):
     # per-dim loop; "xla" forces the loop (kernels/grief.py:phi).
     phi_impl: str = "auto"
 
-    def _stats_from(self, kerns, basis: GriefBasis) -> BasisStats:
+    def _stats_from(self, kerns, basis: GriefBasis, impl=None) -> BasisStats:
         # Precision note: these one-time GEMMs run at the TPU DEFAULT (bf16
         # products).  Deliberate — and empirically validated: the closed-form
         # NLML they feed agrees with the all-HIGHEST iterative evaluator to
@@ -120,9 +120,11 @@ class GPGriefModel(BaseModel):
         # i.e. the Gram's bf16 entry noise averages out in the O(p³) core,
         # while HIGHEST here would 6× the dominant per-step cost.  The
         # solver-facing matvec paths (κ-sensitive) stay HIGHEST.
+        if impl is None:
+            impl = self.phi_impl
         n = self.x.shape[0]
         if n <= self.stats_chunk:
-            Phi = phi(basis, kerns, self.xg, self.x, dims=self.dims, impl=self.phi_impl)
+            Phi = phi(basis, kerns, self.xg, self.x, dims=self.dims, impl=impl)
             return BasisStats(
                 C=Phi.T @ Phi,
                 v=Phi.T @ self.y,
@@ -144,7 +146,7 @@ class GPGriefModel(BaseModel):
         def body(carry, inp):
             C, v, yy = carry
             xk, yk, mk = inp
-            Phik = phi(basis, kerns, self.xg, xk, dims=self.dims, impl=self.phi_impl) * mk[:, None]
+            Phik = phi(basis, kerns, self.xg, xk, dims=self.dims, impl=impl) * mk[:, None]
             return (
                 C + Phik.T @ Phik,
                 v + Phik.T @ yk,
@@ -212,13 +214,31 @@ class GPGriefModel(BaseModel):
 
     # -- NLML ---------------------------------------------------------------
 
+    def _phi_impl_grad(self) -> str:
+        """Φ impl for DIFFERENTIATED assemblies (the ARD training loss).
+
+        ``"auto"`` prefers the batched stack when it applies: measured on
+        chip at d=100/p=200 the batched ``stack_kernels`` path runs the ARD
+        value_and_grad step at 204 ms device time vs 489 ms for the fused
+        Pallas forward (its VJP re-runs the d-link product chain) —
+        benchmarks/exp_r15_d100_tpu.py.  Value-only paths keep ``"auto"``'s
+        fused dispatch."""
+        if self.phi_impl != "auto":
+            return self.phi_impl
+        from gp_grief_tpu.kernels.grief import stack_kernels
+
+        stacked = stack_kernels(self.params["kernels"], self.xg, self.dims)
+        return "batched" if stacked is not None else "auto"
+
     def _loss(self, params):
         log_w = params["log_w"]
         if not self.reweight_eig_funs:
             log_w = jax.lax.stop_gradient(log_w)
         if self.opt_kernel_params:
             basis = self._build(params["kernels"])
-            stats = self._stats_from(params["kernels"], basis)
+            stats = self._stats_from(
+                params["kernels"], basis, impl=self._phi_impl_grad()
+            )
         else:
             stats = self._stats
         return basis_nlml(stats, log_w, params["log_noise"])

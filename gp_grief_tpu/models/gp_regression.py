@@ -195,21 +195,36 @@ def gp_nlml_iterative(
     # the long axis on TPU lanes — see ops/cg.py:_reducers.  HIGHEST: the
     # TPU-default bf16 product breaks the SPD-consistency solver iterations
     # need (the r5 uci2m hunt, RESULTS_r5.md §7 — applies verbatim here).
+    # TWO operator instances per precision: a LIVE-params one for the BBMM
+    # gradient surrogates (quad correction, Hutchinson term — those matvecs
+    # ARE differentiated, one checkpointed sweep each), and a STOP-GRADIENT
+    # one for every solver/SLQ application.  The solves are value-only by
+    # design (solutions are stop-gradiented below), but if their operators
+    # close over live params, reverse-mode partial evaluation still
+    # linearizes the solver loops — and JVP-of-scan saves the per-block Gram
+    # slabs as STACKED residuals: one (nb, n, chunk) buffer, the O(n²)
+    # allocation the matrix-free operator exists to avoid (measured 64 GB
+    # compile-time OOM at n=2¹⁷/chunk=2048, round-5).  Stop-grad operators
+    # keep the solves fully primal: nothing is linearized, nothing stacks.
+    kern_sg = jax.tree.map(lax.stop_gradient, kernels)
+    sigma2_sg = lax.stop_gradient(sigma2)
     if matvec_chunk > 0:
         mv = make_gram_matvec(kernels, x, sigma2, chunk=matvec_chunk)
+        mv_solver = make_gram_matvec(kern_sg, x, sigma2_sg, chunk=matvec_chunk)
         # mixed16 (round-5): fast bf16-MXU Gram operator for the CG INNER
-        # iterations of cg_solve_refined — gradients/solution flow through
-        # matvec_exact (the defining operator of custom_linear_solve), so
-        # the fast operator affects convergence only, never the answer.
+        # iterations of cg_solve_refined — solution accuracy is governed by
+        # the exact-operator residual refreshes, so the fast operator affects
+        # convergence only, never the answer.
         mv_fast = (
             make_gram_matvec(
-                kernels, x, sigma2, chunk=matvec_chunk, precision="default"
+                kern_sg, x, sigma2_sg, chunk=matvec_chunk, precision="default"
             )
             if mixed16
             else None
         )
     else:
         K = _cov_any(kernels, x)
+        K_sg = lax.stop_gradient(K)
         mv_fast = None
 
         def mv(vv):
@@ -218,22 +233,30 @@ def gp_nlml_iterative(
                 + sigma2 * vv
             )
 
+        def mv_solver(vv):
+            return (
+                jnp.matmul(vv, K_sg, precision=jax.lax.Precision.HIGHEST)
+                + sigma2_sg * vv
+            )
+
     pre = None
     if precond_rank > 0:
         # Value-only: stop_gradient removes the (unused) eigh/cholesky
         # backward graph entirely — its VJP can emit NaN·0 on degenerate
         # spectra even under zero cotangents.
         if matvec_chunk > 0:
-            kern_sg = jax.tree.map(lax.stop_gradient, kernels)
             Lpc = pivoted_cholesky_matfree(
                 _gram_row_fn(kern_sg, x),
                 cov_diag(kern_sg, x),
                 min(int(precond_rank), n),
             )
         else:
-            Lpc = pivoted_cholesky(lax.stop_gradient(K), min(int(precond_rank), n))
+            Lpc = pivoted_cholesky(K_sg, min(int(precond_rank), n))
+        # Cast σ² to the factor's dtype: under x64 test configs log_noise is
+        # f64 over f32 data, and a promoting preconditioner would feed f64
+        # back into the f32 solver/Lanczos scan carries (TypeError).
         pre = lowrank_sqrt_ops_from_factor(
-            Lpc, lax.stop_gradient(sigma2), layout="bm"
+            Lpc, sigma2_sg.astype(Lpc.dtype), layout="bm"
         )
 
     z = jax.random.rademacher(key, (num_probes, n), dtype=y.dtype)
@@ -249,17 +272,22 @@ def gp_nlml_iterative(
         # safe_batch_op: B = 1+num_probes (33 by default) is an unsafe
         # sublane extent under iteration on TPU (ops/batching.py).
         M_inv_sqrt_ = pre[1]
-        white = safe_batch_op(lambda vv: M_inv_sqrt_(mv(M_inv_sqrt_(vv))))
+        white = safe_batch_op(lambda vv: M_inv_sqrt_(mv_solver(M_inv_sqrt_(vv))))
         if mv_fast is not None:
             from gp_grief_tpu.ops.cg import cg_solve_refined
 
             white_fast = safe_batch_op(
                 lambda vv: M_inv_sqrt_(mv_fast(M_inv_sqrt_(vv)))
             )
+            # implicit_diff=False: the solutions are stop-gradiented below
+            # (BBMM surrogates carry the gradient), and custom_linear_solve
+            # would hoist the scan-rebuilt Gram slabs into one O(n²) stacked
+            # constant (see cg_solve_refined's docstring — measured 64 GB
+            # compile-time allocation at n=2¹⁷).
             solw = cg_solve_refined(
                 white_fast, white, M_inv_sqrt_(rhs), tol=cg_tol,
                 inner_iters=25, max_restarts=max(1, cg_iters // 25),
-                layout="bm", state_dtype=jnp.bfloat16,
+                layout="bm", state_dtype=jnp.bfloat16, implicit_diff=False,
             )
         else:
             solw = cg_solve(
@@ -271,13 +299,15 @@ def gp_nlml_iterative(
         if mv_fast is not None:
             from gp_grief_tpu.ops.cg import cg_solve_refined
 
+            # implicit_diff=False: same O(n²)-hoist avoidance as the
+            # preconditioned branch above.
             sol = cg_solve_refined(
-                safe_batch_op(mv_fast), safe_batch_op(mv), rhs, tol=cg_tol,
+                safe_batch_op(mv_fast), safe_batch_op(mv_solver), rhs, tol=cg_tol,
                 inner_iters=25, max_restarts=max(1, cg_iters // 25),
-                layout="bm", state_dtype=jnp.bfloat16,
+                layout="bm", state_dtype=jnp.bfloat16, implicit_diff=False,
             )
         else:
-            sol = cg_solve(safe_batch_op(mv), rhs, tol=cg_tol,
+            sol = cg_solve(safe_batch_op(mv_solver), rhs, tol=cg_tol,
                            max_iters=cg_iters, layout="bm",
                            implicit_diff=False)
     alpha = lax.stop_gradient(sol[0])
@@ -291,9 +321,9 @@ def gp_nlml_iterative(
     # M⁻½ÃM⁻½ converges in a handful of quadrature nodes.
     if pre is not None:
         M_inv_sqrt, ld_off = pre[1], pre[2]
-        slq_mv = safe_batch_op(lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv))))
+        slq_mv = safe_batch_op(lambda vv: M_inv_sqrt(mv_solver(M_inv_sqrt(vv))))
     else:
-        slq_mv, ld_off = safe_batch_op(mv), 0.0
+        slq_mv, ld_off = safe_batch_op(mv_solver), 0.0
     ld_val = lax.stop_gradient(
         ld_off
         + slq_logdet(
@@ -388,6 +418,7 @@ class GPRegression(BaseModel):
         cg_segment_iters: int = 50,
         probe_chunk: int = 8,
         slq_iter_segment=None,
+        fuse_probes=None,
         verbose: bool = False,
         **overrides,
     ) -> float:
@@ -407,7 +438,17 @@ class GPRegression(BaseModel):
         required at scales where ONE matrix-free matvec costs seconds
         (n=500k: a whole ``lanczos_iters``-deep probe chunk in one program
         exceeded the ~60 s watchdog even at probe_chunk=1; measured worker
-        kill).  Pair with a small ``cg_segment_iters`` at those scales."""
+        kill).  Pair with a small ``cg_segment_iters`` at those scales.
+
+        ``fuse_probes``: advance the CG solve through the SLQ probe phase's
+        operator applications (:func:`gp_grief_tpu.ops.fused.
+        fused_cg_slq_segmented`) — the Gram-slab rebuild is FLAT in the
+        batch size, so the fused ``(1+R, n)`` applies make the total Gram
+        sweeps ~max(CG, SLQ) instead of their sum (the dominant cost at
+        n ≥ 500k, where SLQ is ≈24 of ~40 sweeps).  ``None`` (default)
+        fuses unless ``mixed16`` is active (the fused phase must run the
+        EXACT operator — the SLQ-bias rule — which would idle the bf16
+        fast operator; explicit ``True`` overrides and runs exact)."""
         from gp_grief_tpu.ops.cg import cg_solve_segmented
         from gp_grief_tpu.ops.lanczos import slq_logdet_segmented
         from gp_grief_tpu.ops.precond import lowrank_sqrt_ops_from_factor
@@ -430,11 +471,29 @@ class GPRegression(BaseModel):
         # it.  ``mixed16_slq=True`` (opt-in, requires mixed16) runs the SLQ
         # probes on the fast operator too — the SLQ applies DOMINATE the
         # matrix-free NLML (≈24 of ~40 total Gram sweeps at the r14 500k
-        # config), so this is where the large-n wall-clock lives; the bias
-        # it buys is measured in benchmarks/exp_r15_mixed16.py before
-        # trusting it at any new scale.
+        # config), so this is where the large-n wall-clock lives.  MEASURED
+        # (round-5, exp_r15_mixed16): the bias is CATASTROPHIC at smooth-RBF
+        # configs — n=2¹⁷ NLML 62019 → −46242 (rel 1.75; the bf16 apply's
+        # absolute error ∝ λmax swamps the whitened spectrum, same mechanism
+        # as the r5 "deflation+mixed don't compose" rule) — while plain
+        # ``mixed16`` was EXACT (rel 0.0) at 2.13×.  Kept opt-in for
+        # operators with modest κ only; warns at use.
         mixed16 = bool(o.get("mixed16", False))
         mixed16_slq = bool(o.get("mixed16_slq", False)) and mixed16
+        # Fused CG+SLQ by default (exact operator; the bf16 fast operator
+        # has no role inside the fused phase), unless mixed16 asked for the
+        # refined-CG path explicitly.
+        fuse = (not mixed16) if fuse_probes is None else bool(fuse_probes)
+        if mixed16_slq:
+            import warnings
+
+            warnings.warn(
+                "mixed16_slq runs SLQ on the bf16 operator: measured NLML "
+                "bias is catastrophic on smooth-kernel Grams (rel ~1.8 at "
+                "n=2^17, exp_r15_mixed16) — trust it only after measuring "
+                "your operator's spectrum",
+                stacklevel=2,
+            )
         mv_fast = (
             make_gram_matvec(
                 kern, self.x, sigma2, chunk=chunk, precision="default"
@@ -452,8 +511,14 @@ class GPRegression(BaseModel):
                     _gram_row_fn(kern, x), cov_diag(kern, x), r
                 )
             )(kern, self.x)
+            # Data-dtype preconditioner: under x64 sessions the f64 kernel
+            # params over f32 data would otherwise promote the whitened
+            # operator's output and break the f32 solver/Lanczos scan
+            # carries (caught by the round-5 verify drive).
             _, M_inv_sqrt, logdet_M = lowrank_sqrt_ops_from_factor(
-                Lpc, sigma2, layout="bm"
+                Lpc.astype(self.y.dtype),
+                jnp.asarray(sigma2).astype(self.y.dtype),
+                layout="bm",
             )
 
             mv_white = safe_batch_op(
@@ -461,7 +526,19 @@ class GPRegression(BaseModel):
             )
 
             vt = M_inv_sqrt(self.y[None, :])
-            if mixed16:
+            if fuse:
+                from gp_grief_tpu.ops.fused import fused_cg_slq_segmented
+
+                gam, ld_w, _ = fused_cg_slq_segmented(
+                    mv_white, vt, n, key, num_probes=int(o["num_probes"]),
+                    lanczos_iters=int(o["lanczos_iters"]),
+                    probe_chunk=probe_chunk, iter_segment=slq_iter_segment,
+                    cg_tol=float(o["cg_tol"]), cg_iters=int(o["cg_iters"]),
+                    cg_segment_iters=int(cg_segment_iters), verbose=verbose,
+                )
+                quad = float(jnp.sum(vt * gam))
+                ld = float(logdet_M) + ld_w
+            elif mixed16:
                 from gp_grief_tpu.ops.cg import cg_solve_refined_segmented
 
                 mv_white_fast = safe_batch_op(
@@ -479,21 +556,33 @@ class GPRegression(BaseModel):
                     segment_iters=int(cg_segment_iters),
                     max_segments=max_segments, layout="bm", verbose=verbose,
                 )
-            quad = float(jnp.sum(vt * gam))
-            slq_op = mv_white_fast if mixed16_slq else mv_white
-            ld = float(logdet_M) + slq_logdet_segmented(
-                slq_op, n, key=key, num_probes=o["num_probes"],
-                lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
-                layout="bm", probe_chunk=probe_chunk,
-                iter_segment=slq_iter_segment,
-            )
+            if not fuse:
+                quad = float(jnp.sum(vt * gam))
+                slq_op = mv_white_fast if mixed16_slq else mv_white
+                ld = float(logdet_M) + slq_logdet_segmented(
+                    slq_op, n, key=key, num_probes=o["num_probes"],
+                    lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
+                    layout="bm", probe_chunk=probe_chunk,
+                    iter_segment=slq_iter_segment,
+                )
         else:
             # safe_batch_op: the SLQ probe batch (probe_chunk rows) need not
             # be 8-aligned — unwrapped, B=9..12-class extents hit the
             # XLA:TPU nondeterminism bug (ops/batching.py).
             mv_safe = safe_batch_op(mv)
             rhs = self.y[None, :]
-            if mixed16:
+            if fuse:
+                from gp_grief_tpu.ops.fused import fused_cg_slq_segmented
+
+                alpha, ld, _ = fused_cg_slq_segmented(
+                    mv_safe, rhs, n, key, num_probes=int(o["num_probes"]),
+                    lanczos_iters=int(o["lanczos_iters"]),
+                    probe_chunk=probe_chunk, iter_segment=slq_iter_segment,
+                    cg_tol=float(o["cg_tol"]), cg_iters=int(o["cg_iters"]),
+                    cg_segment_iters=int(cg_segment_iters), verbose=verbose,
+                )
+                quad = float(jnp.sum(rhs * alpha))
+            elif mixed16:
                 from gp_grief_tpu.ops.cg import cg_solve_refined_segmented
 
                 alpha = cg_solve_refined_segmented(
@@ -508,14 +597,15 @@ class GPRegression(BaseModel):
                     segment_iters=int(cg_segment_iters),
                     max_segments=max_segments, layout="bm", verbose=verbose,
                 )
-            quad = float(jnp.sum(rhs * alpha))
-            slq_op = safe_batch_op(mv_fast) if mixed16_slq else mv_safe
-            ld = slq_logdet_segmented(
-                slq_op, n, key=key, num_probes=o["num_probes"],
-                lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
-                layout="bm", probe_chunk=probe_chunk,
-                iter_segment=slq_iter_segment,
-            )
+            if not fuse:
+                quad = float(jnp.sum(rhs * alpha))
+                slq_op = safe_batch_op(mv_fast) if mixed16_slq else mv_safe
+                ld = slq_logdet_segmented(
+                    slq_op, n, key=key, num_probes=o["num_probes"],
+                    lanczos_iters=o["lanczos_iters"], dtype=self.y.dtype,
+                    layout="bm", probe_chunk=probe_chunk,
+                    iter_segment=slq_iter_segment,
+                )
         return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
 
     def predict(

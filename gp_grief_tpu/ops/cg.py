@@ -491,6 +491,7 @@ def cg_solve_refined(
     return_info: bool = False,
     layout: str = "col",
     state_dtype=None,
+    implicit_diff: bool = True,
 ):
     """Mixed-precision CG via iterative refinement (Carson–Higham pattern).
 
@@ -519,6 +520,18 @@ def cg_solve_refined(
 
     ``layout="bm"`` flips the state/matvec contract to ``(B, m)`` rows — see
     :func:`cg_solve`.
+
+    ``implicit_diff=False`` skips the ``custom_linear_solve`` wrapper (value
+    path, like :func:`cg_solve`'s flag).  REQUIRED when ``matvec_exact`` is a
+    matrix-free scan-rebuilt operator (:func:`gp_grief_tpu.models.
+    gp_regression.make_gram_matvec`) inside a differentiated program:
+    ``custom_linear_solve`` partial-evaluates the matvec into a linear
+    function of the vector, which hoists every vector-independent
+    intermediate — the per-block Gram slabs — into ONE stacked
+    ``(nb, n, chunk)`` constant carried through the solve: the O(n²) buffer
+    the operator exists to avoid (measured: 64 GB compile-time allocation at
+    n=2¹⁷/chunk=2048, round-5).  Callers that stop-gradient the solution and
+    differentiate via surrogates (the BBMM NLML losses) lose nothing.
 
     ``state_dtype`` (e.g. ``jnp.bfloat16``) stores the INNER loop's carried
     vectors — and hands ``matvec_fast`` its input — in that dtype (see
@@ -626,6 +639,9 @@ def cg_solve_refined(
         x, rnorm, outer = _refined_raw(matvec_exact, bb)
         info = CGInfo(iterations=outer * inner_iters, residual_norm=rnorm)
         return _unsqueeze(x), info
+
+    if not implicit_diff:
+        return _unsqueeze(_refined_raw(matvec_exact, bb)[0])
 
     x = lax.custom_linear_solve(
         matvec_exact, bb, solve=lambda mv, rhs: _refined_raw(mv, rhs)[0], symmetric=True

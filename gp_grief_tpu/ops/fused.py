@@ -35,7 +35,11 @@ from jax import lax
 from gp_grief_tpu.ops.cg import _reducers
 from gp_grief_tpu.ops.lanczos import _slq_quadrature
 
-__all__ = ["make_fused_cg_lanczos_step", "fused_cg_slq_segment"]
+__all__ = [
+    "make_fused_cg_lanczos_step",
+    "fused_cg_slq_segment",
+    "fused_cg_slq_segmented",
+]
 
 
 def make_fused_cg_lanczos_step(
@@ -149,3 +153,175 @@ def fused_cg_slq_segment(
         in_axes=(1, 1, 0, 0),
     )(alphas, betas, num_valid, znorm2)
     return cg_state, jnp.mean(vals)
+
+
+def fused_cg_slq_segmented(
+    op: Callable[[jax.Array], jax.Array],
+    rhs: jax.Array,
+    m: int,
+    key: jax.Array,
+    *,
+    num_probes: int,
+    lanczos_iters: int,
+    probe_chunk: int = 8,
+    iter_segment: Optional[int] = None,
+    cg_tol: float = 1e-6,
+    cg_iters: int = 400,
+    cg_segment_iters: int = 50,
+    verbose: bool = False,
+) -> tuple[jax.Array, float, int]:
+    """Host-segmented fused CG + SLQ driver (round-5).
+
+    Advances a bm-layout CG solve of ``A x = rhs`` (``rhs``: ``(Bc, m)``
+    rows, normally ``Bc=1``) through the probe phase's shared operator
+    applications: each device program runs ``iter_segment`` (or all
+    ``lanczos_iters``) fused steps — ONE ``(Bc+R, m)`` apply per iteration
+    drives both the CG recurrence and ``R`` Lanczos probe recurrences
+    (:func:`make_fused_cg_lanczos_step`).  The Lanczos carry stays
+    device-resident between dispatches; only the tiny per-iteration α/β
+    blocks come to host, where the Gauss quadrature runs in f64 (the
+    :func:`gp_grief_tpu.ops.lanczos.slq_logdet_segmented` pattern).  After
+    the probes are exhausted, leftover plain-CG segments finish the solve
+    to ``cg_tol``.
+
+    Why: on operators whose apply cost is FLAT in the batch (the
+    matrix-free Gram matvec rebuilds the same (chunk, n) cov slabs for any
+    B; the structured lattice operators are bandwidth-bound on lattice
+    bytes), running CG and SLQ as separate passes pays for the operator
+    twice — the total Gram sweeps become ~max(CG, SLQ) instead of their
+    sum.  ``iter_segment`` bounds each program for operators where one
+    apply costs seconds (the ~60 s per-program watchdog, CLAUDE.md).
+
+    Probe draws: chunk ``c`` uses ``fold_in(key, c)`` — identical to
+    :func:`slq_logdet_segmented`'s family.  Returns ``(x, slq_logdet_mean,
+    cg_iterations)``.  The caller wraps ``op`` in ``safe_batch_op`` and
+    whitens/offsets the log-det as needed.
+    """
+    import numpy as np
+
+    from gp_grief_tpu.ops.cg import _make_pcg_step
+    from gp_grief_tpu.ops.lanczos import _np_slq_quadrature
+    from gp_grief_tpu.utils.closure import explicit_closure
+
+    if num_probes <= 0:
+        raise ValueError("num_probes must be positive")
+    dtype = rhs.dtype
+    k = int(lanczos_iters)
+    _colsum, _colnorm, _bc = _reducers("bm", None)
+
+    probe_chunk = max(1, min(int(probe_chunk), int(num_probes)))
+    sizes = [probe_chunk] * (int(num_probes) // probe_chunk)
+    if int(num_probes) % probe_chunk:
+        sizes.append(int(num_probes) % probe_chunk)
+    seg = k if iter_segment is None else max(1, min(int(iter_segment), k))
+    seg_lens = [seg] * (k // seg)
+    if k % seg:
+        seg_lens.append(k % seg)
+
+    x0 = jnp.zeros_like(rhs)
+    rz0 = _colsum(rhs * rhs)
+    state = (x0, rhs, rhs, rhs, rz0, jnp.zeros(rz0.shape, bool))
+    bnorm = np.asarray(_colnorm(rhs))
+
+    sds = lambda t: jax.tree.map(  # noqa: E731
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t
+    )
+    key_sds = jax.ShapeDtypeStruct(key.shape, key.dtype)
+
+    # Probe-chunk init programs (draw Z, normalize, carry init) per R.
+    init_progs = {}
+    for r in sorted(set(sizes)):
+
+        def init_fn(kk, rr=r):
+            Z = jax.random.rademacher(kk, (rr, m), dtype=dtype)
+            q0 = Z / _bc(_colnorm(Z))
+            carry = (
+                q0, jnp.zeros_like(q0), jnp.zeros((rr,), dtype),
+                jnp.ones((rr,), bool),
+            )
+            return carry, _colsum(Z * Z)
+
+        ip, ic = explicit_closure(init_fn, key_sds)
+        init_progs[r] = (jax.jit(ip), ic)
+
+    # Fused segment programs per (R, seg_len): advance CG + Lanczos jointly.
+    fused_progs = {}
+    step = make_fused_cg_lanczos_step(op, _colsum, _colnorm, _bc)
+    for r in sorted(set(sizes)):
+        ip, ic = init_progs[r]
+        carry_sds = jax.eval_shape(ip, ic, key_sds)[0]
+        for ln in sorted(set(seg_lens)):
+
+            def seg_fn(st, lzc, _ln=ln):
+                def body(carry, _):
+                    cgs, lz = carry
+                    cgs, lz, outs = step(cgs, lz)
+                    return (cgs, lz), outs
+
+                (st2, lz2), outs = lax.scan(
+                    body, (st, lzc), None, length=_ln
+                )
+                return st2, lz2, outs, _colnorm(st2[1]), st2[5]
+
+            sp, sc = explicit_closure(seg_fn, sds(state), carry_sds)
+            fused_progs[(r, ln)] = (jax.jit(sp), sc)
+
+    eff_tol = max(float(cg_tol), 20.0 * float(jnp.finfo(dtype).eps))
+    stop = eff_tol * np.maximum(bnorm, float(jnp.finfo(dtype).tiny))
+    total = 0.0
+    iters = 0
+    rnorm_h, dead_h = bnorm, np.zeros(bnorm.shape, bool)
+    for c, r in enumerate(sizes):
+        ip, ic = init_progs[r]
+        lz_carry, znorm2 = ip(ic, jax.random.fold_in(key, c))
+        a_rows, b_rows, alive_rows = [], [], []
+        for ln in seg_lens:
+            sp, sc = fused_progs[(r, ln)]
+            state, lz_carry, (a, b, al), rnorm, dead = sp(sc, state, lz_carry)
+            a_rows.append(np.asarray(a))
+            b_rows.append(np.asarray(b))
+            alive_rows.append(np.asarray(al))
+            iters += ln
+        rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+        alphas = np.concatenate(a_rows).astype(np.float64)
+        betas = np.concatenate(b_rows).astype(np.float64)
+        alive = np.concatenate(alive_rows)
+        num_valid = alive.sum(axis=0)
+        zn = np.asarray(znorm2, dtype=np.float64)
+        for j in range(r):
+            total += zn[j] * _np_slq_quadrature(
+                alphas[:, j], betas[: k - 1, j], int(num_valid[j]), k
+            )
+        if verbose:
+            rel = float(np.max(rnorm_h / np.maximum(bnorm, 1e-30)))
+            print(
+                f"[fused_cg_slq] probe chunk {c + 1}/{len(sizes)}: "
+                f"cg_iters={iters} max_rel_resid={rel:.3e}", flush=True,
+            )
+
+    # Leftover plain-CG segments to tolerance (bounded programs).
+    def cg_seg_fn(st):
+        pstep = _make_pcg_step(op, lambda rr_: rr_, _colsum, _bc)
+        st, _ = lax.scan(
+            lambda s, _: (pstep(*s), None), st, None,
+            length=int(cg_segment_iters),
+        )
+        return st, _colnorm(st[1]), st[5]
+
+    sp2, sc2 = explicit_closure(cg_seg_fn, sds(state))
+    cg_prog = (jax.jit(sp2), sc2)
+    leftover = max(0, int(cg_iters) - iters)
+    for s in range(max(0, -(-leftover // int(cg_segment_iters)))):
+        if not np.any((rnorm_h > stop) & ~dead_h):
+            break
+        state, rnorm, dead = cg_prog[0](cg_prog[1], state)
+        rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
+        iters += int(cg_segment_iters)
+        if verbose:
+            rel = float(np.max(rnorm_h / np.maximum(bnorm, 1e-30)))
+            print(
+                f"[fused_cg_slq] cg segment {s + 1}: iters={iters} "
+                f"max_rel_resid={rel:.3e}", flush=True,
+            )
+
+    return state[0], total / int(num_probes), iters

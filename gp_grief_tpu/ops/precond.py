@@ -325,7 +325,11 @@ def pivoted_cholesky_matfree(row_fn, diag: jax.Array, rank: int) -> jax.Array:
         d, Lrows = carry
         piv = jnp.argmax(d)
         # Schur-complement column at the pivot: K[:, piv] − L L[piv,:]ᵀ.
-        col = row_fn(piv) - jnp.matmul(Lrows.T, Lrows[:, piv], precision=hi)
+        # Dtype-stable: under x64 test configs the kernel params are f64
+        # over f32 data, so row_fn promotes — pin the row to the carry's
+        # dtype (same rule as make_gram_matvec's output dtype).
+        row = row_fn(piv).astype(diag.dtype)
+        col = row - jnp.matmul(Lrows.T, Lrows[:, piv], precision=hi)
         dpiv = d[piv]
         # Exhausted diagonal ⇒ inert zero column (scan is branch-free).
         scale = jnp.where(dpiv > 0, lax.rsqrt(jnp.where(dpiv > 0, dpiv, 1.0)), 0.0)

@@ -307,3 +307,54 @@ def test_gp_regression_mixed16_segmented_nlml_parity(rng):
     v_m = float(m_mixed._loss(m_mixed.params))
     v_p = float(m_plain._loss(m_plain.params))
     assert abs(v_m - v_p) < 1e-2 * abs(v_p), (v_m, v_p)
+
+
+def test_mixed16_grad_compiles_without_on2_slab_stack(rng):
+    """value_and_grad of the matrix-free iterative loss must NOT materialize
+    the stacked (nb, n, chunk) Gram-slab buffer.  Round-5 regression: any
+    path that lets the solver loops be linearized (custom_linear_solve's
+    linear-function partial-eval, or solver operators closing over LIVE
+    params) hoists every per-block slab into one stacked constant — a 64 GB
+    compile-time allocation at n=2**17 on the chip.  The fix: solves run on
+    stop-gradient operators (they are value-only by design; BBMM surrogates
+    carry the gradient).  Checked structurally on the optimized HLO."""
+    import re
+
+    from gp_grief_tpu import GPRegression, make_kernel
+
+    n, chunk = 1024, 256
+    x = rng.uniform(0, 4, size=(n, 2)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    kw = dict(
+        noise_var=0.05, solver="iterative", matvec_chunk=chunk,
+        precond_rank=16, num_probes=8, lanczos_iters=8, cg_iters=40,
+        cg_tol=1e-6,
+    )
+    m = GPRegression(
+        x, y, make_kernel("rbf", lengthscale=0.8, input_dim=2),
+        mixed16=True, **kw,
+    )
+    txt = (
+        jax.jit(jax.value_and_grad(m._loss)).lower(m.params).compile().as_text()
+    )
+    nb = n // chunk
+    pat = re.compile(
+        rf"\[({nb},{n},{chunk}|{nb},{chunk},{n}|{n},{n})\]"
+    )
+    hits = sorted({mm.group(0) for mm in pat.finditer(txt)})
+    assert not hits, f"O(n^2) buffers in compiled grad program: {hits}"
+
+    # And the gradient itself must agree with the plain-f32 loss's gradient
+    # (same estimator, same probe key; only the inner solver precision
+    # differs and both converge to cg_tol).
+    m_plain = GPRegression(
+        x, y, make_kernel("rbf", lengthscale=0.8, input_dim=2), **kw,
+    )
+    v16, g16 = jax.value_and_grad(m._loss)(m.params)
+    v32, g32 = jax.value_and_grad(m_plain._loss)(m_plain.params)
+    assert np.isfinite(float(v16)) and abs(v16 - v32) < 1e-2 * abs(v32)
+    flat16 = jnp.concatenate([jnp.ravel(l) for l in jax.tree.leaves(g16)])
+    flat32 = jnp.concatenate([jnp.ravel(l) for l in jax.tree.leaves(g32)])
+    np.testing.assert_allclose(
+        np.asarray(flat16), np.asarray(flat32), rtol=2e-2, atol=2e-4
+    )

@@ -833,3 +833,23 @@ def test_cg_refined_segmented_fallback_on_useless_fast_op(rng):
     res = np.linalg.norm(np.asarray(mv(x) - b), axis=1)
     res /= np.linalg.norm(np.asarray(b), axis=1)
     assert res.max() < 1e-5, res
+
+
+def test_cg_refined_implicit_diff_false_matches(rng):
+    """implicit_diff=False (round-5: required when the exact operator is a
+    scan-rebuilt matrix-free matvec inside a differentiated program — see
+    cg_solve_refined's docstring) must return the same solution as the
+    custom_linear_solve-wrapped path."""
+    from gp_grief_tpu.ops import cg_solve_refined
+
+    n = 48
+    A = rng.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.standard_normal((3, n)))
+    mv = lambda vv: vv @ Aj  # noqa: E731
+    x_wrap = cg_solve_refined(mv, mv, b, tol=1e-10, layout="bm")
+    x_raw = cg_solve_refined(mv, mv, b, tol=1e-10, layout="bm",
+                             implicit_diff=False)
+    np.testing.assert_allclose(np.asarray(x_raw), np.asarray(x_wrap),
+                               rtol=1e-8, atol=1e-10)
