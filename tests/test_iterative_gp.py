@@ -358,3 +358,30 @@ def test_mixed16_grad_compiles_without_on2_slab_stack(rng):
     np.testing.assert_allclose(
         np.asarray(flat16), np.asarray(flat32), rtol=2e-2, atol=2e-4
     )
+
+
+def test_segmented_nlml_fused_matches_separate(rng):
+    """fuse_probes=True (round-5 default) must match the separate-pass
+    CG + SLQ estimator: same probe draws, same quadrature family — only the
+    program partitioning differs (fused shares operator applications)."""
+    from gp_grief_tpu import GPRegression, make_kernel
+
+    n = 800
+    x = rng.uniform(0, 4, size=(n, 2)).astype(np.float32)
+    y = (np.sin(2 * x[:, 0]) * np.cos(x[:, 1])
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    for pr in (0, 32):
+        m = GPRegression(
+            x, y, make_kernel("rbf", lengthscale=0.6, input_dim=2),
+            noise_var=0.05, solver="iterative", matvec_chunk=256,
+            precond_rank=pr, num_probes=12, lanczos_iters=12,
+            cg_tol=1e-7, cg_iters=100,
+        )
+        ll_fused = m.log_likelihood_iterative_segmented(fuse_probes=True)
+        ll_sep = m.log_likelihood_iterative_segmented(fuse_probes=False)
+        assert abs(ll_fused - ll_sep) < 3e-3 * abs(ll_sep), (pr, ll_fused, ll_sep)
+        # Iteration-segmented fused partitioning is estimator-identical too.
+        ll_itseg = m.log_likelihood_iterative_segmented(
+            fuse_probes=True, slq_iter_segment=5
+        )
+        assert abs(ll_itseg - ll_fused) < 1e-5 * abs(ll_fused), (pr, ll_itseg, ll_fused)

@@ -661,3 +661,38 @@ def test_gp_kron_grouped_dims_predict(rng):
         model.predict(x_new[:, :2])
     with pytest.raises(ValueError, match="widths"):
         GPKroneckerRegression(xg, y, kerns, dims=[[0], [1]])
+
+
+def test_grief_phi_impl_grad_prefers_batched(rng):
+    """GPGriefModel._loss routes impl='auto' onto the batched stack when the
+    dims batch (round-5: measured 2.4x faster than the fused forward's VJP
+    at d=100 on chip), and the loss value is impl-invariant."""
+    import gp_grief_tpu as gpx
+
+    n, d = 150, 6
+    x = rng.uniform(0, 1, size=(n, d)).astype(np.float32)
+    y = np.sin(3 * x[:, 0]).astype(np.float32)
+    grid = gpx.InducingGrid.build(x, mbar=8)
+    kerns = [gpx.make_kernel("rbf", lengthscale=1.0) for _ in range(d)]
+    m = gpx.GPGriefModel(
+        x, y, kerns, grid, n_eigs=40, noise_var=0.1, dtype=np.float32,
+        opt_kernel_params=True, dim_noise_var=1e-8,
+    )
+    assert m._phi_impl_grad() == "batched"
+    l_auto = float(m._loss(m.params))
+    m2 = gpx.GPGriefModel(
+        x, y, kerns, grid, n_eigs=40, noise_var=0.1, dtype=np.float32,
+        opt_kernel_params=True, dim_noise_var=1e-8,
+    )
+    m2.phi_impl = "xla"
+    assert m2._phi_impl_grad() == "xla"
+    l_xla = float(m2._loss(m2.params))
+    np.testing.assert_allclose(l_auto, l_xla, rtol=5e-4)
+    # Grads agree across assemblies too (the ARD training surface).
+    import jax
+
+    g_auto = jax.grad(m._loss)(m.params)
+    g_xla = jax.grad(m2._loss)(m2.params)
+    fa = np.concatenate([np.ravel(np.asarray(v)) for v in jax.tree.leaves(g_auto)])
+    fx = np.concatenate([np.ravel(np.asarray(v)) for v in jax.tree.leaves(g_xla)])
+    np.testing.assert_allclose(fa, fx, rtol=2e-2, atol=5e-4)
