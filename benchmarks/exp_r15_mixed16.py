@@ -48,6 +48,10 @@ def make_model(n, seed=0, mixed16=False):
 def timed_nlml(model, n, **kw):
     seg = 8 if n >= 400_000 else 25
     itseg = 6 if n >= 400_000 else None
+    # fuse_probes=False: this script isolates the PRECISION axis (f32 vs
+    # mixed16) against the r14 separate-pass baseline; the fuse-vs-separate
+    # partitioning axis is measured by exp_r15_fused_gp.py.
+    kw.setdefault("fuse_probes", False)
     t0 = time.perf_counter()
     ll = model.log_likelihood_iterative_segmented(
         cg_segment_iters=seg, slq_iter_segment=itseg, probe_chunk=8, **kw

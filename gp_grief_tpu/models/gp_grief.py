@@ -221,8 +221,12 @@ class GPGriefModel(BaseModel):
         chip at d=100/p=200 the batched ``stack_kernels`` path runs the ARD
         value_and_grad step at 204 ms device time vs 489 ms for the fused
         Pallas forward (its VJP re-runs the d-link product chain) —
-        benchmarks/exp_r15_d100_tpu.py.  Value-only paths keep ``"auto"``'s
-        fused dispatch."""
+        benchmarks/exp_r15_d100_tpu.py.  Scope: this governs ``_loss`` —
+        the training objective AND ``log_likelihood()`` under
+        ``opt_kernel_params=True`` (both trace the same program).  The
+        cached value paths (``_refresh_cache``/stats/predict, and all
+        reweight-mode evaluation) keep ``"auto"``'s fused forward
+        dispatch."""
         if self.phi_impl != "auto":
             return self.phi_impl
         from gp_grief_tpu.kernels.grief import stack_kernels
@@ -599,10 +603,18 @@ class GPGriefModel(BaseModel):
         )
         key_sds = jax.ShapeDtypeStruct(key.shape, key.dtype)
 
+        eff_tol = max(float(cg_tol), 20.0 * float(jnp.finfo(self.y.dtype).eps))
+        stop = eff_tol * np.maximum(bnorm, float(jnp.finfo(self.y.dtype).tiny))
+        # freeze_rz = stop²: converged CG columns freeze during the probe
+        # phase (ops/fused.py — post-convergence f32 wander guard).
+        freeze = jnp.asarray(stop * stop, self.y.dtype)
+
         def make_fused(rr):
             def f(st, k):
                 Z = jax.random.rademacher(k, (rr, n), dtype=self.y.dtype)
-                st2, ld_c = fused_cg_slq_segment(op, st, Z, int(lanczos_iters))
+                st2, ld_c = fused_cg_slq_segment(
+                    op, st, Z, int(lanczos_iters), freeze_rz=freeze
+                )
                 return st2, _colnorm(st2[1]), st2[5], ld_c
 
             return f
@@ -624,8 +636,6 @@ class GPGriefModel(BaseModel):
         sp_, sc_ = explicit_closure(seg_body, sds(state))
         seg_prog = (jax.jit(sp_), sc_)
 
-        eff_tol = max(float(cg_tol), 20.0 * float(jnp.finfo(self.y.dtype).eps))
-        stop = eff_tol * np.maximum(bnorm, float(jnp.finfo(self.y.dtype).tiny))
         total = 0.0
         iters = 0
         rnorm_h = bnorm

@@ -487,13 +487,21 @@ class GPRegression(BaseModel):
         if mixed16_slq:
             import warnings
 
-            warnings.warn(
-                "mixed16_slq runs SLQ on the bf16 operator: measured NLML "
-                "bias is catastrophic on smooth-kernel Grams (rel ~1.8 at "
-                "n=2^17, exp_r15_mixed16) — trust it only after measuring "
-                "your operator's spectrum",
-                stacklevel=2,
-            )
+            if fuse:
+                warnings.warn(
+                    "mixed16_slq has no effect with fuse_probes=True: the "
+                    "fused phase always runs SLQ on the EXACT operator",
+                    stacklevel=2,
+                )
+                mixed16_slq = False
+            else:
+                warnings.warn(
+                    "mixed16_slq runs SLQ on the bf16 operator: measured "
+                    "NLML bias is catastrophic on smooth-kernel Grams "
+                    "(rel ~1.8 at n=2^17, exp_r15_mixed16) — trust it only "
+                    "after measuring your operator's spectrum",
+                    stacklevel=2,
+                )
         mv_fast = (
             make_gram_matvec(
                 kern, self.x, sigma2, chunk=chunk, precision="default"

@@ -47,6 +47,7 @@ def make_fused_cg_lanczos_step(
     _colsum,
     _colnorm,
     _bc,
+    freeze_rz=None,
 ):
     """One fused iteration: CG state (``Bc`` rows) + ``R`` Lanczos
     recurrences through a single ``op`` application on ``(Bc+R, m)``.
@@ -57,6 +58,14 @@ def make_fused_cg_lanczos_step(
     per-iteration Lanczos outputs ``(alpha_out, beta_out, alive)`` for the
     SLQ quadrature.  The preconditioner is the identity (both model
     segmented paths run in a whitened basis where that is exact).
+
+    ``freeze_rz``: per-column CONVERGENCE freeze threshold on ``rz = rᵀr``
+    (i.e. ``stop²`` for a residual-norm stop): the probe phase advances the
+    CG state for as many iterations as the Lanczos recurrences run — with
+    no stop of its own, post-convergence f32 CG can wander on κ ≳ 1e6
+    systems (the ops.cg fallback lesson).  Converged columns freeze via the
+    same ``dead`` mechanism as breakdowns, so extra fused iterations leave
+    ``x`` untouched.  ``None`` keeps the pure recurrence.
     """
 
     def step(cg_state, lz_carry):
@@ -75,6 +84,8 @@ def make_fused_cg_lanczos_step(
         z = r  # identity preconditioner
         rz_new = _colsum(r * z)
         dead_new = dead | ~ok | ~jnp.isfinite(rz_new)
+        if freeze_rz is not None:
+            dead_new = dead_new | (rz_new <= freeze_rz)
         beta = jnp.where(
             dead_new | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz)
         )
@@ -109,6 +120,7 @@ def fused_cg_slq_segment(
     lanczos_iters: int,
     *,
     axis_name: Optional[str] = None,
+    freeze_rz=None,
 ):
     """Advance a bm CG state by ``lanczos_iters`` iterations while running a
     full ``R``-probe Lanczos/SLQ pass on the same operator.
@@ -133,7 +145,9 @@ def fused_cg_slq_segment(
         jnp.zeros((R,), dtype),
         jnp.ones((R,), bool),
     )
-    step = make_fused_cg_lanczos_step(op, _colsum, _colnorm, _bc)
+    step = make_fused_cg_lanczos_step(
+        op, _colsum, _colnorm, _bc, freeze_rz=freeze_rz
+    )
 
     def body(carry, _):
         cgs, lzc = carry
@@ -200,7 +214,10 @@ def fused_cg_slq_segmented(
     import numpy as np
 
     from gp_grief_tpu.ops.cg import _make_pcg_step
-    from gp_grief_tpu.ops.lanczos import _np_slq_quadrature
+    from gp_grief_tpu.ops.lanczos import (
+        _chunk_quadrature_total,
+        _probe_chunk_sizes,
+    )
     from gp_grief_tpu.utils.closure import explicit_closure
 
     if num_probes <= 0:
@@ -209,10 +226,7 @@ def fused_cg_slq_segmented(
     k = int(lanczos_iters)
     _colsum, _colnorm, _bc = _reducers("bm", None)
 
-    probe_chunk = max(1, min(int(probe_chunk), int(num_probes)))
-    sizes = [probe_chunk] * (int(num_probes) // probe_chunk)
-    if int(num_probes) % probe_chunk:
-        sizes.append(int(num_probes) % probe_chunk)
+    sizes = _probe_chunk_sizes(num_probes, probe_chunk)
     seg = k if iter_segment is None else max(1, min(int(iter_segment), k))
     seg_lens = [seg] * (k // seg)
     if k % seg:
@@ -244,9 +258,19 @@ def fused_cg_slq_segmented(
         ip, ic = explicit_closure(init_fn, key_sds)
         init_progs[r] = (jax.jit(ip), ic)
 
+    eff_tol = max(float(cg_tol), 20.0 * float(jnp.finfo(dtype).eps))
+    stop = eff_tol * np.maximum(bnorm, float(jnp.finfo(dtype).tiny))
+
     # Fused segment programs per (R, seg_len): advance CG + Lanczos jointly.
+    # freeze_rz = stop²: the probe phase runs as many CG iterations as the
+    # Lanczos recurrences regardless of convergence — converged columns
+    # freeze (dead-flag mechanism) so post-convergence f32 wander cannot
+    # degrade the returned iterate (the ops.cg κ ≳ 1e6 lesson).
     fused_progs = {}
-    step = make_fused_cg_lanczos_step(op, _colsum, _colnorm, _bc)
+    step = make_fused_cg_lanczos_step(
+        op, _colsum, _colnorm, _bc,
+        freeze_rz=jnp.asarray(stop * stop, dtype),
+    )
     for r in sorted(set(sizes)):
         ip, ic = init_progs[r]
         carry_sds = jax.eval_shape(ip, ic, key_sds)[0]
@@ -266,8 +290,6 @@ def fused_cg_slq_segmented(
             sp, sc = explicit_closure(seg_fn, sds(state), carry_sds)
             fused_progs[(r, ln)] = (jax.jit(sp), sc)
 
-    eff_tol = max(float(cg_tol), 20.0 * float(jnp.finfo(dtype).eps))
-    stop = eff_tol * np.maximum(bnorm, float(jnp.finfo(dtype).tiny))
     total = 0.0
     iters = 0
     rnorm_h, dead_h = bnorm, np.zeros(bnorm.shape, bool)
@@ -283,15 +305,7 @@ def fused_cg_slq_segmented(
             alive_rows.append(np.asarray(al))
             iters += ln
         rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
-        alphas = np.concatenate(a_rows).astype(np.float64)
-        betas = np.concatenate(b_rows).astype(np.float64)
-        alive = np.concatenate(alive_rows)
-        num_valid = alive.sum(axis=0)
-        zn = np.asarray(znorm2, dtype=np.float64)
-        for j in range(r):
-            total += zn[j] * _np_slq_quadrature(
-                alphas[:, j], betas[: k - 1, j], int(num_valid[j]), k
-            )
+        total += _chunk_quadrature_total(a_rows, b_rows, alive_rows, znorm2, k)
         if verbose:
             rel = float(np.max(rnorm_h / np.maximum(bnorm, 1e-30)))
             print(
@@ -299,21 +313,27 @@ def fused_cg_slq_segmented(
                 f"cg_iters={iters} max_rel_resid={rel:.3e}", flush=True,
             )
 
-    # Leftover plain-CG segments to tolerance (bounded programs).
-    def cg_seg_fn(st):
-        pstep = _make_pcg_step(op, lambda rr_: rr_, _colsum, _bc)
-        st, _ = lax.scan(
-            lambda s, _: (pstep(*s), None), st, None,
-            length=int(cg_segment_iters),
-        )
-        return st, _colnorm(st[1]), st[5]
-
-    sp2, sc2 = explicit_closure(cg_seg_fn, sds(state))
-    cg_prog = (jax.jit(sp2), sc2)
+    # Leftover plain-CG segments to tolerance (bounded programs).  Traced
+    # LAZILY: the common case converges inside the probe phase, and tracing
+    # a scan of cg_segment_iters matrix-free applies costs real host time
+    # per call (round-5 review).
+    cg_prog = None
     leftover = max(0, int(cg_iters) - iters)
     for s in range(max(0, -(-leftover // int(cg_segment_iters)))):
         if not np.any((rnorm_h > stop) & ~dead_h):
             break
+        if cg_prog is None:
+
+            def cg_seg_fn(st):
+                pstep = _make_pcg_step(op, lambda rr_: rr_, _colsum, _bc)
+                st, _ = lax.scan(
+                    lambda s_, _: (pstep(*s_), None), st, None,
+                    length=int(cg_segment_iters),
+                )
+                return st, _colnorm(st[1]), st[5]
+
+            sp2, sc2 = explicit_closure(cg_seg_fn, sds(state))
+            cg_prog = (jax.jit(sp2), sc2)
         state, rnorm, dead = cg_prog[0](cg_prog[1], state)
         rnorm_h, dead_h = np.asarray(rnorm), np.asarray(dead)
         iters += int(cg_segment_iters)

@@ -324,10 +324,7 @@ def slq_logdet_segmented(
         raise ValueError("num_probes must be positive")
     from gp_grief_tpu.utils.closure import explicit_closure
 
-    probe_chunk = max(1, min(int(probe_chunk), num_probes))
-    sizes = [probe_chunk] * (num_probes // probe_chunk)
-    if num_probes % probe_chunk:
-        sizes.append(num_probes % probe_chunk)
+    sizes = _probe_chunk_sizes(num_probes, probe_chunk)
     # Captured operands (plan tables, preconditioner factors inside a
     # whitened matvec) are hoisted into explicit jit arguments — see
     # gp_grief_tpu.utils.closure (multi-GB closures must never be embedded
@@ -418,16 +415,35 @@ def _slq_logdet_iter_segmented(
             a_rows.append(np.asarray(a))
             b_rows.append(np.asarray(b))
             alive_rows.append(np.asarray(al))
-        alphas = np.concatenate(a_rows).astype(np.float64)
-        betas = np.concatenate(b_rows).astype(np.float64)
-        alive = np.concatenate(alive_rows)
-        num_valid = alive.sum(axis=0)
-        zn = np.asarray(znorm2, dtype=np.float64)
-        for j in range(r):
-            total += zn[j] * _np_slq_quadrature(
-                alphas[:, j], betas[: k - 1, j], int(num_valid[j]), k
-            )
+        total += _chunk_quadrature_total(a_rows, b_rows, alive_rows, znorm2, k)
     return total / num_probes
+
+
+def _probe_chunk_sizes(num_probes: int, probe_chunk: int) -> list:
+    """Partition ``num_probes`` i.i.d. probes into device-program chunks."""
+    probe_chunk = max(1, min(int(probe_chunk), int(num_probes)))
+    sizes = [probe_chunk] * (int(num_probes) // probe_chunk)
+    if int(num_probes) % probe_chunk:
+        sizes.append(int(num_probes) % probe_chunk)
+    return sizes
+
+
+def _chunk_quadrature_total(a_rows, b_rows, alive_rows, znorm2, k: int) -> float:
+    """Host-f64 SLQ quadrature for one probe chunk from per-segment α/β/alive
+    fetches (each ``(ln, R)``) — shared by the iteration-segmented SLQ and
+    the fused CG+SLQ driver (``ops.fused``), so the two estimators cannot
+    silently diverge."""
+    alphas = np.concatenate(a_rows).astype(np.float64)
+    betas = np.concatenate(b_rows).astype(np.float64)
+    alive = np.concatenate(alive_rows)
+    num_valid = alive.sum(axis=0)
+    zn = np.asarray(znorm2, dtype=np.float64)
+    total = 0.0
+    for j in range(zn.shape[0]):
+        total += zn[j] * _np_slq_quadrature(
+            alphas[:, j], betas[: k - 1, j], int(num_valid[j]), k
+        )
+    return total
 
 
 def _np_slq_quadrature(alpha_col, beta_col, num_valid, k) -> float:
