@@ -13,6 +13,7 @@ reference ``linalg.py`` CG + stochastic Lanczos — SURVEY.md §3.2).
 
 from __future__ import annotations
 
+import time
 from typing import Sequence, Union
 
 import jax
@@ -615,6 +616,183 @@ class GPRegression(BaseModel):
                     iter_segment=slq_iter_segment,
                 )
         return -0.5 * (quad + ld + n * float(np.log(2.0 * np.pi)))
+
+
+    def optimize_segmented(
+        self,
+        max_iters: int = 10,
+        *,
+        learning_rate: float = 0.05,
+        key=None,
+        cg_segment_iters: int = 25,
+        probe_grad_chunk: int = 4,
+        verbose: bool = False,
+        **overrides,
+    ):
+        """Watchdog-safe training at matrix-free scales (round-5).
+
+        The monolithic differentiable loss runs one value_and_grad program
+        per step — past n ≈ 2¹⁷ that single program exceeds the ~60 s
+        per-execution limit (exp_r15_mixed16: 47 s/step at n=2¹⁷ is the
+        edge).  This method decomposes each Adam step into BOUNDED device
+        programs, the `GPSKIRegression.optimize_segmented` pattern applied
+        to the dense matrix-free operator:
+
+        1. value-only SEGMENTED CG for ``α = Ã⁻¹y`` and ``S_r = Ã⁻¹z_r``
+           (one batched (1+R)-rhs solve; whitened when ``precond_rank>0``,
+           preconditioner rebuilt per step at the current hypers);
+        2. the BBMM surrogate gradient assembled from bounded
+           ``value_and_grad`` programs — the quadratic piece
+           ``−αᵀ(∂Ã)α`` and the Hutchinson pieces ``Σ s_rᵀ(∂Ã)z_r / R`` in
+           ``probe_grad_chunk``-sized chunks, each one forward + one
+           rematerialized backward Gram sweep;
+        3. an optax Adam update (tiny host-side program).
+
+        The SLQ log-det VALUE is never computed inside a step (the BBMM
+        gradient does not need it): ``losses`` traces the data-fit
+        surrogate ``½(yᵀα) + (n/2)log 2π`` only — evaluate
+        :meth:`log_likelihood_iterative_segmented` before/after training
+        for true NLML numbers.  Probes are a fixed SAA draw (same rule as
+        the monolithic loss).  ``overrides`` adjust the constructor's
+        iterative options.  Returns a :class:`gp_grief_tpu.optimize.
+        FitResult`; ``self.params`` is updated in place.
+        """
+        import optax
+
+        from gp_grief_tpu.optimize import FitResult
+        from gp_grief_tpu.ops.cg import cg_solve_segmented
+        from gp_grief_tpu.ops.lanczos import _probe_chunk_sizes
+        from gp_grief_tpu.utils.closure import explicit_closure
+
+        o = {**self._iter_opts, **overrides}
+        chunk = int(o["matvec_chunk"])
+        if self.solver != "iterative" or chunk <= 0:
+            raise ValueError(
+                "optimize_segmented needs solver='iterative' and a "
+                "matrix-free operator (matvec_chunk > 0); use optimize() "
+                "for the dense/small-n paths"
+            )
+        if key is None:
+            key = self._key
+        n = int(self.x.shape[0])
+        R = int(o["num_probes"])
+        r = int(min(o["precond_rank"], n))
+        dtype = self.y.dtype
+        Z = jax.random.rademacher(key, (R, n), dtype=dtype)
+        rhs0 = jnp.concatenate([self.y[None, :], Z], axis=0)
+        max_segments = max(1, -(-int(o["cg_iters"]) // int(cg_segment_iters)))
+
+        def _mk_mv(params, precision="highest"):
+            return make_gram_matvec(
+                params["kernel"], self.x, jnp.exp(params["log_noise"]),
+                chunk=chunk, precision=precision,
+            )
+
+        # Bounded surrogate-grad programs, built ONCE (params explicit).
+        p_sds = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+            self.params,
+        )
+        a_sds = jax.ShapeDtypeStruct((n,), dtype)
+
+        def quad_piece(params, alpha):
+            return -jnp.dot(alpha, _mk_mv(params)(alpha[None, :])[0])
+
+        qp, qc = explicit_closure(quad_piece, p_sds, a_sds)
+        quad_vg = jax.jit(jax.value_and_grad(qp, argnums=1))
+
+        sizes = _probe_chunk_sizes(R, probe_grad_chunk)
+        ld_vgs = {}
+        for c in sorted(set(sizes)):
+            c_sds = jax.ShapeDtypeStruct((c, n), dtype)
+
+            def ld_piece(params, S_c, Z_c, _c=c):
+                mv = _mk_mv(params)
+                if _c > 8 and _c % 8:
+                    mv = safe_batch_op(mv)
+                return jnp.sum(S_c * mv(Z_c)) / R
+
+            lp, lc = explicit_closure(ld_piece, p_sds, c_sds, c_sds)
+            ld_vgs[c] = (jax.jit(jax.value_and_grad(lp, argnums=1)), lc)
+
+        pc_prog = None
+        if r > 0:
+            pc_prog = jax.jit(
+                lambda kern, x: pivoted_cholesky_matfree(
+                    _gram_row_fn(kern, x), cov_diag(kern, x), r
+                )
+            )
+
+        opt = optax.adam(learning_rate)
+        opt_state = opt.init(self.params)
+        losses, gnorms = [], []
+        t0 = time.perf_counter()
+        for step in range(int(max_iters)):
+            params = self.params
+            mv = _mk_mv(params)
+            # (1) value-only segmented batched solve at the current hypers.
+            # NOTE: rebuilding the solve closure retraces its segment
+            # program each step (host cost, seconds at n=500k) — the device
+            # programs themselves stay bounded, which is what the watchdog
+            # cares about.
+            if r > 0:
+                Lpc = pc_prog(params["kernel"], self.x)
+                _, M_inv_sqrt, _ = lowrank_sqrt_ops_from_factor(
+                    Lpc.astype(dtype),
+                    jnp.exp(params["log_noise"]).astype(dtype),
+                    layout="bm",
+                )
+                white = safe_batch_op(
+                    lambda vv: M_inv_sqrt(mv(M_inv_sqrt(vv)))
+                )
+                solw = cg_solve_segmented(
+                    white, M_inv_sqrt(rhs0), tol=float(o["cg_tol"]),
+                    segment_iters=int(cg_segment_iters),
+                    max_segments=max_segments, layout="bm", verbose=verbose,
+                )
+                sol = M_inv_sqrt(solw)
+            else:
+                sol = cg_solve_segmented(
+                    safe_batch_op(mv), rhs0, tol=float(o["cg_tol"]),
+                    segment_iters=int(cg_segment_iters),
+                    max_segments=max_segments, layout="bm", verbose=verbose,
+                )
+            alpha, S = sol[0], sol[1:]
+
+            # (2) surrogate gradient from bounded pieces.
+            v_q, g = quad_vg(qc, params, alpha)
+            off = 0
+            for c in sizes:
+                vg, lc = ld_vgs[c]
+                _, g_c = vg(lc, params, S[off : off + c], Z[off : off + c])
+                g = jax.tree.map(jnp.add, g, g_c)
+                off += c
+            g = jax.tree.map(lambda t: 0.5 * t, g)
+
+            # (3) Adam update (host-side pytree math is tiny).
+            updates, opt_state = opt.update(g, opt_state, params)
+            self.params = optax.apply_updates(params, updates)
+
+            fit_sur = float(
+                0.5 * (jnp.dot(self.y, alpha) + n * np.log(2.0 * np.pi))
+            )
+            gn = float(optax.global_norm(g))
+            losses.append(fit_sur)
+            gnorms.append(gn)
+            if verbose:
+                print(
+                    f"[optimize_segmented] step {step + 1}/{max_iters}: "
+                    f"data-fit {fit_sur:.4f}  |g| {gn:.3e}", flush=True,
+                )
+        return FitResult(
+            params=self.params,
+            losses=np.asarray(losses),
+            grad_norms=np.asarray(gnorms),
+            iterations=int(max_iters),
+            wall_time=time.perf_counter() - t0,
+            converged=False,
+            opt_state=opt_state,
+        )
 
     def predict(
         self,

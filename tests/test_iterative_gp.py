@@ -385,3 +385,35 @@ def test_segmented_nlml_fused_matches_separate(rng):
             fuse_probes=True, slq_iter_segment=5
         )
         assert abs(ll_itseg - ll_fused) < 1e-5 * abs(ll_fused), (pr, ll_itseg, ll_fused)
+
+
+def test_optimize_segmented_matches_monolithic(rng):
+    """optimize_segmented (round-5: bounded-program training for matrix-free
+    scales) must track the monolithic differentiable loss: same SAA probes,
+    same BBMM surrogate gradient — only the program decomposition differs."""
+    from gp_grief_tpu import GPRegression, make_kernel
+
+    n = 1200
+    x = rng.uniform(0, 4, size=(n, 2)).astype(np.float32)
+    y = (np.sin(2 * x[:, 0]) * np.cos(x[:, 1])
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    kw = dict(noise_var=0.3, solver="iterative", matvec_chunk=256,
+              precond_rank=16, num_probes=8, lanczos_iters=10,
+              cg_tol=1e-7, cg_iters=80)
+    kern = lambda: make_kernel("rbf", lengthscale=0.9, input_dim=2)  # noqa: E731
+    m_seg = GPRegression(x, y, kern(), **kw)
+    m_mono = GPRegression(x, y, kern(), **kw)
+    res = m_seg.optimize_segmented(max_iters=5, learning_rate=0.05)
+    m_mono.optimize(max_iters=5, optimizer="adam", learning_rate=0.05,
+                    scan_chunk=1, tol=0.0)
+    assert abs(m_seg.noise_var - m_mono.noise_var) < 1e-6 * m_mono.noise_var
+    ls_s = np.asarray(jnp.exp(m_seg.params["kernel"].log_lengthscale))
+    ls_m = np.asarray(jnp.exp(m_mono.params["kernel"].log_lengthscale))
+    np.testing.assert_allclose(ls_s, ls_m, rtol=1e-5)
+    assert np.all(np.isfinite(res.losses)) and res.iterations == 5
+    # guard: dense/small-n configs must be told to use optimize()
+    import pytest
+
+    m_dense = GPRegression(x, y, kern(), noise_var=0.3, solver="iterative")
+    with pytest.raises(ValueError):
+        m_dense.optimize_segmented(max_iters=1)
